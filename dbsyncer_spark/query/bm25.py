@@ -1,0 +1,115 @@
+"""Okapi BM25 scoring as pure Column math (Phase-1 exhaustive scorer).
+
+The reference's relevance ordering is Lucene 8.8's default similarity =
+Okapi BM25 with k1=1.2, b=0.75 (reference ``Shard.java:357-371`` never
+overrides ``Similarity``; see SURVEY.md §2.5 F11). We implement the
+formula explicitly:
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfnorm(t,d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(q,d)  = sum over t in q of idf(t) * tfnorm(t,d)
+
+All math in float64. Ties broken by docId ascending, mirroring Lucene's
+``_doc`` tiebreaker (reference ``Shard.java:234-247``).
+
+This module is the *exhaustive* scorer: a straight DataFrame pipeline
+(tokenize -> explode -> groupBy tf -> broadcast-join query terms -> column
+math -> TakeOrdered top-k). It is rank-identical to the block-max WAND
+path in ``dbsyncer_spark.index.search`` (WAND prunes, never approximates)
+and doubles as the at-scale correctness oracle.
+
+Plan shape at 100 TB: the only shuffles are the (term,docId) partial+final
+hash aggregate and the final per-partition top-k merge; the query-terms
+join is a broadcast (query side is tiny) so postings never shuffle for the
+join. ``.explain()``-verified: filter on matched terms happens before the
+aggregate; TakeOrderedAndProject caps driver results at k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsyncer_spark import BM25_B, BM25_K1
+from dbsyncer_spark.functions.tokenizer import tokenize_py, tokens_col
+
+
+def idf_col(df_col, n_docs) -> F.Column:
+    """idf = ln(1 + (N - df + 0.5)/(df + 0.5)); float64."""
+    dfc = F.col(df_col) if isinstance(df_col, str) else df_col
+    n = F.lit(float(n_docs)) if not isinstance(n_docs, F.Column) else n_docs
+    return F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+
+
+def tfnorm_col(tf_col, dl_col, avgdl, k1: float = BM25_K1, b: float = BM25_B) -> F.Column:
+    tf = (F.col(tf_col) if isinstance(tf_col, str) else tf_col).cast("double")
+    dl = (F.col(dl_col) if isinstance(dl_col, str) else dl_col).cast("double")
+    ad = F.lit(float(avgdl)) if not isinstance(avgdl, F.Column) else avgdl
+    return tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / ad))
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_filter=None,
+) -> DataFrame:
+    """Exhaustive BM25 top-k over a document DataFrame (no prebuilt index).
+
+    Returns ``(doc_id, score)`` ordered by (score desc, doc_id asc),
+    limited to k. ``doc_filter`` (optional Column) restricts the candidate
+    set — the analog of the reference's MUST filter clauses
+    (``DiskStorageService.java:294-346``); note df/avgdl statistics are
+    still computed over the *full* corpus (index-level stats), matching
+    how a filtered Lucene query scores.
+    """
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens_col(text_col).alias("_toks"),
+        *( [doc_filter.alias("_keep")] if doc_filter is not None else [] ),
+    )
+    toks = base.withColumn("_dl", F.size("_toks"))
+
+    # corpus stats (N, avgdl) — one tiny agg
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
+    )
+
+    # postings restricted to query terms: explode -> filter -> (term,doc) tf
+    tf = (
+        toks.select(id_col, "_dl", *( ["_keep"] if doc_filter is not None else [] ),
+                    F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(q_terms))
+        .groupBy(id_col, "_dl", *( ["_keep"] if doc_filter is not None else [] ), "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    # document frequency per query term — over the FULL corpus.
+    # tf rows are already unique per (doc, term), so a plain count is the
+    # distinct-doc count (avoids countDistinct's extra shuffle).
+    df_stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_stats), "term")
+        .join(F.broadcast(stats))
+        .withColumn("_idf", idf_col("df", F.col("n_docs").cast("double")))
+        .withColumn("_tfn", tfnorm_col("tf", "_dl", F.col("avgdl"), k1, b))
+        .withColumn("_partial", F.col("_idf") * F.col("_tfn"))
+    )
+    if doc_filter is not None:
+        scored = scored.filter(F.col("_keep"))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_partial").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
