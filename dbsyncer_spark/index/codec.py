@@ -1,0 +1,161 @@
+"""Posting-list codec: delta + variable-byte (VByte) blocks with skip
+pointers and block-max metadata. Pure numpy, fully vectorized — this runs
+inside Arrow batches (``applyInPandas``), never per-row Python.
+
+Layout per (term, range) posting row:
+
+- postings are (docId, tf, dl) triples sorted by docId ascending
+- split into blocks of ``BLOCK_SIZE`` postings
+- per block, three VByte streams concatenated into one ``bytes`` blob:
+    docId deltas (first docId delta'd against block's ``first`` field),
+    tf values, dl values
+- block metadata kept as parquet list columns (the skip table):
+    ``block_first`` (absolute first docId), ``block_n`` (postings in
+    block), ``block_off`` (byte offset of block in blob),
+    ``block_max_tf`` / ``block_min_dl`` (block-max bounds).
+
+Block-max bounds are stored as (max tf, min dl) rather than a
+precomputed tfnorm so the bound stays valid under *any* global avgdl —
+BM25's tfnorm is monotone increasing in tf and decreasing in dl, so
+``tfnorm(max_tf, min_dl)`` upper-bounds every posting in the block even
+after incremental segments shift avgdl. (The analog of Lucene's per-block
+max impacts; reference relevance layer: SURVEY.md §2.5 F11.)
+
+VByte: little-endian 7-bit groups, MSB set = continuation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_MAX_VBYTE_LEN = 10  # 64 bits / 7
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized VByte encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # bit_length via repeated shift counting (vectorized, <=10 iters)
+    lengths = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    del nbits
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    rem = v.copy()
+    pos = offsets[:-1].copy()
+    left = lengths.copy()
+    for _ in range(_MAX_VBYTE_LEN):
+        mask = left > 0
+        if not mask.any():
+            break
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (left[mask] > 1).astype(np.uint8) << 7
+        out[pos[mask]] = byte | cont
+        rem[mask] >>= np.uint64(7)
+        pos[mask] += 1
+        left[mask] -= 1
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
+    """Vectorized VByte decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    if count is not None:
+        ends = ends[:count]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for j in range(max_len):
+        mask = lengths > j
+        vals[mask] |= (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return vals
+
+
+def pack_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int = BLOCK_SIZE
+) -> dict:
+    """Pack sorted (docId, tf, dl) postings into compressed blocks.
+
+    Returns dict with ``blob`` (bytes) and the skip-table list columns.
+    ``doc_ids`` must be sorted ascending and unique.
+    """
+    n = doc_ids.size
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    block_first, block_n, block_off = [], [], []
+    block_max_tf, block_min_dl = [], []
+    parts: list[bytes] = []
+    off = 0
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        ids = doc_ids[s:e]
+        deltas = np.empty(e - s, dtype=np.uint64)
+        deltas[0] = 0  # first docId carried absolutely in block_first
+        deltas[1:] = ids[1:] - ids[:-1]
+        chunk = vbyte_encode(deltas) + vbyte_encode(tfs[s:e]) + vbyte_encode(dls[s:e])
+        block_first.append(int(ids[0]))
+        block_n.append(e - s)
+        block_off.append(off)
+        block_max_tf.append(int(tfs[s:e].max()))
+        block_min_dl.append(int(dls[s:e].min()))
+        parts.append(chunk)
+        off += len(chunk)
+    return {
+        "n_docs": n,
+        "blob": b"".join(parts),
+        "block_first": block_first,
+        "block_n": block_n,
+        "block_off": block_off,
+        "block_max_tf": block_max_tf,
+        "block_min_dl": block_min_dl,
+    }
+
+
+def unpack_block(blob, block_off, block_n, block_first, bi: int):
+    """Decode one block -> (doc_ids, tfs, dls) uint64 arrays."""
+    start = block_off[bi]
+    end = block_off[bi + 1] if bi + 1 < len(block_off) else len(blob)
+    n = block_n[bi]
+    seg = np.frombuffer(blob, dtype=np.uint8, count=end - start, offset=start)
+    ends = np.flatnonzero((seg & 0x80) == 0)
+    # three streams of exactly n values each
+    d_end = ends[n - 1] + 1
+    t_end = ends[2 * n - 1] + 1
+    deltas = vbyte_decode(seg[:d_end].tobytes(), n)
+    tfs = vbyte_decode(seg[d_end:t_end].tobytes(), n)
+    dls = vbyte_decode(seg[t_end:].tobytes(), n)
+    doc_ids = deltas.cumsum(dtype=np.uint64)
+    doc_ids += np.uint64(block_first[bi])
+    return doc_ids, tfs, dls
+
+
+def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode all blocks of one posting row -> (doc_ids, tfs, dls)."""
+    outs_d, outs_t, outs_l = [], [], []
+    blob = row["blob"]
+    boff, bn, bf = row["block_off"], row["block_n"], row["block_first"]
+    for bi in range(len(boff)):
+        d, t, l = unpack_block(blob, boff, bn, bf, bi)
+        outs_d.append(d)
+        outs_t.append(t)
+        outs_l.append(l)
+    if not outs_d:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(outs_d), np.concatenate(outs_t), np.concatenate(outs_l)

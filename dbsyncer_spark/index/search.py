@@ -1,0 +1,303 @@
+"""BM25 top-k query engine over the persisted index.
+
+The Spark shape of the reference's storage-query path (SURVEY.md §3.3):
+tokenize query -> dictionary point-lookup (md5-shard partition pruning,
+driver-cached) -> read only matching (shard, term) posting rows -> score
+per docId-range in parallel -> global top-k merge -> fetch display fields
+from docstats.
+
+Two scorers, both vectorized numpy inside ``applyInPandas``:
+
+- ``exhaustive``: decode every block of the query terms' postings and
+  accumulate into a dense per-range score array (the correctness path).
+- ``wand`` (default): block-max pruning, TAAT MaxScore-family. Terms are
+  processed in descending upper-bound order; a block is skipped iff
+
+      max(S_partial over block's docId span) + U_term(block) + R_rest < θ
+
+  where θ is the current k-th best *partial* (= lower bound of the true
+  k-th best final) score. Skipping is strict-<, so any doc in a skipped
+  block has true score strictly below the true k-th — pruning never
+  changes the top-k set, order, or reported scores (rank-identical by
+  construction; tests/test_query_engine.py checks it on every query).
+
+Both produce ≤ k candidates per range; the global merge is a
+TakeOrdered over (score desc, docId asc) — the docId tiebreak mirrors
+Lucene's ``_doc`` sort field (reference ``Shard.java:234-247``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from math import log
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.functions.tokenizer import tokenize_py
+from dbsyncer_spark.index.build import py_shard
+from dbsyncer_spark.index.codec import unpack_block
+
+_SCORE_SCHEMA = "doc_id long, score double"
+
+
+def _tfnorm_bound(max_tf, min_dl, k1: float, b: float, avgdl: float):
+    """Upper bound of tfnorm for any posting with tf<=max_tf, dl>=min_dl
+    (monotone increasing in tf, decreasing in dl — valid for any avgdl)."""
+    mt = np.asarray(max_tf, dtype=np.float64)
+    md = np.asarray(min_dl, dtype=np.float64)
+    return mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl))
+
+
+def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
+                 range_size: int, prune: bool, use_allowed: bool):
+    """Build the per-range applyInPandas scorer (closure carries the tiny
+    query-side state: idf per term, BM25 params, k)."""
+
+    def score_range_impl(key, postings, allow_pdf):
+        allowed_mask = None
+        if use_allowed:
+            allowed_mask = np.zeros(range_size, dtype=bool)
+            if allow_pdf is not None and len(allow_pdf):
+                base0 = int(key[0]) * range_size
+                allowed_mask[(allow_pdf["doc_id"].to_numpy() - base0)] = True
+        if postings.empty:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        base = int(key[0]) * range_size
+        S = np.zeros(range_size, dtype=np.float64)
+        seen = np.zeros(range_size, dtype=bool)
+
+        # per-term upper bound U = idf * max tfnorm bound over blocks
+        rows = []
+        for r in postings.itertuples(index=False):
+            idf = idfs[r.term]
+            ub_blocks = idf * _tfnorm_bound(
+                np.asarray(r.block_max_tf), np.asarray(r.block_min_dl), k1, b, avgdl
+            )
+            rows.append((float(ub_blocks.max()), r, ub_blocks))
+        rows.sort(key=lambda x: -x[0])
+        suffix = np.zeros(len(rows) + 1)
+        for i in range(len(rows) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + rows[i][0]
+
+        theta = None
+        for i, (_, r, ub_blocks) in enumerate(rows):
+            idf = idfs[r.term]
+            block_first = np.asarray(r.block_first, dtype=np.int64)
+            nb = block_first.size
+            keep = np.ones(nb, dtype=bool)
+            if prune and theta is not None:
+                starts = block_first - base
+                segmax = np.maximum.reduceat(S, starts) if starts[0] < range_size else None
+                if segmax is not None:
+                    keep = (segmax + ub_blocks + suffix[i + 1]) >= theta
+            if keep.any():
+                blob = r.blob
+                boff, bn, bf = list(r.block_off), list(r.block_n), list(r.block_first)
+                for bi in np.flatnonzero(keep):
+                    d, tf, dl = unpack_block(blob, boff, bn, bf, int(bi))
+                    tf = tf.astype(np.float64)
+                    dl = dl.astype(np.float64)
+                    tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    idx = (d - np.uint64(base)).astype(np.int64)
+                    if allowed_mask is not None:
+                        m = allowed_mask[idx]
+                        idx, tfn = idx[m], tfn[m]
+                    S[idx] += idf * tfn
+                    seen[idx] = True
+            if prune:
+                cnt = int(seen.sum())
+                if cnt >= k:
+                    theta = np.partition(S[seen], cnt - k)[cnt - k]
+
+        idx = np.flatnonzero(seen)
+        if idx.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        scores = S[idx]
+        if idx.size > k:
+            part = np.argpartition(-scores, k - 1)[:k]
+            idx, scores = idx[part], scores[part]
+        order = np.lexsort((idx, -scores))
+        return pd.DataFrame({"doc_id": (base + idx[order]).astype("int64"),
+                             "score": scores[order]})
+
+    def grouped(key, pdf):
+        return score_range_impl(key, pdf, None)
+
+    def cogrouped(key, left, right):
+        return score_range_impl(key, left, right)
+
+    return cogrouped if use_allowed else grouped
+
+
+class SearchIndex:
+    """Handle to a persisted index (all segments merged at query time)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.params = self.meta["params"]
+        self.num_shards = self.params["num_shards"]
+        self.range_size = self.params["range_size"]
+        self.k1 = self.params["k1"]
+        self.b = self.params["b"]
+        segs = self.meta["segments"]
+        self.n_docs = sum(s["n_docs"] for s in segs.values())
+        sum_dl = sum(s["sum_dl"] for s in segs.values())
+        self.avgdl = sum_dl / self.n_docs if self.n_docs else 0.0
+        self._seg_dirs = [os.path.join(index_dir, "segments", name) for name in sorted(segs)]
+        self._term_cache: dict[str, int] = {}
+
+    # -- paths ----------------------------------------------------------
+    def _union_read(self, sub: str) -> DataFrame:
+        # per-segment reads unioned (a single multi-path read rejects
+        # multiple partitioned roots); Catalyst pushes filters into each
+        # branch, so shard pruning still applies per segment
+        dfs = [self.spark.read.parquet(os.path.join(d, sub)) for d in self._seg_dirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _postings(self) -> DataFrame:
+        return self._union_read("postings")
+
+    def docstats(self) -> DataFrame:
+        return self._union_read("docstats")
+
+    def _dictionary(self) -> DataFrame:
+        return self._union_read("dictionary")
+
+    def _tombstones(self) -> DataFrame | None:
+        p = os.path.join(self.index_dir, "tombstones")
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        return None
+
+    # -- dictionary point lookup (shard-pruned, driver-cached) ----------
+    def lookup(self, terms: list[str]) -> dict[str, int]:
+        """term -> merged document frequency across segments."""
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            shards = sorted({py_shard(t, self.num_shards) for t in missing})
+            rows = (
+                self._dictionary()
+                .filter(F.col("shard").isin(shards) & F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            found = {r.term: int(r.df) for r in rows}
+            for t in missing:
+                self._term_cache[t] = found.get(t, 0)
+        return {t: self._term_cache[t] for t in terms if self._term_cache[t] > 0}
+
+    # -- search ----------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "wand",
+        doc_filter=None,
+    ) -> DataFrame:
+        """Top-k BM25. Returns DataFrame(doc_id long, score double) ordered
+        by (score desc, doc_id asc), k rows max.
+
+        ``doc_filter``: optional Column predicate over docstats columns
+        (repo/path/lang/...) — the reference's MUST clauses. Corpus-level
+        stats (idf, avgdl) stay global, matching filtered Lucene queries.
+        """
+        terms = sorted(set(tokenize_py(query)))
+        dfs = self.lookup(terms)
+        spark = self.spark
+        if not dfs:
+            return spark.createDataFrame([], _SCORE_SCHEMA)
+
+        n = self.n_docs
+        idfs = {t: log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) for t, df_ in dfs.items()}
+        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
+
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("term").isin(list(dfs))
+        )
+
+        tomb = self._tombstones()
+        use_allowed = doc_filter is not None or tomb is not None
+        scorer = _make_scorer(
+            idfs, self.k1, self.b, self.avgdl, k, self.range_size,
+            prune=(mode == "wand"), use_allowed=use_allowed,
+        )
+        if use_allowed:
+            allowed = self.docstats()
+            if doc_filter is not None:
+                allowed = allowed.filter(doc_filter)
+            if tomb is not None:
+                allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
+            allowed = allowed.select("range_id", "doc_id")
+            scored = (
+                postings.groupBy("range_id")
+                .cogroup(allowed.groupBy("range_id"))
+                .applyInPandas(scorer, _SCORE_SCHEMA)
+            )
+        else:
+            scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def fetch(self, topk: DataFrame) -> DataFrame:
+        """Join top-k back to docstats for display fields + sha256
+        (reference doc-fetch, ``Shard.java:281-303``)."""
+        return (
+            self.docstats()
+            .join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang", "dl", "sha256")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
+    def count(self, query: str) -> int:
+        """Count-only query (reference count short-circuit,
+        ``Shard.java:196-201``) — reads only posting metadata columns."""
+        terms = sorted(set(tokenize_py(query)))
+        dfs = self.lookup(terms)
+        if not dfs:
+            return 0
+        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
+        # distinct docs containing ANY term: decode-free upper layer needs
+        # per-doc distinct; use postings decode-free df sum only for
+        # single-term queries, else count distinct via decoded doc ids.
+        if len(dfs) == 1:
+            return sum(dfs.values())
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("term").isin(list(dfs))
+        )
+        return (
+            postings.select(F.explode(_decode_ids_udf()(F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off"))).alias("doc_id"))
+            .distinct()
+            .count()
+        )
+
+
+def _decode_ids_udf():
+    """pandas UDF: decode just the docId stream of each posting row."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def decode_ids(blob: pd.Series, bf: pd.Series, bn: pd.Series, boff: pd.Series) -> pd.Series:
+        out = []
+        for blob_i, bf_i, bn_i, boff_i in zip(blob, bf, bn, boff):
+            ids = []
+            for bi in range(len(boff_i)):
+                d, _, _ = unpack_block(blob_i, list(boff_i), list(bn_i), list(bf_i), bi)
+                ids.extend(int(x) for x in d)
+            out.append(ids)
+        return pd.Series(out, index=blob.index)
+
+    return decode_ids

@@ -1,0 +1,76 @@
+"""Property tests for the VByte/delta block codec (SURVEY.md hard part #2:
+round-trip across block boundaries, randomized with fixed seeds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dbsyncer_spark.index.codec import (
+    pack_postings,
+    unpack_block,
+    unpack_postings,
+    vbyte_decode,
+    vbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_vbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert vbyte_decode(vbyte_encode(arr)).tolist() == vals
+
+
+def test_vbyte_known_bytes():
+    # 0 -> 0x00; 127 -> 0x7f; 128 -> 0x80 0x01 (LE 7-bit groups, MSB cont.)
+    assert vbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert vbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert vbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert vbyte_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=50, deadline=None)
+def test_pack_roundtrip_random(n, base, seed):
+    rng = np.random.default_rng(seed)
+    doc_ids = np.sort(rng.choice(np.arange(base, base + n * 50, dtype=np.uint64), n, replace=False))
+    tfs = rng.integers(1, 5000, n).astype(np.uint64)
+    dls = rng.integers(1, 2000, n).astype(np.uint64)
+    packed = pack_postings(doc_ids, tfs, dls, block_size=64)
+    d, t, l = unpack_postings(packed)
+    assert d.tolist() == doc_ids.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert l.tolist() == dls.tolist()
+    # block-max metadata is a valid bound per block
+    for bi in range(len(packed["block_off"])):
+        bd, bt, bl = unpack_block(
+            packed["blob"], packed["block_off"], packed["block_n"], packed["block_first"], bi
+        )
+        assert int(bt.max()) == packed["block_max_tf"][bi]
+        assert int(bl.min()) == packed["block_min_dl"][bi]
+        assert int(bd[0]) == packed["block_first"][bi]
+
+
+def test_pack_exact_block_boundary():
+    n = 256  # exactly 2 blocks of 128
+    ids = np.arange(10, 10 + n, dtype=np.uint64)
+    tfs = np.ones(n, dtype=np.uint64)
+    dls = np.full(n, 7, dtype=np.uint64)
+    packed = pack_postings(ids, tfs, dls)
+    assert len(packed["block_off"]) == 2
+    d, t, l = unpack_postings(packed)
+    assert (d == ids).all() and (t == tfs).all() and (l == dls).all()
+
+
+def test_empty_postings():
+    z = np.zeros(0, dtype=np.uint64)
+    packed = pack_postings(z, z, z)
+    assert packed["n_docs"] == 0 and packed["blob"] == b""
+    d, t, l = unpack_postings(packed)
+    assert d.size == 0

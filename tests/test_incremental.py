@@ -1,0 +1,99 @@
+"""Incremental (CDC-analog) gate: append segments + tombstone deletes +
+compaction must all stay rank-identical to a from-scratch oracle over the
+live document set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.fixtures.corpus import gen_corpus_pdf
+from dbsyncer_spark.index.build import append_segment, build_index
+from dbsyncer_spark.index.docids import assign_doc_ids
+from dbsyncer_spark.index.search import SearchIndex
+from dbsyncer_spark.oracle.bm25_oracle import bm25_oracle_topk, corpus_stats
+from dbsyncer_spark.streaming.incremental import compact_segments, delete_docs
+
+PARAMS = dict(num_shards=4, range_size=128, block_size=16, num_id_buckets=8)
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, tmp_path_factory):
+    pdf = gen_corpus_pdf(n_docs=400, seed=42)
+    base = spark.createDataFrame(pdf.iloc[:300], schema=SCHEMA)
+    extra = spark.createDataFrame(pdf.iloc[300:], schema=SCHEMA)
+    d = str(tmp_path_factory.mktemp("inc_idx"))
+    build_index(spark, base, d, **PARAMS)
+    append_segment(spark, extra, d, num_id_buckets=8)
+    return d
+
+
+def _oracle_docs(spark, idx: SearchIndex, corpus_by_key):
+    """Map index doc_ids -> content via docstats keys."""
+    rows = idx.docstats().select("doc_id", "repo", "path", "commit").collect()
+    return {r.doc_id: corpus_by_key[(r.repo, r.path, r.commit)] for r in rows}
+
+
+@pytest.fixture(scope="module")
+def corpus_by_key():
+    pdf = gen_corpus_pdf(n_docs=400, seed=42)
+    return {(r.repo, r.path, r.commit): r.content for r in pdf.itertuples(index=False)}
+
+
+def test_append_matches_full_oracle(spark, idx_dir, corpus_by_key):
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.n_docs == 400
+    docs = _oracle_docs(spark, idx, corpus_by_key)
+    stats = corpus_stats(docs)
+    for q in ["merge offset", "getUserName", "import", "token shard batch"]:
+        got = idx.search(q, k=10).collect()
+        want = bm25_oracle_topk(docs, q, k=10, precomputed=stats)
+        assert [r.doc_id for r in got] == [d for d, _ in want], q
+        for r, (_, s) in zip(got, want):
+            assert r.score == pytest.approx(s, abs=1e-9)
+
+
+def test_delete_then_search_masks_tombstones(spark, idx_dir, corpus_by_key):
+    idx = SearchIndex(spark, idx_dir)
+    docs = _oracle_docs(spark, idx, corpus_by_key)
+    stats = corpus_stats(docs)
+    baseline = bm25_oracle_topk(docs, "merge offset", k=3, precomputed=stats)
+    victim = baseline[0][0]
+    vic_row = idx.docstats().filter(F.col("doc_id") == victim).select("repo", "path").collect()[0]
+
+    n = delete_docs(spark, idx_dir, spark.createDataFrame([vic_row.asDict()]))
+    assert n == 1
+
+    idx2 = SearchIndex(spark, idx_dir)
+    got = idx2.search("merge offset", k=10).collect()
+    assert victim not in [r.doc_id for r in got]
+    # tombstones mask docs but (like Lucene pre-merge) index stats keep
+    # counting them; ranking among live docs must match an oracle that
+    # filters the same way
+    want = bm25_oracle_topk(docs, "merge offset", k=10,
+                            doc_pred=lambda d: d != victim, precomputed=stats)
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+
+
+def test_compaction_drops_tombstones_and_rescores(spark, idx_dir, corpus_by_key):
+    idx = SearchIndex(spark, idx_dir)
+    docs_before = _oracle_docs(spark, idx, corpus_by_key)
+    tomb = {r.doc_id for r in spark.read.parquet(f"{idx_dir}/tombstones").collect()}
+    live = {d: c for d, c in docs_before.items() if d not in tomb}
+
+    meta = compact_segments(spark, idx_dir)
+    assert meta["n_docs"] == len(live)
+
+    idx2 = SearchIndex(spark, idx_dir)
+    assert len(idx2.meta["segments"]) == 1
+    docs_after = _oracle_docs(spark, idx2, corpus_by_key)
+    # same content set survives compaction (ids preserved)
+    assert docs_after == live
+    stats = corpus_stats(docs_after)
+    for q in ["merge offset", "import"]:
+        got = idx2.search(q, k=10).collect()
+        want = bm25_oracle_topk(docs_after, q, k=10, precomputed=stats)
+        assert [r.doc_id for r in got] == [d for d, _ in want], q
+        for r, (_, s) in zip(got, want):
+            assert r.score == pytest.approx(s, abs=1e-9)

@@ -1,0 +1,82 @@
+"""Persisted-index gate: build the compressed term-sharded index over the
+deterministic corpus and verify both scorers (exhaustive + block-max WAND)
+are rank-identical to the pure-Python oracle on every reference query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.fixtures.corpus import reference_queries
+from dbsyncer_spark.index.build import build_index
+from dbsyncer_spark.index.docids import assign_doc_ids
+from dbsyncer_spark.index.search import SearchIndex
+from dbsyncer_spark.oracle.bm25_oracle import bm25_oracle_topk, corpus_stats, sha256_hex
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(
+        spark, corpus, d,
+        num_shards=8, range_size=256, block_size=32, num_id_buckets=32,
+    )
+    return SearchIndex(spark, d)
+
+
+@pytest.fixture(scope="module")
+def oracle_side(spark, corpus):
+    rows = assign_doc_ids(corpus, num_buckets=32).select("doc_id", "content", "lang").collect()
+    docs = {r.doc_id: r.content for r in rows}
+    langs = {r.doc_id: r.lang for r in rows}
+    return docs, langs, corpus_stats(docs)
+
+
+def test_meta_stats(index, oracle_side):
+    docs, _, (tf, dl, df, n, avgdl) = oracle_side
+    assert index.n_docs == n
+    assert index.avgdl == pytest.approx(avgdl, rel=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+def test_rank_identical_to_oracle(spark, index, oracle_side, mode):
+    docs, langs, stats = oracle_side
+    for q in reference_queries():
+        flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
+        pred = (lambda d, L=q["filterLang"]: langs[d] == L) if q["filterLang"] else None
+        got = index.search(q["text"], k=q["k"], mode=mode, doc_filter=flt).collect()
+        want = bm25_oracle_topk(docs, q["text"], k=q["k"], doc_pred=pred, precomputed=stats)
+        assert [r.doc_id for r in got] == [d for d, _ in want], f"q{q['queryId']} ({mode})"
+        for r, (_, s) in zip(got, want):
+            assert r.score == pytest.approx(s, abs=1e-9), f"q{q['queryId']} score ({mode})"
+
+
+def test_wand_equals_exhaustive_large_k(index):
+    a = index.search("merge offset token", k=100, mode="wand").collect()
+    b = index.search("merge offset token", k=100, mode="exhaustive").collect()
+    assert [(r.doc_id, round(r.score, 12)) for r in a] == [
+        (r.doc_id, round(r.score, 12)) for r in b
+    ]
+
+
+def test_fetch_sha256(index, oracle_side):
+    docs, _, _ = oracle_side
+    top = index.search("token shard batch", k=5)
+    fetched = index.fetch(top).collect()
+    assert len(fetched) == 5
+    for r in fetched:
+        assert r.sha256 == sha256_hex(docs[r.doc_id])
+
+
+def test_count_short_circuit(index, oracle_side):
+    docs, _, (tf, dl, df, n, avgdl) = oracle_side
+    assert index.count("shard") == df.get("shard", 0)
+    multi = index.count("merge offset")
+    want = len({d for d, c in tf.items() if c.get("merge") or c.get("offset")})
+    assert multi == want
+    assert index.count("zzzqqq") == 0
+
+
+def test_miss_and_empty(index):
+    assert index.search("zzzqqq").count() == 0
+    assert index.search("").count() == 0
