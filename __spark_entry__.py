@@ -1,38 +1,721 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family (SURVEY.md §2 +
+the training-data ops) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over the
+pre-registered views. Column names and float formatting are aligned on
+both sides (aggregates aliased identically, scores rounded to 6dp,
+money sums forced through decimal(18,2) so summation order can't skew
+the hash).
+
+Cross-engine float determinism: BM25 uses a *fixed* per-term summation
+order (`bm25_topk_wide`); the only cross-engine wiggle left is libm
+``ln`` (≤1 ulp), absorbed by the 6dp rounding.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from dbsyncer_spark.functions.tokenizer import tokenize_py, tokenize_sql_expr, tokens_col
+from dbsyncer_spark.query.bm25 import bm25_topk_wide
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_QUERY = "slow merge scan"  # multi-term; exercises idf spread
+
+_TOK = tokenize_sql_expr("text")  # DuckDB tokens expr over documents.text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _bm25_oracle(query: str, k: int) -> str:
+    """DuckDB twin of bm25_topk_wide — identical formula, parenthesization
+    and per-sorted-term summation order (k1=1.2, b=0.75)."""
+    terms = sorted(set(tokenize_py(query)))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    wide = " + ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN partial END), 0.0)" for t in terms
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN ({inlist})
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+partials AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) AS partial
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+wide AS (SELECT doc_id, {wide} AS score FROM partials GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM wide
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB distinct word-n-gram shingles from token list ``t``."""
+    return (
+        f"list_distinct([array_to_string(t[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(t)-{n - 1}, 1)+1)])"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fulltext / BM25
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=20, id_col="doc_id", text_col="text")
+
+
+def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index pipeline: build persisted compressed index over the
+    documents table, then block-max WAND top-k — rank-identical to the
+    exhaustive oracle, so it shares the exhaustive SQL oracle."""
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.search import SearchIndex
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lit("corpus").alias("repo"),
+        F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("path"),
+        F.md5("text").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"dbsyncer_entry_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    build_index(spark, docs, idx_dir, num_shards=8, resume=True)
+    idx = SearchIndex(spark, idx_dir)
+    topk = idx.search(FLAGSHIP_QUERY, k=20, mode="wand")
+    # map index docIds back to the original documents.doc_id (embedded in path)
+    return (
+        idx.fetch(topk)
+        .select(
+            F.substring("path", 2, 12).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def q_term_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.array_contains(tokens_col("text"), "value"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_fulltext_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("table") & (F.col("lang") == "en")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY §2.2/2.3/2.4/2.6)
+# ---------------------------------------------------------------------------
+
+def q_picker_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tag"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("merged"),
+    )
+
+
+def q_filters_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cond = (
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0))
+        | F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ) & F.col("o_custkey").isNotNull()
+    return orders.filter(cond).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+def q_range_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("value") >= 10.0) & (F.col("value") < 50.0))
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "event_type", "value")
+    )
+
+
+def q_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_lookup_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_virtual_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-SQL-as-table (reference virtual tables): the query text is
+    executed by spark.sql over registered views — joins delegated to
+    Catalyst."""
+    for t in ("customer", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS decimal(18,2))) AS double) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return cust.select(F.col("c_nationkey").cast("long").alias("nationkey")).intersect(
+        supp.select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    )
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            # parquet timestamps land as TIMESTAMP_NTZ; session TZ is UTC so
+            # the cast reinterprets without shifting
+            F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("last_ts_ms"),
+        )
+    )
+
+
+def q_scalar_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("props"), F.lit("{}")).alias("props_d"),
+        F.replace(F.col("event_type"), F.lit("click"), F.lit("tap")).alias("replaced"),
+        F.concat(F.lit("evt_"), F.col("event_type")).alias("prepended"),
+        F.substring(F.col("event_type"), 2, 1000).alias("rem_first"),
+        F.left(F.col("event_type"), F.lit(3)).alias("first3"),
+        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("ts_ms"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.8
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, bands=4, shingle_n=3
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.dedup import simhash_df
+
+    return simhash_df(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").cast("array<double>").alias("qv"))
+    v = F.col("embedding").cast("array<double>")
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", (_dot(v, F.col("qv")) / (_norm(v) * _norm(F.col("qv")))).alias("s")
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, queries, k=5, qid_col="query_id")
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.similarity import hyperplanes, lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    planes = hyperplanes(len(qvec), n_planes=16, seed=7)
+    out = lsh_ann_topk(emb, qvec, k=10, planes=planes, max_probe_hamming=2)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.textstats import (
+        bpe_token_count,
+        mean_token_len,
+        punct_ratio,
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(mean_token_len("text"), 6).alias("mean_token_len"),
+    )
+
+
+def q_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.textstats import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score("text").alias("quality"), lang_id("text").alias("lang_pred")
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id", kgram=5, window=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbsyncer_spark.ops.multimodal import binary_meta, docs_as_media
+
+    media = docs_as_media(_t(spark, sf_dir, "documents"))
+    return binary_meta(media).select("media_id", "n_bytes", "sha256", "format")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic fake decoder
+    (real decode stubbed — no image libs in env). Rows-only check."""
+    from dbsyncer_spark.ops.multimodal import decode_media, docs_as_media
+
+    media = docs_as_media(_t(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exhaustive BM25 top-k over sf0.001 documents."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": q_bm25_topk,
+        "bm25_index_wand": q_bm25_index_wand,
+        "term_match_count": q_term_match_count,
+        "fulltext_like": q_fulltext_like,
+        "picker_projection": q_picker_projection,
+        "filters_combo": q_filters_combo,
+        "range_sort_topk": q_range_sort_topk,
+        "count_group": q_count_group,
+        "tpch_q1": q_tpch_q1,
+        "lookup_join_agg": q_lookup_join_agg,
+        "virtual_table_sql": q_virtual_table_sql,
+        "set_ops": q_set_ops,
+        "upsert_latest": q_upsert_latest,
+        "scalar_converters": q_scalar_converters,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "cosine_topk": q_cosine_topk_impl,
+        "knn_join": q_knn_join,
+        "ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
+        "quality_lang": q_quality_lang,
+        "fingerprints": q_fingerprints,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = f"(SELECT doc_id, lang, {_TOK} AS t FROM documents)"
+    sh3 = _shingle_sql(3)
+    sql: dict[str, str] = {}
+
+    sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
+    sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
+
+    sql["term_match_count"] = f"""
+SELECT lang, count(*) AS n_docs FROM {toks} WHERE list_contains(t, 'value') GROUP BY lang
+"""
+
+    sql["fulltext_like"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE text LIKE '%table%' AND lang = 'en'
+"""
+
+    sql["picker_projection"] = """
+SELECT c_custkey, c_name AS name,
+       c_name || '#' || c_mktsegment AS tag,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS merged
+FROM customer
+"""
+
+    sql["filters_combo"] = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+WHERE ((o_orderstatus = 'F' AND o_totalprice > 150000.0)
+       OR o_orderpriority IN ('1-URGENT', '2-HIGH'))
+  AND o_custkey IS NOT NULL
+"""
+
+    sql["range_sort_topk"] = """
+SELECT event_id, event_type, value FROM events
+WHERE value >= 10.0 AND value < 50.0
+ORDER BY value DESC, event_id ASC LIMIT 100
+"""
+
+    sql["count_group"] = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+    sql["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["lookup_join_agg"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+    sql["virtual_table_sql"] = """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+    sql["set_ops"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+"""
+
+    sql["upsert_latest"] = """
+SELECT user_id, event_type AS last_event_type, epoch_ms(ts) AS last_ts_ms
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+    sql["scalar_converters"] = """
+SELECT event_id,
+       coalesce(props, '{}') AS props_d,
+       replace(event_type, 'click', 'tap') AS replaced,
+       'evt_' || event_type AS prepended,
+       substring(event_type, 2, 1000) AS rem_first,
+       left(event_type, 3) AS first3,
+       epoch_ms(ts) AS ts_ms,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events
+"""
+
+    sql["dedup_exact"] = """
+SELECT doc_id, content_hash,
+       count(*) OVER (PARTITION BY content_hash) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents)
+"""
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest({sh3}) AS shingle FROM toks),
+ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(inter.i / (sa.n_sh + sb.n_sh - inter.i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+             JOIN sizes sb ON inter.doc_b = sb.doc_id
+) WHERE jaccard >= 0.8
+"""
+
+    mh_cols = ",\n  ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, md5(mh{bi * 4} || '|' || mh{bi * 4 + 1} || '|' "
+        f"|| mh{bi * 4 + 2} || '|' || mh{bi * 4 + 3}) AS bh FROM sig"
+        for bi in range(4)
+    )
+    sql["dedup_minhash_lsh"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({sh3}) AS shingle FROM toks),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+    sql["dedup_simhash"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM (SELECT doc_id, {_TOK} AS t FROM documents))
+  GROUP BY doc_id, term
+),
+h AS (SELECT doc_id, tf, md5(term) AS hx FROM tf),
+votes AS (
+  SELECT doc_id, b,
+         sum(tf * (2 * ((strpos('0123456789abcdef', substring(hx, (b // 4) + 1, 1)) - 1)
+                        >> (3 - (b % 4)) & 1) - 1)) AS v
+  FROM h CROSS JOIN (SELECT range AS b FROM range(60))
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+    _cos = (
+        "list_dot_product(embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    sql["cosine_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(s, 6) AS score FROM (
+  SELECT vec_id, {_cos} AS s FROM embeddings CROSS JOIN q
+) ORDER BY s DESC, vec_id ASC LIMIT 10
+"""
+
+    sql["knn_join"] = f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2)),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) AS s,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN qs q
+)
+SELECT query_id, vec_id, round(s, 6) AS score FROM s WHERE rn <= 5
+"""
+
+    sql["ann_lsh"] = _ann_lsh_oracle()
+
+    sql["text_stats"] = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS bpe_tokens,
+       round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
+       round(list_sum(list_transform({_TOK}, x -> length(x)))::DOUBLE / greatest(len({_TOK}), 1), 6) AS mean_token_len
+FROM documents
+"""
+
+    en = "', '".join(["the", "and", "of", "to", "is", "in", "that", "with"])
+    de = "', '".join(["der", "die", "das", "und", "ist", "nicht", "ein", "mit"])
+    es = "', '".join(["el", "la", "los", "que", "es", "una", "por", "con"])
+    fr = "', '".join(["le", "la", "les", "est", "une", "dans", "pour", "avec"])
+
+    def ratio(langlist: str) -> str:
+        return (
+            f"len(list_filter(t, x -> x IN ('{langlist}')))::DOUBLE / greatest(len(t), 1)"
+        )
+
+    sql["quality_lang"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOK} AS t,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END::DOUBLE AS nt,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / greatest(length(text), 1) AS pr
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, t, text,
+         least(nt / 20.0, 1.0) AS len_band,
+         1.0 - least(pr * 4.0, 1.0) AS low_punct,
+         1.0 - least(abs(list_sum(list_transform(t, x -> length(x)))::DOUBLE / greatest(len(t), 1) - 5.0) / 5.0, 1.0) AS mtl_band,
+         least({ratio(en)} * 5.0, 1.0) AS sw_band,
+         {ratio(en)} AS r_en, {ratio(de)} AS r_de, {ratio(es)} AS r_es, {ratio(fr)} AS r_fr,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS cjk
+  FROM base
+)
+SELECT doc_id,
+       round((len_band + low_punct + mtl_band + sw_band) / 4.0, 6) AS quality,
+       CASE WHEN cjk THEN 'zh'
+            WHEN r_en >= r_de AND r_en >= r_es AND r_en >= r_fr AND r_en > 0 THEN 'en'
+            WHEN r_de >= r_es AND r_de >= r_fr AND r_de > 0 THEN 'de'
+            WHEN r_es >= r_fr AND r_es > 0 THEN 'es'
+            WHEN r_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM feat
+"""
+
+    sql["fingerprints"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+kg AS (
+  SELECT doc_id, unnest([{{'pos': i, 'h': md5(array_to_string(t[i:i+4], ' '))}}
+                         for i in range(1, greatest(len(t)-4, 1)+1)]) AS u
+  FROM toks
+),
+pos AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kg)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+FROM pos
+"""
+
+    sql["multimodal_meta"] = """
+SELECT doc_id AS media_id,
+       octet_length(text::BLOB)::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       'unknown' AS format
+FROM documents
+"""
+    # multimodal_decode: intentionally no oracle (mapInPandas plumbing
+    # with stubbed decode) -> driver records rows-only check.
+    return sql
+
+
+def _ann_lsh_oracle() -> str:
+    """Generated SQL twin of lsh_ann_topk: literal hyperplanes (seeded,
+    identical constants both sides), sign-bit signature, hamming<=2
+    multiprobe, exact cosine rerank."""
+    from dbsyncer_spark.ops.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes=16, seed=7)
+
+    def vec_lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    def sig_expr(var: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({var}, {vec_lit(p)}) > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+with_sig AS (SELECT vec_id, v, ({sig_expr('v')}) AS sig FROM sigs),
+qsig AS (SELECT ({sig_expr('q.qv')}) AS s FROM q),
+cand AS (
+  SELECT w.vec_id, w.v FROM with_sig w, qsig
+  WHERE bit_count(xor(w.sig, qsig.s)) <= 2
+)
+SELECT vec_id, round(s, 6) AS score FROM (
+  SELECT c.vec_id,
+         list_dot_product(c.v, q.qv) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS s
+  FROM cand c CROSS JOIN q
+) ORDER BY s DESC, vec_id ASC LIMIT 10
+"""

@@ -1,0 +1,285 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+All four are pure DataFrame pipelines (JVM-side Column math, whole-stage
+codegen) so every step is Catalyst-optimizable and has an exact ANSI-SQL
+twin for the correctness oracle. Hash family is md5-hex — identical
+across Spark, DuckDB, and Python, and *lexicographic* min over fixed-width
+hex strings equals numeric min, so MinHash needs no int conversion.
+
+Scale notes (100 TB):
+- exact dedup: one hash-shuffle on a 32-char key; map-side partial agg
+  keeps the shuffle at ~#distinct rows.
+- n-gram Jaccard: the candidate generator is an equi-join on shingle
+  hash — only docs sharing >=1 shingle ever meet, never a cross join.
+  Frequency-cap ``max_shingle_freq`` drops degenerate shingles shared by
+  thousands of docs (the skew guard; same idea as hot-term salting).
+- MinHash+LSH: signatures are one explode + one groupBy(doc) agg
+  (``num_hashes`` min() columns -> map-side combine); banding joins on
+  (band, band_hash) buckets so candidate pairs ~ true near-dups.
+- SimHash: the Column form below explodes tokens x 64 bit-positions —
+  exact and oracle-friendly, fine to ~1e7 docs; the vectorized Arrow form
+  (``simhash_pandas_udf``) computes the same value one doc per numpy row
+  for the 100 TB path (verified identical by tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbsyncer_spark.functions.tokenizer import tokens_col
+
+SIMHASH_BITS = 60  # 15 md5 hex chars -> stays positive in a signed int64
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased text (exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+
+    Returns (doc_id, content_hash, group_size, is_canonical) — canonical
+    = min doc_id per group (deterministic survivor pick). One shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    h = docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash"))
+    w = W.partitionBy("content_hash")
+    return h.select(
+        id_col,
+        "content_hash",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of the tokenized text, as array<string>.
+
+    Documents shorter than n tokens yield their full token string as the
+    single shingle (so they still participate in candidate joins).
+    """
+    toks = tokens_col(col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(sh) if distinct else sh
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
+
+    Candidates come from an equi-join on shared shingles (never a cross
+    join); ``max_shingle_freq`` drops ultra-common shingles before the
+    join (skew guard — a shingle in f docs creates f^2/2 pairs).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 6dp.
+    """
+    sh = _doc_shingles(docs, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)).select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: mh_i = min over shingles of
+    md5(i || ':' || shingle). Fixed-width hex => lexicographic min is the
+    hash min; identical in any engine. One explode + one groupBy(doc)."""
+    sh = _doc_shingles(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >=1 band.
+
+    Band key = md5 over the band's signature components; candidates join
+    on (band, band_hash) buckets. Returns distinct (doc_a, doc_b),
+    doc_a < doc_b. Rerank with ``ngram_jaccard_pairs`` or exact check.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws("|", *[f"mh{bi * rows + r}" for r in range(rows)])).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _hex_bit(hash_col: Column, b) -> Column:
+    """Bit b (0-based, MSB-first within each hex nibble) of a hex string."""
+    nibble = F.conv(F.substring(hash_col, (b / 4).cast("int") + 1, 1), 16, 10).cast("int")
+    # shiftright needs a literal shift amount; for nibbles 0..15 an exact
+    # equivalent is floor-divide by 2^s (s in 0..3), then mask bit 0
+    divisor = F.pow(F.lit(2.0), (F.lit(3) - b % 4).cast("double"))
+    return F.floor(nibble / divisor).cast("int").bitwiseAND(F.lit(1))
+
+
+def simhash_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash per doc as a signed int64 (exact Column-math form).
+
+    vote(b) = sum over distinct terms of tf * (2*bit_b(md5(term)) - 1);
+    simhash bit b set iff vote(b) > 0. Emits (doc_id, simhash).
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    votes = (
+        tf.select("doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .withColumn("vote", F.col("tf") * (F.lit(2) * _hex_bit(F.col("h"), F.col("b")) - F.lit(1)))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    # shiftleft needs a literal shift; 2^b is exact in a double for any b,
+    # so pow+cast is a bit-exact stand-in for (1L << b)
+    bitval = F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, bitval).otherwise(F.lit(0).cast("long"))).alias("simhash")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash_pandas_udf(text: pd.Series) -> pd.Series:
+    """Vectorized Arrow SimHash — the 100 TB path; same value as
+    ``simhash_df`` (one md5 per distinct term, numpy bit votes)."""
+    import hashlib
+
+    from dbsyncer_spark.functions.tokenizer import tokenize_py
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    out = np.zeros(len(text), dtype=np.int64)
+    cache: dict[str, np.ndarray] = {}
+    for i, t in enumerate(text.fillna("")):
+        toks = tokenize_py(t)
+        if not toks:
+            continue
+        votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        for term, tf in zip(terms, counts):
+            bv = cache.get(term)
+            if bv is None:
+                h = hashlib.md5(term.encode()).hexdigest()
+                nib = np.array([int(c, 16) for c in h[: SIMHASH_BITS // 4]], dtype=np.int64)
+                bitsarr = ((nib[:, None] >> np.array([3, 2, 1, 0])) & 1).reshape(-1)
+                bv = 2 * bitsarr - 1
+                cache[term] = bv
+            votes += tf * bv
+        out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+    return pd.Series(out, index=text.index)
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Block by (max_hamming+1) bit-bands (pigeonhole: any pair within
+    distance d agrees on >=1 of d+1 bands), join per band, verify exact
+    hamming via bit_count(xor). Input: (doc_id, simhash)."""
+    nb = max_hamming + 1
+    width = bits // nb
+    bandc = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for i in range(nb)
+    ]
+    blocked = sim.select("doc_id", "simhash", F.explode(F.array(*bandc)).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``     : brute-force exact top-k — the correctness baseline.
+  Pure Column math: ``zip_with`` product + ``aggregate`` left-fold sum
+  (deterministic summation order), whole-stage codegen, no Python.
+- ``lsh_ann_topk``    : random-hyperplane LSH scale path — sign-bit
+  signature buckets candidates, exact cosine rerank inside the bucket
+  union. Hyperplanes are seeded driver-side constants (tiny) embedded as
+  literals, so the plan stays declarative and broadcast-free.
+- ``knn_join``        : exact k-NN for a *set* of query vectors via
+  broadcast join (query side tiny) — one shuffle-free scoring pass over
+  the corpus, then per-query top-k.
+
+Scale notes (100 TB): brute force reads every vector once per query
+batch — at 1000 executors that is a map-only scan + TakeOrdered (no
+shuffle); LSH prunes the scan by reading only matching signature
+partitions when the corpus is written partitioned by signature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(vec_col: Column | str, query: list[float]) -> Column:
+    """Cosine similarity of an array<float|double> column vs a literal
+    query vector, computed in float64 with deterministic fold order."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    q = F.lit([float(x) for x in query]).cast("array<double>")
+    return _dot(v, q) / (_norm(v) * _norm(q))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, score) by (score desc,
+    vec_id asc). Map-only scan + TakeOrderedAndProject — zero shuffle."""
+    return (
+        emb.select(F.col(id_col), cosine_sim(vec_col, query).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN of each query vector: broadcast the (tiny) query set,
+    score every (query, corpus) pair in one codegen'd pass, keep top-k
+    per query via window rank. Returns (query_id, vec_id, score)."""
+    from pyspark.sql import Window as W
+
+    q = F.broadcast(
+        queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("qv"))
+    )
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded PCG64) for sign-bit LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(vec_col: Column | str, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit i = (v . plane_i) > 0, packed into a long."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    bits = [
+        F.when(_dot(v, F.lit([float(x) for x in p]).cast("array<double>")) > 0,
+               F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate NN: candidates = vectors whose LSH signature is within
+    ``max_probe_hamming`` bits of the query's (multi-probe), exact cosine
+    rerank on candidates only. With the corpus pre-partitioned by
+    signature this becomes a partition-pruned read at scale."""
+    if planes is None:
+        dim = len(query)
+        planes = hyperplanes(dim)
+    qv = np.asarray(query, dtype=np.float64)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0))
+    sig = lsh_signature(vec_col, planes)
+    cand = emb.withColumn("_sig", sig).filter(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)

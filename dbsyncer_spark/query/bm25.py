@@ -48,6 +48,82 @@ def tfnorm_col(tf_col, dl_col, avgdl, k1: float = BM25_K1, b: float = BM25_B) ->
     return tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / ad))
 
 
+def bm25_scored_terms(
+    docs: DataFrame,
+    q_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-(doc, term) BM25 partial scores for the given query terms.
+
+    Returns (id_col, term, partial) — shared by the exhaustive scorer and
+    the deterministic wide-sum scorer below."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl"))
+    tf = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(q_terms))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(df_stats), "term")
+        .join(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (
+                idf_col("df", F.col("n_docs").cast("double"))
+                * tfnorm_col("tf", "_dl", F.col("avgdl"), k1, b)
+            ).alias("partial"),
+        )
+    )
+
+
+def bm25_topk_wide(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Exhaustive BM25 top-k with a *fixed* summation order.
+
+    ``bm25_topk`` sums per-term partials with a hash aggregate whose
+    accumulation order is nondeterministic (fine within one engine, but
+    float addition is non-associative). Here each sorted query term gets
+    its own aggregate column and the final score adds them left-to-right
+    — bit-reproducible and exactly mirrored by the SQL oracle
+    (__spark_entry__.bm25_oracle_sql). Returns (id_col, score) rounded
+    6dp, ordered (score desc, id asc), limit k."""
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    partials = bm25_scored_terms(docs, q_terms, id_col, text_col, k1, b)
+    aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("partial"))).alias(f"_s{i}")
+        for i, t in enumerate(q_terms)
+    ]
+    wide = partials.groupBy(id_col).agg(*aggs)
+    score = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(q_terms)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return (
+        wide.withColumn("_score", score)
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("_score", 6).alias("score"))
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     docs: DataFrame,
