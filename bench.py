@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+Three phases, matching BASELINE.json's metric
+("index-build docs/sec + query p95 latency (top-10 BM25)"):
+
+  1. index_build  — build the persisted compressed inverted index over a
+     deterministic synthetic source-code corpus (input_hint shape:
+     repo/path/commit/lang/content) and report docs/sec.
+  2. query_p95    — run the 15-query reference set (hot terms, rare terms,
+     conjunctions, misses, lang-filtered) through block-max WAND over that
+     index; report p50/p95 latency.
+  3. contract queries — every __spark_entry__.queries() entry at the sf
+     dir, each fully materialized via a noop write (no collect skew).
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+``bench_scaling.py`` (separate process per parallelism level — Spark
+master is fixed per JVM) and reported in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def _materialize(df) -> None:
+    """Force full execution of every column (noop sink, no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from dbsyncer_spark.fixtures.corpus import corpus_df, reference_queries
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.search import SearchIndex
+    from dbsyncer_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    t_suite = time.perf_counter()
+    timings: dict[str, float] = {}
+
+    # ---- phase 1: index build throughput -----------------------------
+    idx_dir = os.path.join(tempfile.gettempdir(), f"bench_idx_{N_BENCH_DOCS}_{cpus}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = corpus_df(spark, n_docs=N_BENCH_DOCS, seed=42).persist()
+    docs.count()  # corpus generation off the clock — we bench the engine
+    t0 = time.perf_counter()
+    build_index(spark, docs, idx_dir, num_shards=32, resume=False)
+    build_s = time.perf_counter() - t0
+    docs.unpersist()
+    timings["index_build"] = round(build_s, 3)
+    docs_per_sec = N_BENCH_DOCS / build_s
+
+    # ---- phase 2: query latency (reference query set, WAND) ----------
+    from pyspark.sql import functions as F
+
+    idx = SearchIndex(spark, idx_dir)
+    idx.lookup(["import"])  # warm dictionary cache / JVM paths
+    lat = []
+    for q in reference_queries():
+        t0 = time.perf_counter()
+        flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
+        idx.search(q["text"], k=q["k"], mode="wand", doc_filter=flt).collect()
+        lat.append(time.perf_counter() - t0)
+    lat_sorted = sorted(lat)
+    p95 = lat_sorted[max(0, int(round(0.95 * len(lat))) - 1)]
+    timings["query_set"] = round(sum(lat), 3)
+
+    # ---- phase 3: contract queries at the sf dir ---------------------
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        try:
+            _materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench robust: report, don't die
+            timings[name] = -1.0
+            print(f"bench: query {name} failed: {e}", file=sys.stderr)
+
+    total = time.perf_counter() - t_suite
+    out = {
+        "metric": "index-build docs/sec + BM25 top-k query p95 + contract-query wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": cpus,
+        "index_build_docs_per_sec": round(docs_per_sec, 1),
+        "index_build_n_docs": N_BENCH_DOCS,
+        "query_p50_ms": round(1000 * statistics.median(lat), 1),
+        "query_p95_ms": round(1000 * p95, 1),
+        "n_ref_queries": len(lat),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

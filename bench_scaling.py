@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 from
+N to 4N executors).
+
+No real cluster exists in this sandbox, so per driver instruction we
+evidence the criterion by running the SAME index-build job on the SAME
+input at two parallelism levels — ``local[N]`` and ``local[4N]``
+(default N=8) — and reporting throughput at both plus
+
+    efficiency = (thr_4N / thr_N) / 4
+
+Each level runs in its own subprocess (Spark master is fixed per JVM).
+Results are printed as one JSON line and appended to BASELINE.md by
+``--update-baseline``.
+
+Usage:
+    python bench_scaling.py                  # run both levels, print JSON
+    python bench_scaling.py --update-baseline  # ... and rewrite the
+                                               # "Measured scaling" section
+    python bench_scaling.py --worker CPUS    # internal: one level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
+N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
+
+
+def worker(cpus: int) -> None:
+    from dbsyncer_spark.fixtures.corpus import corpus_df
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.session import get_spark
+
+    # shuffle partitions track core count, exactly as on a real cluster
+    spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    idx_dir = os.path.join(tempfile.gettempdir(), f"scaling_idx_{cpus}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = corpus_df(spark, n_docs=N_DOCS, seed=42).persist()
+    docs.count()  # corpus synthesis off the clock
+    t0 = time.perf_counter()
+    build_index(spark, docs, idx_dir, num_shards=32, resume=False)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "build_s": round(dt, 3),
+                      "docs_per_sec": round(N_DOCS / dt, 1)}))
+
+
+def run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+        capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        return
+    small = run_level(N_SMALL)
+    big = run_level(4 * N_SMALL)
+    eff = (big["docs_per_sec"] / small["docs_per_sec"]) / 4.0
+    result = {
+        "n_docs": N_DOCS,
+        "small": small,
+        "big": big,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">=0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    if "--update-baseline" in sys.argv:
+        update_baseline(result)
+
+
+def update_baseline(result: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    section = f"""<!-- scaling:begin -->
+## Measured scaling (this engine, sandbox evidence for the north rule)
+
+Same index-build job (code-aware tokenize -> tf agg -> salted repartition
+-> pack delta+VByte postings -> dictionary), same {result['n_docs']}-doc
+deterministic corpus, two parallelism levels (no real cluster in the
+sandbox; `local[N]` threads stand in for N executors):
+
+| parallelism | build time (s) | throughput (docs/s) |
+|---|---|---|
+| local[{result['small']['cpus']}] (N) | {result['small']['build_s']} | {result['small']['docs_per_sec']} |
+| local[{result['big']['cpus']}] (4N) | {result['big']['build_s']} | {result['big']['docs_per_sec']} |
+
+Scaling efficiency (thr_4N / thr_N) / 4 = **{result['scaling_efficiency']}**
+(criterion >= 0.8: {"PASS" if result['pass'] else "FAIL"}).
+Reproduce: `python bench_scaling.py --update-baseline`.
+<!-- scaling:end -->"""
+    with open(path) as f:
+        text = f.read()
+    if "<!-- scaling:begin -->" in text:
+        text = re.sub(r"<!-- scaling:begin -->.*?<!-- scaling:end -->", section,
+                      text, flags=re.S)
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()
