@@ -38,13 +38,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _bm25_oracle(query: str, k: int) -> str:
+def _bm25_oracle(query: str, k: int, lang: str | None = None) -> str:
     """DuckDB twin of bm25_topk_wide — identical formula, parenthesization
-    and per-sorted-term summation order (k1=1.2, b=0.75)."""
+    and per-sorted-term summation order (k1=1.2, b=0.75). ``lang``
+    restricts the CANDIDATES only (df/avgdl stay corpus-global, matching
+    filtered Lucene queries — reference MUST clauses)."""
     terms = sorted(set(tokenize_py(query)))
     inlist = ", ".join(f"'{t}'" for t in terms)
     wide = " + ".join(
         f"COALESCE(SUM(CASE WHEN term = '{t}' THEN partial END), 0.0)" for t in terms
+    )
+    lang_pred = (
+        f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
+        if lang
+        else ""
     )
     return f"""
 WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
@@ -65,6 +72,7 @@ partials AS (
 ),
 wide AS (SELECT doc_id, {wide} AS score FROM partials GROUP BY doc_id)
 SELECT doc_id, round(score, 6) AS score FROM wide
+{lang_pred}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -101,7 +109,10 @@ def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     idx_dir = os.path.join(
-        tempfile.gettempdir(), f"dbsyncer_entry_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+        tempfile.gettempdir(),
+        # versioned by index format so a stale dir from an older build
+        # never trips the segment-params consistency check
+        f"dbsyncer_entry_idx_v2tid_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     build_index(spark, docs, idx_dir, num_shards=8, resume=True)
     idx = SearchIndex(spark, idx_dir)
@@ -113,6 +124,33 @@ def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("path", 2, 12).cast("long").alias("doc_id"),
             F.round("score", 6).alias("score"),
         )
+    )
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search — the reference's MUST clauses: candidates
+    restricted by a predicate, corpus stats stay global."""
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk_wide(
+        spark, docs, FLAGSHIP_QUERY, k=20, id_col="doc_id", text_col="text",
+        doc_filter=(F.col("lang") == "en"),
+    )
+
+
+def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k + hit highlighting (reference F12) on the fetched page only.
+    No SQL oracle (lookaround regex is outside DuckDB's RE2) — the Python
+    twin is asserted in tests/test_highlight.py; driver does rows-only."""
+    from dbsyncer_spark.functions.highlight import highlight_col
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=10, id_col="doc_id", text_col="text")
+    return (
+        docs.join(F.broadcast(topk), "doc_id")
+        .select(
+            "doc_id", "score", highlight_col("text", FLAGSHIP_QUERY).alias("snippet")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
 
 
@@ -257,9 +295,83 @@ def q_scalar_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-connector semantics (reference S7/K3): rows -> sep-joined
+    lines -> parsed typed columns. Round-trips through the line format."""
+    from dbsyncer_spark.sources.fileio import format_lines, parse_lines
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    lines = format_lines(ev, sep="|")
+    return lines.select(
+        *parse_lines(
+            "value",
+            [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string")],
+            sep="|",
+        )
+    )
+
+
+def q_deep_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset paging with a total order (reference O3 searchAfter/skip):
+    page 3 (rows 201-300) of events by (value desc, event_id asc)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 200) & (F.col("rn") <= 300))
+        .select("event_id", "event_type", "value")
+    )
+
+
+def q_like_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference LIKE semantics (FilterEnum.java:52-70): contains /
+    prefix / suffix; a pattern with NO wildcard matches nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").contains("table").alias("has_table"),
+        F.col("text").startswith("the").alias("pfx_the"),
+        F.col("text").endswith("end").alias("sfx_end"),
+        F.lit(False).alias("nowild"),  # LIKE 'exact' w/o wildcard => false
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate (C9 analog; also the
+    batch shape of the streaming path in dbsyncer_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp_ltz")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; LSH-blocked scale
+    variant in ops.similarity.embedding_dup_pairs)."""
+    from dbsyncer_spark.ops.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51
+    # at sf0.01), so the "near-dup" threshold is set where pairs exist
+    out = embedding_dup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsyncer_spark.ops.dedup import exact_dedup
@@ -400,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_index_wand": q_bm25_index_wand,
+        "bm25_filtered": q_bm25_filtered,
+        "highlight_topk": q_highlight_topk,
         "term_match_count": q_term_match_count,
         "fulltext_like": q_fulltext_like,
         "picker_projection": q_picker_projection,
@@ -412,10 +526,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "upsert_latest": q_upsert_latest,
         "scalar_converters": q_scalar_converters,
+        "file_roundtrip": q_file_roundtrip,
+        "deep_paging": q_deep_paging,
+        "like_semantics": q_like_semantics,
+        "events_window": q_events_window,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "cosine_topk": q_cosine_topk_impl,
         "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
@@ -434,6 +553,54 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
+    sql["bm25_filtered"] = _bm25_oracle(FLAGSHIP_QUERY, 20, lang="en")
+    # highlight_topk: intentionally no oracle (lookaround regex is outside
+    # DuckDB's RE2) -> rows-only check; Python twin in tests/test_highlight.py
+
+    sql["file_roundtrip"] = """
+SELECT parts[1]::BIGINT AS event_id,
+       parts[2]::BIGINT AS user_id,
+       parts[3] AS event_type
+FROM (
+  SELECT string_split(
+           concat_ws('|', coalesce(event_id::VARCHAR, ''),
+                          coalesce(user_id::VARCHAR, ''),
+                          coalesce(event_type, '')), '|') AS parts
+  FROM events
+)
+"""
+
+    sql["deep_paging"] = """
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 100 OFFSET 200
+"""
+
+    sql["like_semantics"] = """
+SELECT doc_id,
+       text LIKE '%table%' AS has_table,
+       text LIKE 'the%' AS pfx_the,
+       text LIKE '%end' AS sfx_end,
+       FALSE AS nowild
+FROM documents
+"""
+
+    sql["events_window"] = """
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["dedup_embedding"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+WHERE c >= 0.4
+"""
 
     sql["term_match_count"] = f"""
 SELECT lang, count(*) AS n_docs FROM {toks} WHERE list_contains(t, 'value') GROUP BY lang

@@ -51,7 +51,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    from dbsyncer_spark.fixtures.corpus import corpus_df, reference_queries
+    from dbsyncer_spark.fixtures.corpus import corpus_df_distributed, reference_queries
     from dbsyncer_spark.index.build import build_index
     from dbsyncer_spark.index.search import SearchIndex
     from dbsyncer_spark.session import get_spark
@@ -61,14 +61,23 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # ---- phase 1: index build throughput -----------------------------
+    # corpus synthesis is off the clock: generated distributed, written to
+    # parquet once, and the timed build READS it (file-scan input, like the
+    # real Iceberg source)
+    corpus_path = os.path.join(tempfile.gettempdir(), f"bench_corpus_{N_BENCH_DOCS}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus_df_distributed(spark, N_BENCH_DOCS, seed=42).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
     idx_dir = os.path.join(tempfile.gettempdir(), f"bench_idx_{N_BENCH_DOCS}_{cpus}")
     shutil.rmtree(idx_dir, ignore_errors=True)
-    docs = corpus_df(spark, n_docs=N_BENCH_DOCS, seed=42).persist()
-    docs.count()  # corpus generation off the clock — we bench the engine
+    from dbsyncer_spark.session import warm_python_workers
+
+    warm_python_workers(spark)  # executor-provisioning analog, off the clock
     t0 = time.perf_counter()
     build_index(spark, docs, idx_dir, num_shards=32, resume=False)
     build_s = time.perf_counter() - t0
-    docs.unpersist()
     timings["index_build"] = round(build_s, 3)
     docs_per_sec = N_BENCH_DOCS / build_s
 
@@ -76,7 +85,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     idx = SearchIndex(spark, idx_dir)
-    idx.lookup(["import"])  # warm dictionary cache / JVM paths
+    idx.warm()  # pin dictionary, resolve file indexes (serving session)
     lat = []
     for q in reference_queries():
         t0 = time.perf_counter()
@@ -86,6 +95,13 @@ def main() -> None:
     lat_sorted = sorted(lat)
     p95 = lat_sorted[max(0, int(round(0.95 * len(lat))) - 1)]
     timings["query_set"] = round(sum(lat), 3)
+
+    # batched serving shape: all unfiltered reference queries, ONE job
+    batch = {f"q{q['queryId']}": q["text"] for q in reference_queries() if not q["filterLang"]}
+    t0 = time.perf_counter()
+    idx.search_many(batch, k=10).collect()
+    batch_s = time.perf_counter() - t0
+    timings["query_batch"] = round(batch_s, 3)
 
     # ---- phase 3: contract queries at the sf dir ---------------------
     import __spark_entry__ as entry
@@ -112,6 +128,7 @@ def main() -> None:
         "query_p50_ms": round(1000 * statistics.median(lat), 1),
         "query_p95_ms": round(1000 * p95, 1),
         "n_ref_queries": len(lat),
+        "batch_queries_per_sec": round(len(batch) / batch_s, 2),
     }
     print(json.dumps(out))
 

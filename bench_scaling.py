@@ -35,17 +35,39 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
 N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
 
 
+def _corpus_path() -> str:
+    return os.path.join(tempfile.gettempdir(), f"scaling_corpus_{N_DOCS}")
+
+
 def worker(cpus: int) -> None:
-    from dbsyncer_spark.fixtures.corpus import corpus_df
+    from dbsyncer_spark.fixtures.corpus import corpus_df_distributed
     from dbsyncer_spark.index.build import build_index
     from dbsyncer_spark.session import get_spark
 
-    # shuffle partitions track core count, exactly as on a real cluster
-    spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    # shuffle partitions track core count, exactly as on a real cluster.
+    # maxPartitionBytes is sized so the input splits >= cores even for the
+    # small bench corpus (at 100 TB the default 128 MB already yields
+    # ~1e6 splits; a handful of small bench files would otherwise coalesce
+    # into 2-3 splits and serialize the first stage).
+    spark = get_spark(
+        f"scaling_{cpus}",
+        cpus=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    path = _corpus_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # corpus synthesis off the clock, written once, shared by both levels
+        corpus_df_distributed(spark, N_DOCS, seed=42, partitions=32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    docs = spark.read.parquet(path)
     idx_dir = os.path.join(tempfile.gettempdir(), f"scaling_idx_{cpus}")
     shutil.rmtree(idx_dir, ignore_errors=True)
-    docs = corpus_df(spark, n_docs=N_DOCS, seed=42).persist()
-    docs.count()  # corpus synthesis off the clock
+    # worker prewarm = executor provisioning, off the clock (both levels)
+    from dbsyncer_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
     t0 = time.perf_counter()
     build_index(spark, docs, idx_dir, num_shards=32, resume=False)
     dt = time.perf_counter() - t0
@@ -54,9 +76,21 @@ def worker(cpus: int) -> None:
 
 
 def run_level(cpus: int) -> dict:
+    """Run one parallelism level pinned to exactly ``cpus`` physical cores.
+
+    The pinning is what makes local[N] an honest stand-in for an
+    N-executor cluster: without it, local[N]'s JVM task threads AND their
+    attached Python UDF workers (2N busy threads) all spill onto the full
+    machine, so the small level borrows the big level's cores and the
+    measured "scaling" is meaningless. A real N-core cluster slice cannot
+    borrow; ``taskset -c 0..N-1`` imposes the same budget here.
+    """
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-        capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        cmd, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -89,7 +123,9 @@ def update_baseline(result: dict) -> None:
 Same index-build job (code-aware tokenize -> tf agg -> salted repartition
 -> pack delta+VByte postings -> dictionary), same {result['n_docs']}-doc
 deterministic corpus, two parallelism levels (no real cluster in the
-sandbox; `local[N]` threads stand in for N executors):
+sandbox; `local[N]` stands in for N executors, and each level is pinned
+to exactly its core budget with `taskset -c 0..N-1` so the small level
+cannot borrow the big level's cores through its Python UDF workers):
 
 | parallelism | build time (s) | throughput (docs/s) |
 |---|---|---|

@@ -90,6 +90,56 @@ def corpus_df(spark, n_docs: int = 1000, seed: int = 42):
     )
 
 
+def _gen_rows_for_ids(ids: np.ndarray, seed: int, full: list[str], probs: np.ndarray) -> pd.DataFrame:
+    """Rows for the given doc indices; each doc's randomness is seeded by
+    (seed, doc_index) so the output is independent of partitioning."""
+    rows = []
+    for i in ids:
+        i = int(i)
+        rng = np.random.default_rng([seed, i])
+        dl = int(np.clip(rng.lognormal(mean=4.2, sigma=1.0), 10, 2000))
+        repo = f"org{i % 7}/repo{i % 23}"
+        lang = LANGS[i % len(LANGS)]
+        path = f"src/m{i % 13}/f{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()
+        toks = rng.choice(len(full), size=dl, p=probs)
+        words = [full[t] for t in toks]
+        lines, cur = [], ""
+        for w in words:
+            if len(cur) + len(w) + 1 > 80:
+                lines.append(cur)
+                cur = w
+            else:
+                cur = w if not cur else cur + " " + w
+        if cur:
+            lines.append(cur)
+        rows.append((repo, path, commit, lang, "\n".join(lines)))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def corpus_df_distributed(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Bench-scale corpus generated ON THE EXECUTORS (mapInPandas over a
+    range), deterministic per doc index regardless of partitioning — the
+    driver never materializes the corpus. Statistically matches
+    ``gen_corpus_pdf`` (same vocab/Zipf/length model) but per-doc seeding
+    differs, so use one or the other consistently within a test."""
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(batches):
+        rng0 = np.random.default_rng(seed)
+        vocab = _vocab(rng0)
+        full = HOT + vocab
+        probs = 1.0 / np.arange(1, len(full) + 1) ** 1.1
+        probs /= probs.sum()
+        for pdf in batches:
+            yield _gen_rows_for_ids(pdf["id"].to_numpy(), seed, full, probs)
+
+    return spark.range(n_docs, numPartitions=partitions).mapInPandas(
+        gen, "repo string, path string, commit string, lang string, content string"
+    )
+
+
 def reference_queries() -> list[dict]:
     """The reference query set (FIXTURES.md T2): hot single terms, rare
     terms, conjunctions, camelCase-only matches, misses, filtered."""

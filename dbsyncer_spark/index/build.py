@@ -6,18 +6,34 @@ Pipeline (every stage a DataFrame op; Python only in Arrow UDFs):
 
   docs(repo,path,commit,lang,content)
     -> assign dense deterministic doc_ids        (docids.py, two-pass)
-    -> tokenize (vectorized Arrow pandas_udf)    (code-aware, north star)
-    -> docstats: (doc_id, keys, dl, sha256)      [stage: docstats]
-    -> explode -> groupBy(term, doc_id) tf       (partial+final hash agg;
-       hot terms don't skew this agg because doc_id is in the key)
-    -> shard = md5(term) % S, range_id = doc_id // range_size
+    -> ONE vectorized mapInPandas pass: code-aware tokenize + per-doc
+       tf count -> fixed-width rows (doc_id, dl, tid, tf)
+       where tid = signed-int64 md5 of the term    [stage: termdocs]
+    -> docstats: metadata scan + sha256 + dl join  [stage: docstats]
+    -> shard = pmod(tid, S), range_id = doc_id // range_size
        (hot terms are *split* across ranges = the north rule's per-term
        split postings; the salted repartition below spreads pack work)
-    -> repartition(salted) -> sortWithinPartitions(shard,term,range_id,doc_id)
+    -> repartition(salted) -> sortWithinPartitions(shard,tid,range_id,doc_id)
     -> mapInPandas streaming packer -> delta+VByte blocks w/ skip +
        block-max metadata                        [stage: postings]
     -> dictionary from postings metadata cols    [stage: dictionary]
     -> meta.json (N, avgdl, params)              [stage: meta]
+
+Why term *ids* and not term strings past the tokenizer: everything JVM-side
+(shuffle, sort, agg, pack input) then moves fixed-width 24-byte rows —
+measured ~2x less GC/alloc pressure than string rows at local[32], and the
+query side can recompute tid = md5_64(term) in plain Python, so no
+term->tid mapping table is ever needed. Collision risk of 64-bit md5 over
+T distinct terms is ~T^2/2^65 (1e8 terms -> ~3e-4); the dictionary stage
+can't detect collisions without strings, so `store_terms=True` adds a
+small (tid, term) audit table (an extra tokenize pass — off by default) —
+postings stay tid-only either way.
+
+The termdocs intermediate is materialized (parquet): it is the tokenize
+checkpoint (tokenize runs ONCE even though docstats and postings both
+consume it — and a resumed build never re-tokenizes), and it is the Spark
+analog of the reference's buffered row batches between reader and writer
+(``AbstractBufferActuator``).
 
 Each stage commits a lineage manifest (lineage.py); a re-run with the same
 params skips committed stages — resume without recompute.
@@ -27,29 +43,33 @@ Index layout on disk::
     index_dir/
       meta.json                    # root: segments list + shared params
       segments/<name>/
+        termdocs/   (parquet: doc_id, dl, tid, tf)
         docstats/   (parquet, sorted by doc_id)
-        postings/   (parquet, partitioned by shard, sorted term,range_id)
+        postings/   (parquet, partitioned by shard, sorted tid,range_id)
         dictionary/ (parquet, partitioned by shard)
+        terms/      (parquet: tid, term — optional audit table)
         seg_meta.json
         _lineage/stage_*.json
       tombstones/  (parquet doc_id, optional — delete support)
 
-Shard function is md5-based (computable identically driver-side for
-partition pruning at query time): shard = int(md5(term)[:8], 16) % S.
+Shard function: shard = term_id(term) % num_shards, computable identically
+driver-side (Python) for partition pruning at query time.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbsyncer_spark import BM25_B, BM25_K1
-from dbsyncer_spark.functions.tokenizer import tokenize_pandas_udf, tokens_col
+from dbsyncer_spark.functions.tokenizer import CAMEL_RULES, _STOP_SETS, _TOKEN_RE
 from dbsyncer_spark.index.codec import BLOCK_SIZE, pack_postings
 from dbsyncer_spark.index.docids import assign_doc_ids
 from dbsyncer_spark.index.lineage import commit_stage, params_hash, stage_committed
@@ -60,7 +80,7 @@ DEFAULT_RANGE_SIZE = 1 << 16
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType()),
-        T.StructField("term", T.StringType()),
+        T.StructField("tid", T.LongType()),
         T.StructField("range_id", T.LongType()),
         T.StructField("n_docs", T.IntegerType()),
         T.StructField("sum_tf", T.LongType()),
@@ -73,38 +93,183 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+TERMDOCS_SCHEMA = "doc_id long, dl int, tid long, tf int"
 
-def shard_col(term_col, num_shards: int):
-    """md5-based term shard, JVM-side; mirror of py_shard()."""
-    c = F.col(term_col) if isinstance(term_col, str) else term_col
-    return F.pmod(F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"), F.lit(num_shards)).cast("int")
+
+def _limit_arrow_threads() -> None:
+    """Cap pyarrow's internal thread pool to 1 inside UDF workers.
+
+    Each executor core runs its own Python worker; pyarrow's default pool
+    (= machine cores) times N workers oversubscribes the machine N-fold —
+    measured 3.2x slowdown of the tokenize-count kernel at 32 concurrent
+    workers. One worker = one core is the Spark contract."""
+    try:
+        import pyarrow as pa
+
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
+def term_id(term: str) -> int:
+    """Signed-int64 term id: first 8 bytes (big-endian) of md5(term).
+    Pure function, identical driver-side and in the count UDF."""
+    return int.from_bytes(hashlib.md5(term.encode()).digest()[:8], "big", signed=True)
 
 
 def py_shard(term: str, num_shards: int) -> int:
-    import hashlib
+    """Driver-side shard of a term — pmod semantics (non-negative)."""
+    return term_id(term) % num_shards
 
-    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % num_shards
+
+def shard_of_tid_col(tid_col, num_shards: int):
+    """JVM-side shard from the tid column; pmod matches Python %."""
+    c = F.col(tid_col) if isinstance(tid_col, str) else tid_col
+    return F.pmod(c, F.lit(num_shards)).cast("int")
+
+
+def _tokenize_count(use_stopwords: bool):
+    """mapInPandas: (doc_id, lang, content) -> (doc_id, dl, tid, tf).
+
+    One vectorized pass does tokenize + per-doc term-frequency count, so
+    the JVM never sees token strings — and neither does Python: the whole
+    tokenize runs in pyarrow compute kernels (RE2 regex replace/split,
+    utf8_lower, dictionary_encode as the factorize), so per-token Python
+    string objects are never materialized (they dominated the profile —
+    ~70M objects per 1M docs). Python only touches the per-batch UNIQUE
+    terms (md5 -> tid, cached per worker). Token semantics are byte-
+    identical to ``tokenize_py`` (camel split, lower, [a-z0-9]+ runs,
+    stopwords) — asserted by tests/test_tokenizer.py and the rank-
+    identity gates. Zero-token docs emit no rows (docstats coalesces
+    their dl to 0)."""
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        _limit_arrow_threads()
+        tid_cache: dict[str, int] = {}
+        stop_arrays = {lg: pa.array(sorted(sw)) for lg, sw in _STOP_SETS.items()}
+
+        def tids_for(uniques: list) -> np.ndarray:
+            out = np.empty(len(uniques), dtype=np.int64)
+            for i, t in enumerate(uniques):
+                v = tid_cache.get(t)
+                if v is None:
+                    v = term_id(t)
+                    tid_cache[t] = v
+                out[i] = v
+            return out
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            arr = pa.array(pdf["content"].fillna(""), type=pa.string())
+            for pat, repl in CAMEL_RULES:
+                # RE2 rewrite syntax: \1 \2 backrefs, same as the Python twin
+                arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+            arr = pc.utf8_lower(arr)
+            lists = pc.split_pattern_regex(arr, pattern="[^a-z0-9]+")
+            la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+            flat = la.flatten()
+            per_doc = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            if use_stopwords:
+                langs = pdf["lang"].to_numpy()
+                for lg, sa in stop_arrays.items():
+                    rows = np.flatnonzero(langs == lg)
+                    if rows.size == 0:
+                        continue
+                    is_stop = pc.is_in(flat, value_set=sa).to_numpy(zero_copy_only=False)
+                    lang_mask = np.isin(doc_idx, rows)
+                    keep &= ~(is_stop & lang_mask)
+            if not keep.any():
+                continue
+            doc_idx = doc_idx[keep]
+            enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniques = enc.dictionary.to_pylist()
+            k = len(uniques)
+            dls = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            key = doc_idx * k + codes
+            ukey, counts = np.unique(key, return_counts=True)
+            d_i = (ukey // k).astype(np.int64)
+            c_i = (ukey % k).astype(np.int64)
+            tids = tids_for(uniques)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[d_i],
+                    "dl": dls[d_i].astype(np.int32),
+                    "tid": tids[c_i],
+                    "tf": counts.astype(np.int32),
+                }
+            )
+
+    return run
+
+
+def _terms_rows(use_stopwords: bool):
+    """mapInPandas: (doc_id, lang, content) -> distinct-per-batch
+    (tid, term) rows for the optional audit table."""
+
+    def run(batches):
+        seen: set[str] = set()
+        for pdf in batches:
+            s = pdf["content"].fillna("")
+            for pat, repl in CAMEL_RULES:
+                s = s.str.replace(pat, repl, regex=True)
+            toks = s.str.lower().str.findall(_TOKEN_RE)
+            if use_stopwords:
+                toks = pd.Series(
+                    [
+                        [t for t in tk if t not in sw] if (sw := _STOP_SETS.get(lg)) else tk
+                        for tk, lg in zip(toks, pdf["lang"])
+                    ],
+                    index=toks.index,
+                )
+            new = {t for tk in toks for t in tk if t not in seen}
+            seen.update(new)
+            if new:
+                terms = sorted(new)
+                yield pd.DataFrame(
+                    {"tid": np.array([term_id(t) for t in terms], dtype=np.int64),
+                     "term": terms}
+                )
+
+    return run
 
 
 def _pack_stream(block_size: int):
-    """mapInPandas streaming packer: rows sorted by (shard, term,
+    """mapInPandas streaming packer: rows sorted by (shard, tid,
     range_id, doc_id) within the partition; groups never span partitions
-    (repartition guarantees it) but may span Arrow batches — carry the
-    tail group across batches."""
+    (repartition guarantees it) but may span Arrow batches.
+
+    Linear-time: each batch is split into groups by numpy boundary
+    detection; the possibly-incomplete tail group is carried as a LIST of
+    array chunks and concatenated once, when the group completes. (A
+    naive per-batch re-concat carry is quadratic in group size — a Zipf
+    rank-1 term like 'import' spans dozens of Arrow batches.)"""
 
     def run(batches):
-        carry: pd.DataFrame | None = None
+        _limit_arrow_threads()
+        tail_key: tuple | None = None
+        tail_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
-        def pack_group(g: pd.DataFrame) -> dict:
-            packed = pack_postings(
-                g["doc_id"].to_numpy(), g["tf"].to_numpy(), g["dl"].to_numpy(), block_size
-            )
+        def pack_group(key, ids, tfs, dls) -> dict:
+            packed = pack_postings(ids, tfs, dls, block_size)
             return {
-                "shard": int(g["shard"].iloc[0]),
-                "term": g["term"].iloc[0],
-                "range_id": int(g["range_id"].iloc[0]),
+                "shard": int(key[0]),
+                "tid": int(key[1]),
+                "range_id": int(key[2]),
                 "n_docs": packed["n_docs"],
-                "sum_tf": int(g["tf"].sum()),
+                "sum_tf": int(tfs.sum()),
                 "blob": packed["blob"],
                 "block_first": packed["block_first"],
                 "block_n": packed["block_n"],
@@ -113,51 +278,54 @@ def _pack_stream(block_size: int):
                 "block_min_dl": packed["block_min_dl"],
             }
 
-        def flush(pdf: pd.DataFrame, hold_tail: bool):
-            nonlocal carry
-            if pdf.empty:
+        def pack_tail() -> dict | None:
+            nonlocal tail_key, tail_chunks
+            if tail_key is None:
                 return None
-            keys = pdf["term"].astype(str) + "\x00" + pdf["range_id"].astype(str)
-            if hold_tail:
-                last = keys.iloc[-1]
-                tail_mask = keys == last
-                # hold back the last (possibly incomplete) group
-                carry = pdf[tail_mask]
-                pdf = pdf[~tail_mask]
-                keys = keys[~tail_mask]
-                if pdf.empty:
-                    return None
-            else:
-                carry = None
-            out = [pack_group(g) for _, g in pdf.groupby(keys, sort=False)]
-            return pd.DataFrame(out)
+            ids = np.concatenate([c[0] for c in tail_chunks])
+            tfs = np.concatenate([c[1] for c in tail_chunks])
+            dls = np.concatenate([c[2] for c in tail_chunks])
+            row = pack_group(tail_key, ids, tfs, dls)
+            tail_key, tail_chunks = None, []
+            return row
 
         for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            res = flush(pdf, hold_tail=True)
-            if res is not None:
-                yield res
-        if carry is not None and not carry.empty:
-            res = flush(carry, hold_tail=False)
-            if res is not None:
-                yield res
+            n = len(pdf)
+            if n == 0:
+                continue
+            tid = pdf["tid"].to_numpy(dtype=np.int64)
+            rng = pdf["range_id"].to_numpy(dtype=np.int64)
+            shard = pdf["shard"].to_numpy()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (rng[1:] != rng[:-1])) + 1
+            starts = np.concatenate([[0], change]).astype(np.int64)
+            ends = np.concatenate([change, [n]]).astype(np.int64)
+            out: list[dict] = []
+            for gi in range(starts.size):
+                s, e = int(starts[gi]), int(ends[gi])
+                key = (int(shard[s]), int(tid[s]), int(rng[s]))
+                chunk = (ids[s:e], tfs[s:e], dls[s:e])
+                if gi == 0 and tail_key is not None:
+                    if key == tail_key:
+                        tail_chunks.append(chunk)
+                        if starts.size == 1:
+                            break  # whole batch continues the tail group
+                        out.append(pack_tail())
+                        continue
+                    out.append(pack_tail())
+                if gi == starts.size - 1:
+                    tail_key, tail_chunks = key, [chunk]
+                else:
+                    out.append(pack_group(key, *chunk))
+            if out:
+                yield pd.DataFrame(out)
+        last = pack_tail()
+        if last is not None:
+            yield pd.DataFrame([last])
 
     return run
-
-
-def tokenized_docs(
-    docs: DataFrame, use_stopwords: bool, assign_ids: bool, num_id_buckets: int
-) -> DataFrame:
-    """docs -> (doc_id, repo, path, commit, lang, content, toks, dl)."""
-    d = docs
-    if assign_ids:
-        d = assign_doc_ids(d, num_buckets=num_id_buckets)
-    lang_col = F.col("lang") if use_stopwords else F.lit(None).cast("string")
-    return d.withColumn("toks", tokenize_pandas_udf(F.col("content"), lang_col)).withColumn(
-        "dl", F.size("toks")
-    )
 
 
 def postings_from_tf(
@@ -167,18 +335,18 @@ def postings_from_tf(
     block_size: int,
     pack_parallelism: int,
 ) -> DataFrame:
-    """(term, doc_id, tf, dl) -> packed posting rows.
+    """(doc_id, dl, tid, tf) rows (unique per (tid, doc_id)) -> packed
+    posting rows.
 
-    The salted repartition keys on (shard, term, range_id) so a hot
-    term's ranges land on *different* tasks (split postings), and the
-    within-partition sort keeps groups contiguous for the streaming
-    packer."""
-    enriched = tf.withColumn("shard", shard_col("term", num_shards)).withColumn(
+    The salted repartition keys on (shard, tid, range_id) so a hot term's
+    ranges land on *different* tasks (split postings), and the within-
+    partition sort keeps groups contiguous for the streaming packer."""
+    enriched = tf.withColumn("shard", shard_of_tid_col("tid", num_shards)).withColumn(
         "range_id", (F.col("doc_id") / F.lit(range_size)).cast("long")
     )
     return (
-        enriched.repartition(pack_parallelism, "shard", "term", "range_id")
-        .sortWithinPartitions("shard", "term", "range_id", "doc_id")
+        enriched.repartition(pack_parallelism, "shard", "tid", "range_id")
+        .sortWithinPartitions("shard", "tid", "range_id", "doc_id")
         .mapInPandas(_pack_stream(block_size), POSTINGS_SCHEMA)
     )
 
@@ -200,6 +368,7 @@ def build_index(
     pack_parallelism: int | None = None,
     resume: bool = True,
     docs_have_ids: bool = False,
+    store_terms: bool = False,
 ) -> dict:
     """Build one index segment; returns the segment meta dict.
 
@@ -218,21 +387,35 @@ def build_index(
         "use_stopwords": use_stopwords,
         "k1": k1,
         "b": b,
-        "tokenizer": "code_aware_v1",
+        "tokenizer": "code_aware_v2_tid",
     }
     phash = params_hash(params)
 
-    base = tokenized_docs(docs, use_stopwords, not docs_have_ids, num_id_buckets)
+    base = docs if docs_have_ids else assign_doc_ids(docs, num_buckets=num_id_buckets)
     if doc_id_offset:
         base = base.withColumn("doc_id", F.col("doc_id") + F.lit(doc_id_offset))
-    base = base.persist()
 
+    termdocs_path = os.path.join(seg_dir, "termdocs")
     docstats_path = os.path.join(seg_dir, "docstats")
     postings_path = os.path.join(seg_dir, "postings")
     dict_path = os.path.join(seg_dir, "dictionary")
+    terms_path = os.path.join(seg_dir, "terms")
+
+    # ---- stage: termdocs (tokenize ONCE; fixed-width rows ever after) --
+    if not (resume and stage_committed(seg_dir, "termdocs", phash)):
+        (
+            base.select("doc_id", "lang", "content")
+            .mapInPandas(_tokenize_count(use_stopwords), TERMDOCS_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(termdocs_path)
+        )
+        commit_stage(seg_dir, "termdocs", phash)
+
+    termdocs = spark.read.parquet(termdocs_path)
 
     # ---- stage: docstats ---------------------------------------------
     if not (resume and stage_committed(seg_dir, "docstats", phash)):
+        dls = termdocs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
         (
             base.select(
                 "doc_id",
@@ -240,11 +423,16 @@ def build_index(
                 "path",
                 "commit",
                 "lang",
-                F.col("dl").cast("int").alias("dl"),
                 F.sha2("content", 256).alias("sha256"),
                 (F.col("doc_id") / F.lit(range_size)).cast("long").alias("range_id"),
             )
-            .repartition(max(4, pack_parallelism // 4), "range_id")
+            .join(dls, "doc_id", "left")
+            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+            .select("doc_id", "repo", "path", "commit", "lang", "dl", "sha256", "range_id")
+            # hash-spread on doc_id: partitioning by range_id alone would
+            # put any corpus with < range_size docs per range into a
+            # handful of tasks (serial write). Files stay doc_id-sorted.
+            .repartition(pack_parallelism, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(docstats_path)
@@ -252,25 +440,38 @@ def build_index(
         per_part = (
             spark.read.parquet(docstats_path)
             .groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum("dl").alias("sum_dl"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("dl").alias("sum_dl"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
             .collect()
         )
         commit_stage(
             seg_dir,
             "docstats",
             phash,
-            partitions=[{"file": os.path.basename(r.file), "rows": r.rows, "sum_dl": r.sum_dl} for r in per_part],
-            metrics={"rows": int(sum(r.rows for r in per_part))},
+            partitions=[
+                {
+                    "file": os.path.basename(r.file),
+                    "rows": r.rows,
+                    "sum_dl": r.sum_dl,
+                    "max_doc_id": r.max_doc_id,
+                }
+                for r in per_part
+            ],
+            metrics={
+                "rows": int(sum(r.rows for r in per_part)),
+                "sum_dl": int(sum(r.sum_dl for r in per_part)),
+                "max_doc_id": int(max((r.max_doc_id for r in per_part), default=-1)),
+            },
         )
 
     # ---- stage: postings ---------------------------------------------
     if not (resume and stage_committed(seg_dir, "postings", phash)):
-        tf = (
-            base.select("doc_id", "dl", F.explode("toks").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).alias("tf"))
+        packed = postings_from_tf(
+            termdocs, num_shards, range_size, block_size, pack_parallelism
         )
-        packed = postings_from_tf(tf, num_shards, range_size, block_size, pack_parallelism)
         (
             packed.write.mode("overwrite")
             .partitionBy("shard")
@@ -302,39 +503,48 @@ def build_index(
     if not (resume and stage_committed(seg_dir, "dictionary", phash)):
         (
             spark.read.parquet(postings_path)
-            .groupBy("shard", "term")
+            .groupBy("shard", "tid")
             .agg(
                 F.sum("n_docs").cast("long").alias("df"),
                 F.sum("sum_tf").cast("long").alias("cf"),
                 F.max(F.array_max("block_max_tf")).alias("max_tf"),
                 F.min(F.array_min("block_min_dl")).alias("min_dl"),
             )
-            .repartition(1, "shard")
-            .sortWithinPartitions("term")
+            .repartition(max(4, pack_parallelism // 4), "shard")
+            .sortWithinPartitions("tid")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(dict_path)
         )
         commit_stage(seg_dir, "dictionary", phash)
 
-    # ---- stage: seg meta ----------------------------------------------
-    stats = spark.read.parquet(docstats_path).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sum_dl"),
-        F.max("doc_id").alias("max_doc_id"),
-    ).collect()[0]
+    # ---- stage: terms (optional audit table: tid -> term) --------------
+    if store_terms and not (resume and stage_committed(seg_dir, "terms", phash)):
+        (
+            base.select("doc_id", "lang", "content")
+            .mapInPandas(_terms_rows(use_stopwords), "tid long, term string")
+            .dropDuplicates(["tid", "term"])
+            .write.mode("overwrite")
+            .parquet(terms_path)
+        )
+        commit_stage(seg_dir, "terms", phash)
+
+    # ---- stage: seg meta (from the docstats lineage manifest — no extra
+    # Spark job; the manifest carries per-file rows/sum_dl/max_doc_id) ----
+    from dbsyncer_spark.index.lineage import read_manifest
+
+    m = read_manifest(seg_dir, "docstats")["metrics"]
     seg_meta = {
         **params,
-        "n_docs": int(stats.n),
-        "sum_dl": int(stats.sum_dl or 0),
-        "max_doc_id": int(stats.max_doc_id if stats.max_doc_id is not None else -1),
+        "n_docs": int(m["rows"]),
+        "sum_dl": int(m["sum_dl"]),
+        "max_doc_id": int(m["max_doc_id"]),
     }
     with open(os.path.join(seg_dir, "seg_meta.json"), "w") as f:
         json.dump(seg_meta, f, indent=2)
     commit_stage(seg_dir, "meta", phash, metrics=seg_meta)
 
     _update_root_meta(index_dir, segment, seg_meta)
-    base.unpersist()
     return seg_meta
 
 

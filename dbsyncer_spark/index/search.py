@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbsyncer_spark.functions.tokenizer import tokenize_py
-from dbsyncer_spark.index.build import py_shard
+from dbsyncer_spark.index.build import _limit_arrow_threads, py_shard, term_id
 from dbsyncer_spark.index.codec import unpack_block
 
 _SCORE_SCHEMA = "doc_id long, score double"
@@ -58,6 +58,7 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
     query-side state: idf per term, BM25 params, k)."""
 
     def score_range_impl(key, postings, allow_pdf):
+        _limit_arrow_threads()
         allowed_mask = None
         if use_allowed:
             allowed_mask = np.zeros(range_size, dtype=bool)
@@ -75,7 +76,7 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
         # per-term upper bound U = idf * max tfnorm bound over blocks
         rows = []
         for r in postings.itertuples(index=False):
-            idf = idfs[r.term]
+            idf = idfs[r.tid]
             ub_blocks = idf * _tfnorm_bound(
                 np.asarray(r.block_max_tf), np.asarray(r.block_min_dl), k1, b, avgdl
             )
@@ -87,7 +88,7 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
 
         theta = None
         for i, (_, r, ub_blocks) in enumerate(rows):
-            idf = idfs[r.term]
+            idf = idfs[r.tid]
             block_first = np.asarray(r.block_first, dtype=np.int64)
             nb = block_first.size
             keep = np.ones(nb, dtype=bool)
@@ -156,16 +157,22 @@ class SearchIndex:
         self.avgdl = sum_dl / self.n_docs if self.n_docs else 0.0
         self._seg_dirs = [os.path.join(index_dir, "segments", name) for name in sorted(segs)]
         self._term_cache: dict[str, int] = {}
+        self._df_cache: dict[str, DataFrame] = {}
 
     # -- paths ----------------------------------------------------------
     def _union_read(self, sub: str) -> DataFrame:
         # per-segment reads unioned (a single multi-path read rejects
         # multiple partitioned roots); Catalyst pushes filters into each
-        # branch, so shard pruning still applies per segment
+        # branch, so shard pruning still applies per segment.
+        # The resolved plan is cached per handle — repeated queries skip
+        # file re-listing/schema inference (serving-path latency).
+        if sub in self._df_cache:
+            return self._df_cache[sub]
         dfs = [self.spark.read.parquet(os.path.join(d, sub)) for d in self._seg_dirs]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        self._df_cache[sub] = out
         return out
 
     def _postings(self) -> DataFrame:
@@ -177,6 +184,16 @@ class SearchIndex:
     def _dictionary(self) -> DataFrame:
         return self._union_read("dictionary")
 
+    def warm(self, cache_dictionary: bool = True) -> None:
+        """Serving-session warm-up: resolve the file indexes and pin the
+        dictionary in executor memory (it is ~1e-4 of index size —
+        term df/cf metadata only, never the posting blobs)."""
+        self._postings()
+        if cache_dictionary:
+            d = self._dictionary().persist()
+            d.count()
+            self._df_cache["dictionary"] = d
+
     def _tombstones(self) -> DataFrame | None:
         p = os.path.join(self.index_dir, "tombstones")
         if os.path.exists(p):
@@ -185,18 +202,22 @@ class SearchIndex:
 
     # -- dictionary point lookup (shard-pruned, driver-cached) ----------
     def lookup(self, terms: list[str]) -> dict[str, int]:
-        """term -> merged document frequency across segments."""
+        """term -> merged document frequency across segments.
+
+        The dictionary is keyed by tid = md5_64(term) (computed here in
+        plain Python — no JVM round trip), with shard partition pruning."""
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
             shards = sorted({py_shard(t, self.num_shards) for t in missing})
+            tids = {term_id(t): t for t in missing}
             rows = (
                 self._dictionary()
-                .filter(F.col("shard").isin(shards) & F.col("term").isin(missing))
-                .groupBy("term")
+                .filter(F.col("shard").isin(shards) & F.col("tid").isin(list(tids)))
+                .groupBy("tid")
                 .agg(F.sum("df").alias("df"))
                 .collect()
             )
-            found = {r.term: int(r.df) for r in rows}
+            found = {tids[r.tid]: int(r.df) for r in rows}
             for t in missing:
                 self._term_cache[t] = found.get(t, 0)
         return {t: self._term_cache[t] for t in terms if self._term_cache[t] > 0}
@@ -223,11 +244,11 @@ class SearchIndex:
             return spark.createDataFrame([], _SCORE_SCHEMA)
 
         n = self.n_docs
-        idfs = {t: log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) for t, df_ in dfs.items()}
+        idfs = {term_id(t): log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) for t, df_ in dfs.items()}
         shards = sorted({py_shard(t, self.num_shards) for t in dfs})
 
         postings = self._postings().filter(
-            F.col("shard").isin(shards) & F.col("term").isin(list(dfs))
+            F.col("shard").isin(shards) & F.col("tid").isin(list(idfs))
         )
 
         tomb = self._tombstones()
@@ -251,6 +272,101 @@ class SearchIndex:
         else:
             scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Batched top-k for many queries in ONE Spark job — the high-
+        throughput serving shape (per-query jobs waste scheduler overhead;
+        at cluster scale a query front-end batches by arrival window).
+
+        Postings for the union of all query terms are read once; each
+        term's blocks are decoded once per docId-range and accumulated
+        into every query that contains the term (shared-decode TAAT).
+        Returns DataFrame(query_id string, doc_id long, score double),
+        per query ordered (score desc, doc_id asc), <= k rows each —
+        identical rows to calling ``search(mode="exhaustive")`` per query.
+        """
+        from pyspark.sql import Window as W
+
+        spark = self.spark
+        all_terms = sorted({t for q in queries.values() for t in tokenize_py(q)})
+        dfs = self.lookup(all_terms)
+        out_schema = "query_id string, doc_id long, score double"
+        if not dfs:
+            return spark.createDataFrame([], out_schema)
+        n, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
+        idfs = {term_id(t): log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) for t, df_ in dfs.items()}
+        # query_id -> {tid} for terms present in the index
+        qterms = {
+            qid: {term_id(t) for t in set(tokenize_py(q)) if term_id(t) in idfs}
+            for qid, q in queries.items()
+        }
+        qterms = {qid: ts for qid, ts in qterms.items() if ts}
+        if not qterms:
+            return spark.createDataFrame([], out_schema)
+        by_tid: dict[int, list[str]] = {}
+        for qid, ts in qterms.items():
+            for t in ts:
+                by_tid.setdefault(t, []).append(qid)
+        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
+        range_size = self.range_size
+
+        def scorer(key, pdf):
+            _limit_arrow_threads()
+            if pdf.empty:
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                    {"query_id": "object", "doc_id": "int64", "score": "float64"}
+                )
+            base = int(key[0]) * range_size
+            acc: dict[str, tuple[np.ndarray, np.ndarray]] = {
+                qid: (np.zeros(range_size), np.zeros(range_size, dtype=bool))
+                for qid in qterms
+            }
+            for r in pdf.itertuples(index=False):
+                idf = idfs[r.tid]
+                boff, bn, bf = list(r.block_off), list(r.block_n), list(r.block_first)
+                for bi in range(len(boff)):
+                    d, tf, dl = unpack_block(r.blob, boff, bn, bf, bi)
+                    tf = tf.astype(np.float64)
+                    dl = dl.astype(np.float64)
+                    tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    idx = (d - np.uint64(base)).astype(np.int64)
+                    contrib = idf * tfn
+                    for qid in by_tid[r.tid]:
+                        S, seen = acc[qid]
+                        S[idx] += contrib
+                        seen[idx] = True
+            frames = []
+            for qid, (S, seen) in acc.items():
+                idx = np.flatnonzero(seen)
+                if idx.size == 0:
+                    continue
+                scores = S[idx]
+                if idx.size > k:
+                    part = np.argpartition(-scores, k - 1)[:k]
+                    idx, scores = idx[part], scores[part]
+                order = np.lexsort((idx, -scores))
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "doc_id": (base + idx[order]).astype("int64"),
+                    "score": scores[order],
+                }))
+            if not frames:
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                    {"query_id": "object", "doc_id": "int64", "score": "float64"}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin(list(idfs))
+        )
+        scored = postings.groupBy("range_id").applyInPandas(scorer, out_schema)
+        w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+        )
 
     def fetch(self, topk: DataFrame) -> DataFrame:
         """Join top-k back to docstats for display fields + sha256
@@ -276,7 +392,7 @@ class SearchIndex:
         if len(dfs) == 1:
             return sum(dfs.values())
         postings = self._postings().filter(
-            F.col("shard").isin(shards) & F.col("term").isin(list(dfs))
+            F.col("shard").isin(shards) & F.col("tid").isin([term_id(t) for t in dfs])
         )
         return (
             postings.select(F.explode(_decode_ids_udf()(F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off"))).alias("doc_id"))

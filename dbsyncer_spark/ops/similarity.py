@@ -83,6 +83,47 @@ def knn_join(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
 
 
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Exact by default (self-join + codegen'd fold — the correctness
+    baseline). Pass ``planes`` + ``max_hamming`` for the scale path:
+    sign-bit LSH signatures block the self-join so only signature-close
+    pairs are scored (candidate recall tunable via max_hamming; exact
+    cosine is still computed on every surviving pair, so precision is 1).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    if planes is not None and max_hamming is not None:
+        base = base.withColumn("_sig", lsh_signature(F.col("v"), planes))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if planes is not None and max_hamming is not None:
+        cond = cond & (
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))) <= max_hamming
+        )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
     """Deterministic random hyperplanes (seeded PCG64) for sign-bit LSH."""
     rng = np.random.default_rng(seed)

@@ -94,6 +94,7 @@ def bm25_topk_wide(
     text_col: str = "content",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    doc_filter=None,
 ) -> DataFrame:
     """Exhaustive BM25 top-k with a *fixed* summation order.
 
@@ -113,6 +114,13 @@ def bm25_topk_wide(
         for i, t in enumerate(q_terms)
     ]
     wide = partials.groupBy(id_col).agg(*aggs)
+    if doc_filter is not None:
+        # filter restricts CANDIDATES only; df/avgdl stay corpus-global
+        # (reference MUST-clause semantics, DiskStorageService.java:294-346)
+        allowed = docs.filter(doc_filter).select(F.col(id_col).cast("long").alias(id_col))
+        # no broadcast hint: the allowed set's size depends on filter
+        # selectivity — AQE picks broadcast vs shuffle at runtime
+        wide = wide.join(allowed, id_col, "left_semi")
     score = F.coalesce(F.col("_s0"), F.lit(0.0))
     for i in range(1, len(q_terms)):
         score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))

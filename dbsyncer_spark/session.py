@@ -40,9 +40,25 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark 4.1's size-based Arrow batch cut (default 64m) calls
+        # ArrowFieldWriter.getSizeInBytes per ROW — an O(batch^2) vector
+        # walk that serialized every mapInPandas stage (measured 7x on a
+        # 40M-row identity pass; all task threads pinned in
+        # StructVector.setValueCount). Int.MaxValue disables the walk;
+        # maxRecordsPerBatch still bounds batch memory (rows here are
+        # fixed-width, so 10k rows << 64m anyway).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Throughput GC. JDK17's default G1 collapses under this workload
+        # at high task counts: Arrow/pandas-UDF batches allocate multi-MB
+        # arrays that are "humongous" for G1's auto region size, and JNI
+        # critical sections (shuffle compression codecs) trigger GCLocker
+        # allocation stalls that spin-retry across all task threads
+        # (measured: 7x CPU burn, 2.3x wall at local[32] vs ParallelGC).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -50,3 +66,26 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Pre-fork the Arrow Python UDF workers (one per core) so the first
+    real UDF stage doesn't pay n concurrent numpy/pandas import storms
+    (~12 s at 32 workers, measured). Workers are reused afterwards
+    (spark.python.worker.reuse). The cluster analog is executor
+    provisioning — startup, not steady-state throughput."""
+    import pandas as _pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    if n is None:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _noop(batches):
+        import numpy  # noqa: F401 — force the heavy imports in the worker
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    spark.range(n, numPartitions=n).mapInPandas(_noop, "id long").count()

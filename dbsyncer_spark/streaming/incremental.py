@@ -82,15 +82,15 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "docstats"))
     (
         spark.read.parquet(os.path.join(seg_dir, "postings"))
-        .groupBy("shard", "term")
+        .groupBy("shard", "tid")
         .agg(
             F.sum("n_docs").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
             F.max(F.array_max("block_max_tf")).alias("max_tf"),
             F.min(F.array_min("block_min_dl")).alias("min_dl"),
         )
-        .repartition(1, "shard")
-        .sortWithinPartitions("term")
+        .repartition(max(4, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4), "shard")
+        .sortWithinPartitions("tid")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(seg_dir, "dictionary"))
@@ -157,17 +157,17 @@ def decode_postings(postings: DataFrame) -> DataFrame:
                 outs.append(
                     pd.DataFrame(
                         {
-                            "term": np.repeat(r.term, d.size),
+                            "tid": np.repeat(np.int64(r.tid), d.size),
                             "doc_id": d.astype("int64"),
-                            "tf": t.astype("int64"),
-                            "dl": l.astype("int64"),
+                            "tf": t.astype("int32"),
+                            "dl": l.astype("int32"),
                         }
                     )
                 )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return postings.mapInPandas(gen, "term string, doc_id long, tf long, dl long")
+    return postings.mapInPandas(gen, "tid long, doc_id long, tf int, dl int")
 
 
 def stream_to_index(

@@ -80,3 +80,26 @@ def test_count_short_circuit(index, oracle_side):
 def test_miss_and_empty(index):
     assert index.search("zzzqqq").count() == 0
     assert index.search("").count() == 0
+
+
+def test_search_many_rank_identical(index):
+    """Batched multi-query scoring (one Spark job) must return exactly the
+    per-query search() rows — including a miss and shared-term queries."""
+    queries = {
+        "a": "merge offset",
+        "b": "token shard batch",
+        "c": "zzzqqq",
+        "d": "import",
+    }
+    index.warm()
+    got = index.search_many(queries, k=7).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 12)))
+    assert "c" not in by_q
+    for qid, qtext in queries.items():
+        want = [
+            (r.doc_id, round(r.score, 12))
+            for r in index.search(qtext, k=7, mode="exhaustive").collect()
+        ]
+        assert by_q.get(qid, []) == want, qid

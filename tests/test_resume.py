@@ -21,8 +21,8 @@ def _index_fingerprint(spark, seg_dir: str) -> tuple:
     """Logical content fingerprint: every posting row + docstats row."""
     p = (
         spark.read.parquet(os.path.join(seg_dir, "postings"))
-        .select("term", "range_id", "n_docs", "sum_tf", F.sha2(F.hex("blob"), 256).alias("bh"))
-        .orderBy("term", "range_id")
+        .select("tid", "range_id", "n_docs", "sum_tf", F.sha2(F.hex("blob"), 256).alias("bh"))
+        .orderBy("tid", "range_id")
         .collect()
     )
     d = (
