@@ -313,14 +313,14 @@ def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_deep_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset paging with a total order (reference O3 searchAfter/skip):
-    page 3 (rows 201-300) of events by (value desc, event_id asc)."""
-    from pyspark.sql import Window as W
-
+    page 3 (rows 201-300) of events by (value desc, event_id asc).
+    offset+limit keeps the top-(offset+k) merge distributed — no
+    single-partition global window."""
     ev = _t(spark, sf_dir, "events")
-    w = W.orderBy(F.col("value").desc(), F.col("event_id").asc())
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 200) & (F.col("rn") <= 300))
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .offset(200)
+        .limit(100)
         .select("event_id", "event_type", "value")
     )
 
@@ -367,10 +367,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant in ops.similarity.embedding_dup_pairs)."""
     from dbsyncer_spark.ops.similarity import embedding_dup_pairs
 
+    from dbsyncer_spark.ops.similarity import embedding_dup_pairs_gemm  # noqa: F401
+
     emb = _t(spark, sf_dir, "embeddings")
     # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51
-    # at sf0.01), so the "near-dup" threshold is set where pairs exist
-    out = embedding_dup_pairs(emb, threshold=0.4)
+    # at sf0.01), so the "near-dup" threshold is set where pairs exist.
+    # GEMM variant: exact, broadcast + one matrix product (no cross join).
+    out = embedding_dup_pairs_gemm(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
