@@ -158,6 +158,7 @@ class SearchIndex:
         self._seg_dirs = [os.path.join(index_dir, "segments", name) for name in sorted(segs)]
         self._term_cache: dict[str, int] = {}
         self._df_cache: dict[str, DataFrame] = {}
+        self._driver_dict: dict[int, int] | None = None
 
     # -- paths ----------------------------------------------------------
     def _union_read(self, sub: str) -> DataFrame:
@@ -184,15 +185,42 @@ class SearchIndex:
     def _dictionary(self) -> DataFrame:
         return self._union_read("dictionary")
 
-    def warm(self, cache_dictionary: bool = True) -> None:
+    def warm(self, cache_dictionary: bool = True, cache_postings: bool = False) -> None:
         """Serving-session warm-up: resolve the file indexes and pin the
         dictionary in executor memory (it is ~1e-4 of index size —
-        term df/cf metadata only, never the posting blobs)."""
+        term df/cf metadata only, never the posting blobs).
+
+        ``cache_postings`` additionally pins the postings table — right
+        for a dedicated serving session whose index (or hot shard subset)
+        fits cluster memory; at full 100 TB scale leave it off and rely
+        on shard partition pruning + the OS page cache."""
         self._postings()
         if cache_dictionary:
             d = self._dictionary().persist()
             d.count()
             self._df_cache["dictionary"] = d
+        if cache_postings:
+            # pre-partitioned by range_id: the per-query
+            # groupBy(range_id).applyInPandas then reuses the cached
+            # partitioning — no exchange inside the serving hot path
+            p = self._postings().repartition("range_id").persist()
+            p.count()
+            self._df_cache["postings"] = p
+            d = self.docstats().repartition("range_id").persist()
+            d.count()
+            self._df_cache["docstats"] = d
+
+    def warm_driver_dictionary(self, max_terms: int = 5_000_000) -> None:
+        """Pull the whole (tid -> df) dictionary to the driver: term
+        lookups then cost zero Spark jobs. Serving-session option for
+        indexes whose dictionary fits the driver (refuses above
+        ``max_terms``); the at-scale default stays the shard-pruned
+        per-query lookup with the LRU term cache."""
+        d = self._dictionary().groupBy("tid").agg(F.sum("df").alias("df"))
+        n = d.count()
+        if n > max_terms:
+            raise ValueError(f"dictionary has {n} terms > max_terms={max_terms}")
+        self._driver_dict = {r.tid: int(r.df) for r in d.collect()}
 
     def _tombstones(self) -> DataFrame | None:
         p = os.path.join(self.index_dir, "tombstones")
@@ -206,6 +234,12 @@ class SearchIndex:
 
         The dictionary is keyed by tid = md5_64(term) (computed here in
         plain Python — no JVM round trip), with shard partition pruning."""
+        if self._driver_dict is not None:
+            return {
+                t: df_
+                for t in terms
+                if (df_ := self._driver_dict.get(term_id(t), 0)) > 0
+            }
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
             shards = sorted({py_shard(t, self.num_shards) for t in missing})
@@ -272,6 +306,41 @@ class SearchIndex:
         else:
             scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def expand_prefix(self, prefix: str, limit: int = 1024) -> list[str]:
+        """Terms starting with ``prefix`` (reference F10 PrefixQuery
+        expansion). Needs the optional terms audit table
+        (build_index(store_terms=True)); expansion is capped like
+        Lucene's maxClauseCount."""
+        if not prefix:
+            return []
+        dirs = [d for d in self._seg_dirs if os.path.exists(os.path.join(d, "terms"))]
+        if not dirs:
+            raise ValueError(
+                "prefix search needs the terms table — build with store_terms=True"
+            )
+        dfs = [self.spark.read.parquet(os.path.join(d, "terms")) for d in dirs]
+        terms = dfs[0]
+        for d in dfs[1:]:
+            terms = terms.unionByName(d)
+        rows = (
+            terms.filter(F.col("term").startswith(prefix))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(limit)
+            .collect()
+        )
+        return [r.term for r in rows]
+
+    def search_prefix(self, prefix: str, k: int = 10, limit: int = 1024) -> DataFrame:
+        """BM25 top-k over the OR of all terms with the given prefix —
+        the scoring-rewrite analog of Lucene's PrefixQuery (reference
+        exercised it in tests only, ``LuceneFactoryTest.java:338-428``)."""
+        terms = self.expand_prefix(prefix, limit)
+        if not terms:
+            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+        return self.search(" ".join(terms), k=k)
 
     def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Batched top-k for many queries in ONE Spark job — the high-
