@@ -307,24 +307,23 @@ class SearchIndex:
             scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
-    def expand_prefix(self, prefix: str, limit: int = 1024) -> list[str]:
-        """Terms starting with ``prefix`` (reference F10 PrefixQuery
-        expansion). Needs the optional terms audit table
-        (build_index(store_terms=True)); expansion is capped like
-        Lucene's maxClauseCount."""
-        if not prefix:
-            return []
+    def _terms_table(self) -> DataFrame:
         dirs = [d for d in self._seg_dirs if os.path.exists(os.path.join(d, "terms"))]
         if not dirs:
             raise ValueError(
-                "prefix search needs the terms table — build with store_terms=True"
+                "term expansion needs the terms table — build with store_terms=True"
             )
         dfs = [self.spark.read.parquet(os.path.join(d, "terms")) for d in dirs]
         terms = dfs[0]
         for d in dfs[1:]:
             terms = terms.unionByName(d)
+        return terms
+
+    def _expand(self, predicate, limit: int) -> list[str]:
+        """Multi-term expansion (capped like Lucene's maxClauseCount)."""
         rows = (
-            terms.filter(F.col("term").startswith(prefix))
+            self._terms_table()
+            .filter(predicate)
             .select("term")
             .distinct()
             .orderBy("term")
@@ -333,14 +332,49 @@ class SearchIndex:
         )
         return [r.term for r in rows]
 
+    def expand_prefix(self, prefix: str, limit: int = 1024) -> list[str]:
+        """Terms starting with ``prefix`` (reference F10 PrefixQuery)."""
+        if not prefix:
+            return []
+        return self._expand(F.col("term").startswith(prefix), limit)
+
+    def expand_wildcard(self, pattern: str, limit: int = 1024) -> list[str]:
+        """Terms matching a Lucene-style wildcard pattern (``*`` = any
+        run, ``?`` = one char) — reference F10 WildcardQuery."""
+        if not pattern:
+            return []
+        like = pattern.replace("%", r"\%").replace("_", r"\_")
+        like = like.replace("*", "%").replace("?", "_")
+        return self._expand(F.col("term").like(like), limit)
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1, limit: int = 1024) -> list[str]:
+        """Terms within ``max_edits`` Levenshtein distance — reference
+        F10 FuzzyQuery (Lucene default max 2 edits)."""
+        if not term:
+            return []
+        return self._expand(
+            F.levenshtein(F.col("term"), F.lit(term)) <= max_edits, limit
+        )
+
+    def _search_expanded(self, terms: list[str], k: int) -> DataFrame:
+        if not terms:
+            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+        return self.search(" ".join(terms), k=k)
+
     def search_prefix(self, prefix: str, k: int = 10, limit: int = 1024) -> DataFrame:
         """BM25 top-k over the OR of all terms with the given prefix —
         the scoring-rewrite analog of Lucene's PrefixQuery (reference
         exercised it in tests only, ``LuceneFactoryTest.java:338-428``)."""
-        terms = self.expand_prefix(prefix, limit)
-        if not terms:
-            return self.spark.createDataFrame([], _SCORE_SCHEMA)
-        return self.search(" ".join(terms), k=k)
+        return self._search_expanded(self.expand_prefix(prefix, limit), k)
+
+    def search_wildcard(self, pattern: str, k: int = 10, limit: int = 1024) -> DataFrame:
+        """WildcardQuery analog: BM25 over the expansion set."""
+        return self._search_expanded(self.expand_wildcard(pattern, limit), k)
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1,
+                     limit: int = 1024) -> DataFrame:
+        """FuzzyQuery analog: BM25 over terms within edit distance."""
+        return self._search_expanded(self.expand_fuzzy(term, max_edits, limit), k)
 
     def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Batched top-k for many queries in ONE Spark job — the high-

@@ -164,15 +164,19 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # one shuffle instead of a self-join: group each (band, bucket) and
+    # emit its member pairs — the signature lineage (shingles + N min-
+    # hashes) is computed ONCE, not once per join side. A pathological
+    # bucket still yields |bucket|^2 pairs, same as the join form.
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 

@@ -1,0 +1,91 @@
+"""Training-data ops: cross-implementation parity and semantic checks
+(the value-level gate vs DuckDB runs in tools/check_contract.py; these
+cover the relationships between variants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (3, "completely different content about spark indexes"),
+        (4, "spark indexes content completely different about"),     # permuted 3
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    from dbsyncer_spark.ops.dedup import exact_dedup
+
+    out = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert out[0].content_hash == out[1].content_hash
+    assert out[0].group_size == 2 and out[1].group_size == 2
+    assert out[0].is_canonical and not out[1].is_canonical
+    assert out[3].group_size == 1
+
+
+def test_simhash_udf_matches_column_form(docs):
+    from dbsyncer_spark.ops.dedup import simhash_df, simhash_pandas_udf
+
+    a = {r.doc_id: r.simhash for r in simhash_df(docs).collect()}
+    b = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash_pandas_udf("text").alias("sh")).collect()
+    }
+    assert a == b
+    assert a[0] == a[1]  # identical docs -> identical simhash
+
+
+def test_simhash_near_pairs_finds_dups(docs):
+    from dbsyncer_spark.ops.dedup import simhash_df, simhash_near_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(simhash_df(docs), max_hamming=3).collect()}
+    assert (0, 1) in pairs  # exact dup at hamming 0
+    assert (0, 5) not in pairs and (1, 5) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    from dbsyncer_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_scores(docs):
+    from dbsyncer_spark.ops.dedup import ngram_jaccard_pairs
+
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    # one substituted token in nine -> 4 of 7 shingles shared -> 0.4
+    assert out[(0, 2)] == pytest.approx(0.4)
+
+
+def test_embedding_gemm_matches_column_fold(spark):
+    from dbsyncer_spark.ops.similarity import embedding_dup_pairs, embedding_dup_pairs_gemm
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in embedding_dup_pairs(emb, 0.35).collect())
+    b = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in embedding_dup_pairs_gemm(emb, 0.35).collect())
+    assert a == b and len(a) > 0
+
+
+def test_knn_join_agrees_with_cosine_topk(spark):
+    from dbsyncer_spark.ops.similarity import cosine_topk, knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    single = [(r.vec_id, round(r.score, 9)) for r in cosine_topk(emb, qv, k=5).collect()]
+    q = emb.filter(F.col("vec_id") == 3).select(F.col("vec_id").alias("qid"), "embedding")
+    joined = [
+        (r.vec_id, round(r.score, 9))
+        for r in knn_join(emb, q, k=5, qid_col="qid").orderBy(F.col("score").desc(), "vec_id").collect()
+    ]
+    assert single == joined

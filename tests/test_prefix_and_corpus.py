@@ -29,6 +29,22 @@ def test_search_prefix_matches_or_query(tindex):
     assert got == want and len(got) == 5
 
 
+def test_expand_wildcard_and_fuzzy(tindex):
+    w = tindex.expand_wildcard("sh?rd")
+    assert "shard" in w and all(len(t) == 5 for t in w)
+    star = tindex.expand_wildcard("merge*")
+    assert "merge" in star and all(t.startswith("merge") for t in star)
+    fz = tindex.expand_fuzzy("shard", max_edits=1)
+    assert "shard" in fz
+    import re
+
+    for t in fz:
+        assert abs(len(t) - 5) <= 1
+    got = [(r.doc_id, round(r.score, 9)) for r in tindex.search_fuzzy("shard", k=5).collect()]
+    want = [(r.doc_id, round(r.score, 9)) for r in tindex.search(" ".join(fz), k=5).collect()]
+    assert got == want
+
+
 def test_prefix_requires_terms_table(spark, corpus, tmp_path):
     d = str(tmp_path / "noterm")
     build_index(spark, corpus.limit(50), d, num_shards=4, range_size=256,
