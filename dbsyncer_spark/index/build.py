@@ -369,11 +369,19 @@ def build_index(
     resume: bool = True,
     docs_have_ids: bool = False,
     store_terms: bool = False,
+    max_content_bytes: int | None = None,
 ) -> dict:
     """Build one index segment; returns the segment meta dict.
 
     Deterministic: same (docs, params) -> byte-equivalent index. Resume:
-    committed stages are skipped (per-stage lineage manifests)."""
+    committed stages are skipped (per-stage lineage manifests).
+
+    ``max_content_bytes``: rows with NULL or oversized content are
+    diverted to ``<segment>/quarantine`` (keys + reason) instead of
+    failing the build — the analog of the reference's dead-letter
+    capture-and-replay (``FlushStrategyImpl`` persist +
+    ``DataSyncServiceImpl.java:106-206`` replay, SURVEY.md C10);
+    re-running the build on the fixed quarantined rows is the replay."""
     seg_dir = os.path.join(index_dir, "segments", segment)
     os.makedirs(seg_dir, exist_ok=True)
     if pack_parallelism is None:
@@ -390,6 +398,25 @@ def build_index(
         "tokenizer": "code_aware_v2_tid",
     }
     phash = params_hash(params)
+
+    seg_quarantine = os.path.join(seg_dir, "quarantine")
+    if max_content_bytes is not None:
+        bad_reason = (
+            F.when(F.col("content").isNull(), "null_content")
+            .when(F.octet_length("content") > max_content_bytes, "oversized_content")
+        )
+        flagged = docs.withColumn("_reason", bad_reason)
+        bad = flagged.filter(F.col("_reason").isNotNull())
+        if not (resume and stage_committed(seg_dir, "quarantine", phash)):
+            (
+                bad.select("repo", "path", "commit", "lang", "_reason")
+                .withColumnRenamed("_reason", "reason")
+                .write.mode("overwrite")
+                .parquet(seg_quarantine)
+            )
+            n_bad = spark.read.parquet(seg_quarantine).count()
+            commit_stage(seg_dir, "quarantine", phash, metrics={"rows": int(n_bad)})
+        docs = flagged.filter(F.col("_reason").isNull()).drop("_reason")
 
     base = docs if docs_have_ids else assign_doc_ids(docs, num_buckets=num_id_buckets)
     if doc_id_offset:

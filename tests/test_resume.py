@@ -83,3 +83,32 @@ def test_lineage_manifest_contents(spark, corpus, tmp_path):
     post = read_manifest(seg, "postings")
     assert post["metrics"]["total_postings"] > 0
     assert all({"shard", "rows", "postings", "bytes"} <= set(p) for p in post["partitions"])
+
+
+def test_quarantine_dead_letter(spark, tmp_path):
+    """C10 analog: bad rows land in quarantine with a reason; the build
+    succeeds on the rest; replay = rebuild over the fixed rows."""
+    from pyspark.sql import functions as F
+
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.search import SearchIndex
+
+    rows = [
+        ("r", "ok.py", "c1", "python", "def parse(): return merge_offset"),
+        ("r", "null.py", "c2", "python", None),
+        ("r", "big.py", "c3", "python", "x" * 5000),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / "qidx")
+    meta = build_index(
+        spark, docs, d, num_shards=4, range_size=256, num_id_buckets=8,
+        max_content_bytes=1000,
+    )
+    assert meta["n_docs"] == 1
+    q = spark.read.parquet(d + "/segments/seg_000000/quarantine")
+    got = {(r.path, r.reason) for r in q.collect()}
+    assert got == {("null.py", "null_content"), ("big.py", "oversized_content")}
+    idx = SearchIndex(spark, d)
+    assert idx.search("merge offset", k=5).count() == 1
