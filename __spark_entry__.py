@@ -34,7 +34,20 @@ FLAGSHIP_QUERY = "slow merge scan"  # multi-term; exercises idf spread
 _TOK = tokenize_sql_expr("text")  # DuckDB tokens expr over documents.text
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable session confs the contract queries rely on, in
+    case the caller's session differs from dbsyncer_spark.session:
+    UTC so NTZ->LTZ casts in the timestamp queries match the UTC-based
+    DuckDB oracles, and the Arrow batch-size fix (see session.py)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
+    except Exception:
+        pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
