@@ -97,19 +97,31 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 6dp.
     """
     sh = _doc_shingles(docs, text_col, id_col, n)
+    # ONE shuffle on shingle builds inverted buckets; the frequency cap
+    # (skew guard — a shingle in f docs creates f^2/2 pairs) is a bucket-
+    # size filter, candidate pairs explode from the bucket arrays, and
+    # per-doc surviving-shingle counts come from the same buckets. The
+    # two consumers share an identical groupBy(shingle) exchange, which
+    # Catalyst executes once (ReusedExchange) — the tokenize+shingle
+    # lineage is never evaluated per join side.
+    buckets = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)).select("shingle"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_shingle_freq)
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    per_doc = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
