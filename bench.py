@@ -107,7 +107,11 @@ def main() -> None:
         idx.search(q["text"], k=q["k"], mode="wand", doc_filter=flt).collect()
         lat.append(time.perf_counter() - t0)
     lat_sorted = sorted(lat)
-    p95 = lat_sorted[max(0, int(round(0.95 * len(lat))) - 1)]
+    # nearest-rank p95: ceil(0.95*n)-1 (for n=15 -> index 14, the max);
+    # int(round(...)) picked ~p90 and understated the headline (ADVICE r1)
+    import math
+
+    p95 = lat_sorted[min(len(lat) - 1, max(0, math.ceil(0.95 * len(lat)) - 1))]
     timings["query_set"] = round(sum(lat), 3)
 
     # batched serving shape: all unfiltered reference queries, ONE job

@@ -153,7 +153,8 @@ cannot borrow the big level's cores through its Python UDF workers):
 
 Scaling efficiency (thr_4N / thr_N) / 4 = **{result['scaling_efficiency']}**
 (criterion >= 0.8: {"PASS" if result['pass'] else "FAIL"}).
-Reproduce: `python bench_scaling.py --update-baseline`.
+Reproduce (same configuration as this table):
+`SPARK_GRAFT_SCALING_DOCS={result['n_docs']} SPARK_GRAFT_SCALING_N={result['small']['cpus']} python bench_scaling.py --update-baseline`.
 <!-- scaling:end -->"""
     with open(path) as f:
         text = f.read()

@@ -463,6 +463,13 @@ class SearchIndex:
             F.col("shard").isin(shards) & F.col("tid").isin(list(idfs))
         )
         scored = postings.groupBy("range_id").applyInPandas(scorer, out_schema)
+        # deleted docs never surface: per-doc BM25 scores are independent,
+        # so anti-joining tombstones AFTER scoring is row-identical to the
+        # pre-score allowed-mask in search() (and keeps this path cogroup-
+        # free). Mirrors search()'s tombstone handling.
+        tomb = self._tombstones()
+        if tomb is not None:
+            scored = scored.join(tomb.select("doc_id"), "doc_id", "left_anti")
         w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return (
             scored.withColumn("_rn", F.row_number().over(w))

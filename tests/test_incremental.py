@@ -76,6 +76,26 @@ def test_delete_then_search_masks_tombstones(spark, idx_dir, corpus_by_key):
     assert [r.doc_id for r in got] == [d for d, _ in want]
 
 
+def test_search_many_masks_tombstones(spark, idx_dir, corpus_by_key):
+    """Batched search must honor tombstones exactly like per-query search
+    (ADVICE r1: search_many previously skipped the tombstone anti-join)."""
+    idx = SearchIndex(spark, idx_dir)
+    tomb = {r.doc_id for r in spark.read.parquet(f"{idx_dir}/tombstones").collect()}
+    assert tomb, "fixture ordering: delete test must have run first"
+    queries = {"a": "merge offset", "b": "import", "c": "token shard batch"}
+    got = idx.search_many(queries, k=10).collect()
+    assert not ({r.doc_id for r in got} & tomb)
+    by_q = {}
+    for r in got:
+        # 12dp rounding: the two paths accumulate per-term partials in a
+        # different order (float add non-associative), same as the parity
+        # test in test_index_build.py
+        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 12)))
+    for qid, q in queries.items():
+        want = idx.search(q, k=10, mode="exhaustive").collect()
+        assert by_q.get(qid, []) == [(r.doc_id, round(r.score, 12)) for r in want], q
+
+
 def test_compaction_drops_tombstones_and_rescores(spark, idx_dir, corpus_by_key):
     idx = SearchIndex(spark, idx_dir)
     docs_before = _oracle_docs(spark, idx, corpus_by_key)

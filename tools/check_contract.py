@@ -21,8 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # None-safe sort key: mixed None/typed columns would otherwise raise
+    # TypeError during sort and crash the gate instead of reporting a
+    # mismatch (ADVICE r1)
     canon = sorted(
-        tuple(_canon(r[i]) for i in order) for r in rows
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), "" if v is None else str(v)) for v in t),
     )
     h = hashlib.sha256()
     for r in canon:
