@@ -737,14 +737,18 @@ SELECT doc_a, doc_b, jaccard FROM (
         f"|| mh{bi * 4 + 2} || '|' || mh{bi * 4 + 3}) AS bh FROM sig"
         for bi in range(4)
     )
+    # ok CTE mirrors the engine's pre-agg bucket cap (2..1000 members)
     sql["dedup_minhash_lsh"] = f"""
 WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({sh3}) AS shingle FROM toks),
 sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({band_rows})
+bands AS ({band_rows}),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+       HAVING count(*) BETWEEN 2 AND 1000)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+JOIN ok ON a.band = ok.band AND a.bh = ok.bh
 """
 
     sql["dedup_simhash"] = f"""

@@ -517,13 +517,16 @@ def _decode_ids_udf():
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def decode_ids(blob: pd.Series, bf: pd.Series, bn: pd.Series, boff: pd.Series) -> pd.Series:
+        empty = np.zeros(0, dtype=np.int64)
         out = []
         for blob_i, bf_i, bn_i, boff_i in zip(blob, bf, bn, boff):
-            ids = []
-            for bi in range(len(boff_i)):
-                d, _, _ = unpack_block(blob_i, list(boff_i), list(bn_i), list(bf_i), bi)
-                ids.extend(int(x) for x in d)
-            out.append(ids)
+            parts = [
+                unpack_block(blob_i, list(boff_i), list(bn_i), list(bf_i), bi)[0]
+                for bi in range(len(boff_i))
+            ]
+            # arrays stay numpy end-to-end (no per-element Python ints —
+            # ADVICE r1 flagged the int() loop here)
+            out.append(np.concatenate(parts).astype(np.int64) if parts else empty)
         return pd.Series(out, index=blob.index)
 
     return decode_ids

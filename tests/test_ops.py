@@ -77,6 +77,45 @@ def test_embedding_gemm_matches_column_fold(spark):
     assert a == b and len(a) > 0
 
 
+def test_blocked_gemm_matches_broadcast_gemm(spark):
+    """The distributed block-GEMM grid (no driver collect, no corpus
+    broadcast) must emit exactly the broadcast fast path's pairs — both
+    through the explicit function and through the size-guard dispatch."""
+    from dbsyncer_spark.ops.similarity import (
+        embedding_dup_pairs_blocked,
+        embedding_dup_pairs_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in embedding_dup_pairs_gemm(emb, 0.35).collect())
+    got = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in embedding_dup_pairs_blocked(emb, 0.35, n_blocks=3).collect())
+    assert got == want and len(want) > 0
+    # dispatch: a tiny max_broadcast_rows forces the blocked path
+    via_guard = embedding_dup_pairs_gemm(emb, 0.35, max_broadcast_rows=10)
+    assert "FlatMapGroupsInPandas" in via_guard._jdf.queryExecution().executedPlan().toString()
+    got2 = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in via_guard.collect())
+    assert got2 == want
+
+
+def test_dedup_bucket_caps_enforced_pre_agg(spark, docs):
+    """Scale gate (VERDICT r1): the frequency/bucket caps must run BEFORE
+    collect_list (bounded aggregation buffers) and the per-doc count
+    sides must carry no forced broadcast hints."""
+    from dbsyncer_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    jac = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_freq=1000)
+    mh = minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket_size=1000)
+    for df in (jac, mh):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, "forced broadcast hint in dedup plan"
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        # plans print output-first: the cap filter (on the pre-agg count
+        # alias f) must sit BELOW (= later in the string than) the
+        # collect_list aggregate it protects
+        assert "collect_list" in opt and "1000" in opt
+        assert opt.index("collect_list") < opt.rindex("1000"), opt
+
+
 def test_knn_join_agrees_with_cosine_topk(spark):
     from dbsyncer_spark.ops.similarity import cosine_topk, knn_join
 
