@@ -33,6 +33,16 @@ FLAGSHIP_QUERY = "slow merge scan"  # multi-term; exercises idf spread
 
 _TOK = tokenize_sql_expr("text")  # DuckDB tokens expr over documents.text
 
+# CJK derivation for the zh fulltext query: the driver corpus has no real
+# CJK text (its "zh" rows are latin), so the query derives a deterministic
+# CJK view by translating each lowercase letter to a distinct CJK char —
+# same pure function on both engines, no external data. Exercises the
+# tokenizer's CJK unigram path end to end.
+_ASCII26 = "abcdefghijklmnopqrstuvwxyz"
+_CJK26 = "一二三四五六七八九十百千万亿上下左右中大小天地人口日"
+assert len(_CJK26) == 26
+_ZH_QUERY = FLAGSHIP_QUERY.translate(str.maketrans(_ASCII26, _CJK26))
+
 
 def _tune(spark: SparkSession) -> None:
     """Runtime-settable session confs the contract queries rely on, in
@@ -51,23 +61,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _bm25_oracle(query: str, k: int, lang: str | None = None) -> str:
+def _bm25_oracle(query: str, k: int, lang: str | None = None,
+                 src: str = "documents") -> str:
     """DuckDB twin of bm25_topk_wide — identical formula, parenthesization
     and per-sorted-term summation order (k1=1.2, b=0.75). ``lang``
     restricts the CANDIDATES only (df/avgdl stay corpus-global, matching
-    filtered Lucene queries — reference MUST clauses)."""
+    filtered Lucene queries — reference MUST clauses). ``src`` is the
+    FROM-able corpus (table name or parenthesized subquery with doc_id,
+    text[, lang])."""
     terms = sorted(set(tokenize_py(query)))
     inlist = ", ".join(f"'{t}'" for t in terms)
     wide = " + ".join(
         f"COALESCE(SUM(CASE WHEN term = '{t}' THEN partial END), 0.0)" for t in terms
     )
     lang_pred = (
-        f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
+        f"WHERE doc_id IN (SELECT doc_id FROM {src} WHERE lang = '{lang}')"
         if lang
         else ""
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM {src}),
 base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
 tf AS (
@@ -125,7 +138,7 @@ def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         # versioned by index format so a stale dir from an older build
         # never trips the segment-params consistency check
-        f"dbsyncer_entry_idx_v2tid_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"dbsyncer_entry_idx_v3cjk_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     build_index(spark, docs, idx_dir, num_shards=8, resume=True)
     idx = SearchIndex(spark, idx_dir)
@@ -165,6 +178,17 @@ def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
+
+
+def q_bm25_topk_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK fulltext: BM25 over the deterministic CJK view of the corpus
+    (letters translated to CJK chars — see _CJK26). The query string is
+    pure CJK; the tokenizer emits char unigrams (reference provisions a
+    Chinese analyzer per shard, Shard.java:88)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.translate(F.lower("text"), _ASCII26, _CJK26).alias("text")
+    )
+    return bm25_topk_wide(spark, docs, _ZH_QUERY, k=20, id_col="doc_id", text_col="text")
 
 
 def q_term_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_index_wand": q_bm25_index_wand,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_topk_zh": q_bm25_topk_zh,
         "highlight_topk": q_highlight_topk,
         "term_match_count": q_term_match_count,
         "fulltext_like": q_fulltext_like,
@@ -570,6 +595,11 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_filtered"] = _bm25_oracle(FLAGSHIP_QUERY, 20, lang="en")
+    sql["bm25_topk_zh"] = _bm25_oracle(
+        _ZH_QUERY, 20,
+        src=(f"(SELECT doc_id, translate(lower(text), '{_ASCII26}', '{_CJK26}')"
+             " AS text FROM documents)"),
+    )
     # highlight_topk: intentionally no oracle (lookaround regex is outside
     # DuckDB's RE2) -> rows-only check; Python twin in tests/test_highlight.py
 

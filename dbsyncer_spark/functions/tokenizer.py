@@ -15,7 +15,13 @@ by tests/test_tokenizer.py):
    (``HTTPServer`` -> ``HTTP Server``)
 3. lowercase
 4. tokens are maximal ``[a-z0-9]+`` runs (so ``snake_case`` splits on
-   ``_``, punctuation/whitespace are separators)
+   ``_``, punctuation/whitespace are separators) OR single CJK chars:
+   every char in U+4E00-U+9FFF is its own token (unigram emission, the
+   Lucene StandardAnalyzer CJK behavior — the reference provisions a
+   Chinese analyzer per shard, ``Shard.java:88`` /
+   ``LuceneFactoryTest.java:469-487``; char unigrams make zh text
+   searchable with exact cross-engine parity, where a segmenting
+   analyzer would not be reproducible in SQL)
 5. optional: drop per-language stopwords (language keywords)
 
 Three forms:
@@ -51,7 +57,13 @@ CAMEL_RULES: list[tuple[str, str]] = [
     (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),
 ]
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# CJK unified ideographs (BMP core block). The findall twin matches CJK
+# chars as single-char alternates; the split-based twins (Column / Arrow
+# kernel / DuckDB) first space-pad each CJK char (CJK_PAD rule) and then
+# split on "not token char" — verified identical in tests.
+CJK_CLASS = "一-鿿"  # U+4E00-U+9FFF
+CJK_PAD: tuple[str, str] = (f"([{CJK_CLASS}])", r" \1 ")
+_TOKEN_RE = re.compile(rf"[a-z0-9]+|[{CJK_CLASS}]")
 _CAMEL_COMPILED = [(re.compile(p), r) for p, r in CAMEL_RULES]
 
 # Per-language keyword stopwords (small, deterministic; covers the langs of
@@ -97,7 +109,8 @@ def tokens_col(col: Column | str, stopwords: list[str] | None = None) -> Column:
     for pat, repl in CAMEL_RULES:
         # java.util.regex replacement uses $1/$2
         c = F.regexp_replace(c, pat, repl.replace("\\1", "$1").replace("\\2", "$2"))
-    arr = F.split(F.lower(c), r"[^a-z0-9]+")
+    c = F.regexp_replace(c, CJK_PAD[0], " $1 ")
+    arr = F.split(F.lower(c), rf"[^a-z0-9{CJK_CLASS}]+")
     arr = F.filter(arr, lambda t: t != F.lit(""))
     if stopwords:
         sw = stopwords
@@ -138,8 +151,8 @@ def tokenize_sql_expr(col_sql: str) -> str:
     Produces a DuckDB expression yielding a VARCHAR[] of tokens.
     """
     e = col_sql
-    for pat, repl in CAMEL_RULES:
+    for pat, repl in CAMEL_RULES + [CJK_PAD]:
         e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
     return (
-        f"list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'), t -> t <> '')"
+        f"list_filter(string_split_regex(lower({e}), '[^a-z0-9{CJK_CLASS}]+'), t -> t <> '')"
     )

@@ -69,7 +69,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbsyncer_spark import BM25_B, BM25_K1
-from dbsyncer_spark.functions.tokenizer import CAMEL_RULES, _STOP_SETS, _TOKEN_RE
+from dbsyncer_spark.functions.tokenizer import (
+    CAMEL_RULES,
+    CJK_CLASS,
+    CJK_PAD,
+    _STOP_SETS,
+    _TOKEN_RE,
+)
 from dbsyncer_spark.index.codec import BLOCK_SIZE, pack_postings
 from dbsyncer_spark.index.docids import assign_doc_ids
 from dbsyncer_spark.index.lineage import commit_stage, params_hash, stage_committed
@@ -168,11 +174,11 @@ def _tokenize_count(use_stopwords: bool):
             if n == 0:
                 continue
             arr = pa.array(pdf["content"].fillna(""), type=pa.string())
-            for pat, repl in CAMEL_RULES:
+            for pat, repl in CAMEL_RULES + [CJK_PAD]:
                 # RE2 rewrite syntax: \1 \2 backrefs, same as the Python twin
                 arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
             arr = pc.utf8_lower(arr)
-            lists = pc.split_pattern_regex(arr, pattern="[^a-z0-9]+")
+            lists = pc.split_pattern_regex(arr, pattern=f"[^a-z0-9{CJK_CLASS}]+")
             la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
             flat = la.flatten()
             per_doc = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -395,7 +401,7 @@ def build_index(
         "use_stopwords": use_stopwords,
         "k1": k1,
         "b": b,
-        "tokenizer": "code_aware_v2_tid",
+        "tokenizer": "code_aware_v3_cjk",
     }
     phash = params_hash(params)
 

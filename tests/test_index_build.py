@@ -103,3 +103,27 @@ def test_search_many_rank_identical(index):
             for r in index.search(qtext, k=7, mode="exhaustive").collect()
         ]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_cjk_docs_searchable_via_index(spark, tmp_path):
+    """zh text must round-trip the full index path (arrow-kernel tokenize
+    -> postings -> WAND): CJK queries tokenize to char unigrams and rank
+    by BM25 like any other terms."""
+    rows = [
+        ("r", "a.md", "c1", "zh", "全文检索引擎 支持中文"),
+        ("r", "b.md", "c2", "zh", "检索 检索 检索 其他内容"),
+        ("r", "c.md", "c3", "en", "plain latin text no match"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / "zhidx")
+    build_index(spark, docs, d, num_shards=4, range_size=64, num_id_buckets=4)
+    idx = SearchIndex(spark, d)
+    got = idx.search("检索", k=3, mode="wand").collect()
+    paths = {r.path for r in idx.fetch(idx.search("检索", k=3)).collect()}
+    assert len(got) == 2 and paths == {"a.md", "b.md"}
+    # tf=3 doc must outrank tf=1 doc (same unigram, comparable dl)
+    top_path = idx.fetch(idx.search("检索", k=1)).collect()[0].path
+    assert top_path == "b.md"
+    assert idx.search("不存在词", k=3).count() == 0

@@ -27,6 +27,10 @@ CASES = [
     "UPPER lower 123 ___",
     "a1B2c3D4",
     "éçà unicodeø stays—split",
+    # CJK: unigram emission, mixed-script adjacency, camel boundaries
+    "中文全文检索",
+    "abc中国def Big中X 你好world",
+    "getUser中Name 索引123构建",
 ]
 
 
@@ -36,6 +40,31 @@ def test_python_tokenizer_basics():
     assert tokenize_py("snake_case_x") == ["snake", "case", "x"]
     assert tokenize_py(None) == []
     assert tokenize_py("a1B2") == ["a1", "b2"]
+
+
+def test_cjk_unigrams():
+    assert tokenize_py("中文检索") == ["中", "文", "检", "索"]
+    assert tokenize_py("abc中def") == ["abc", "中", "def"]
+    assert tokenize_py("getUser中Name") == ["get", "user", "中", "name"]
+
+
+def test_arrow_kernel_matches_python_on_cjk(spark):
+    """The index build's pyarrow tokenize-count kernel must agree with
+    tokenize_py on CJK text (dl + per-term tf)."""
+    from collections import Counter
+
+    from dbsyncer_spark.index.build import TERMDOCS_SCHEMA, _tokenize_count, term_id
+
+    rows = [(i, None, c) for i, c in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    got = df.mapInPandas(_tokenize_count(False), TERMDOCS_SCHEMA).collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, {})[r.tid] = r.tf
+        assert r.dl == len(tokenize_py(CASES[r.doc_id]))
+    for i, c in enumerate(CASES):
+        want = {term_id(t): n for t, n in Counter(tokenize_py(c)).items()}
+        assert by_doc.get(i, {}) == want, c
 
 
 def test_stopwords():
