@@ -103,6 +103,39 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _phrase_oracle(phrase: str, k: int) -> str:
+    """DuckDB twin of SearchIndex.search_phrase(slop=0): token positions
+    via zipped unnest, per-instance adjusted-position INTERSECT (exact
+    consecutive phrase), freq = anchors per doc, score =
+    idf_sum(instances, phrase order) * tfnorm(freq, dl)."""
+    terms = tokenize_py(phrase)
+    inst_sets = "\nINTERSECT\n".join(
+        f"SELECT doc_id, p - {i} AS s FROM pos WHERE term = '{t}'"
+        for i, t in enumerate(terms)
+    )
+    uniq = sorted(set(terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    idf_sum = " + ".join(
+        f"(SELECT ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfreq, stats WHERE term = '{t}')"
+        for t in terms
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+pos AS (SELECT doc_id, dl, unnest(t) AS term, unnest(range(len(t))) AS p FROM base),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos
+          WHERE term IN ({inlist}) GROUP BY term),
+m AS ({inst_sets}),
+freq AS (SELECT doc_id, count(*) AS f FROM m GROUP BY doc_id)
+SELECT doc_id,
+       round(({idf_sum})
+             * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * base.dl / stats.avgdl)), 6) AS score
+FROM freq JOIN base USING (doc_id) CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _shingle_sql(n: int) -> str:
     """DuckDB distinct word-n-gram shingles from token list ``t``."""
     return (
@@ -120,10 +153,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=20, id_col="doc_id", text_col="text")
 
 
-def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full index pipeline: build persisted compressed index over the
-    documents table, then block-max WAND top-k — rank-identical to the
-    exhaustive oracle, so it shares the exhaustive SQL oracle."""
+def _entry_index(spark: SparkSession, sf_dir: str, positional: bool = False):
+    """Build (resume-cached) the persisted index over the documents table;
+    returns a SearchIndex. ``positional=True`` builds a separate
+    positions-bearing index (own dir — the BM25 bench index stays
+    position-free so its scan never pays the positions column)."""
     from dbsyncer_spark.index.build import build_index
     from dbsyncer_spark.index.search import SearchIndex
 
@@ -134,23 +168,60 @@ def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("text").alias("content"),
     )
+    tag = "posidx" if positional else "idx"
     idx_dir = os.path.join(
         tempfile.gettempdir(),
         # versioned by index format so a stale dir from an older build
         # never trips the segment-params consistency check
-        f"dbsyncer_entry_idx_v3cjk_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"dbsyncer_entry_{tag}_v4_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    build_index(spark, docs, idx_dir, num_shards=8, resume=True)
-    idx = SearchIndex(spark, idx_dir)
-    topk = idx.search(FLAGSHIP_QUERY, k=20, mode="wand")
-    # map index docIds back to the original documents.doc_id (embedded in path)
+    build_index(spark, docs, idx_dir, num_shards=8, resume=True,
+                store_positions=positional)
+    return SearchIndex(spark, idx_dir)
+
+
+def _docid_from_path(fetched: DataFrame, k: int) -> DataFrame:
+    """Map index docIds back to the original documents.doc_id (embedded
+    in the synthetic path) and re-rank on (rounded score, ORIGINAL id).
+
+    The oracle SQL orders by the rounded score with the original doc_id
+    as tiebreaker; the engine ranks by full-precision score with the
+    INDEX docId tiebreaker. When a rounded-score tie straddles the k
+    cutoff the two pick different members, so the caller searches with
+    slack (> k rows) and this re-rank applies the oracle's cut
+    deterministically."""
     return (
-        idx.fetch(topk)
-        .select(
+        fetched.select(
             F.substring("path", 2, 12).cast("long").alias("doc_id"),
             F.round("score", 6).alias("score"),
         )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
+
+
+_TIE_SLACK = 60  # rows fetched beyond k to cover rounded-score tie groups
+
+
+def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index pipeline: build persisted compressed index over the
+    documents table, then block-max WAND top-k — rank-identical to the
+    exhaustive oracle, so it shares the exhaustive SQL oracle."""
+    idx = _entry_index(spark, sf_dir)
+    topk = idx.search(FLAGSHIP_QUERY, k=20 + _TIE_SLACK, mode="wand")
+    return _docid_from_path(idx.fetch(topk), k=20)
+
+
+PHRASE_QUERY = "fast merge"  # adjacent pair present at every sf
+
+
+def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase top-k through the positional index (reference
+    PhraseQuery, LuceneFactoryTest.java:351-367): positions stream in the
+    codec, anchor-intersection matcher, Lucene-style phrase-freq BM25."""
+    idx = _entry_index(spark, sf_dir, positional=True)
+    topk = idx.search_phrase(PHRASE_QUERY, k=20 + _TIE_SLACK, slop=0)
+    return _docid_from_path(idx.fetch(topk), k=20)
 
 
 def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_index_wand": q_bm25_index_wand,
+        "bm25_phrase": q_bm25_phrase,
         "bm25_filtered": q_bm25_filtered,
         "bm25_topk_zh": q_bm25_topk_zh,
         "highlight_topk": q_highlight_topk,
@@ -594,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
+    sql["bm25_phrase"] = _phrase_oracle(PHRASE_QUERY, 20)
     sql["bm25_filtered"] = _bm25_oracle(FLAGSHIP_QUERY, 20, lang="en")
     sql["bm25_topk_zh"] = _bm25_oracle(
         _ZH_QUERY, 20,

@@ -100,6 +100,17 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 TERMDOCS_SCHEMA = "doc_id long, dl int, tid long, tf int"
+# positional build (store_positions=True): per-(doc,term) ascending token
+# positions ride along as an array column; postings gain a SEPARATE
+# pos_blob parquet column so BM25/WAND scans never read it
+TERMDOCS_SCHEMA_POS = TERMDOCS_SCHEMA + ", pos array<int>"
+POSTINGS_SCHEMA_POS = T.StructType(
+    POSTINGS_SCHEMA.fields
+    + [
+        T.StructField("pos_blob", T.BinaryType()),
+        T.StructField("pos_off", T.ArrayType(T.IntegerType())),
+    ]
+)
 
 
 def _limit_arrow_threads() -> None:
@@ -136,8 +147,8 @@ def shard_of_tid_col(tid_col, num_shards: int):
     return F.pmod(c, F.lit(num_shards)).cast("int")
 
 
-def _tokenize_count(use_stopwords: bool):
-    """mapInPandas: (doc_id, lang, content) -> (doc_id, dl, tid, tf).
+def _tokenize_count(use_stopwords: bool, store_positions: bool = False):
+    """mapInPandas: (doc_id, lang, content) -> (doc_id, dl, tid, tf[, pos]).
 
     One vectorized pass does tokenize + per-doc term-frequency count, so
     the JVM never sees token strings — and neither does Python: the whole
@@ -149,7 +160,15 @@ def _tokenize_count(use_stopwords: bool):
     identical to ``tokenize_py`` (camel split, lower, [a-z0-9]+ runs,
     stopwords) — asserted by tests/test_tokenizer.py and the rank-
     identity gates. Zero-token docs emit no rows (docstats coalesces
-    their dl to 0)."""
+    their dl to 0).
+
+    ``store_positions``: additionally emit each (doc, term)'s ascending
+    token positions (0-based indices into the KEPT token sequence — i.e.
+    after stopword removal, matching Lucene's removed-token position
+    semantics only when stopwords are off, which is the default). The
+    per-group position lists come from one stable argsort of the
+    (doc, term) key, so the non-positional np.unique hot path is
+    untouched when the flag is off."""
 
     def run(batches):
         import pyarrow as pa
@@ -204,17 +223,43 @@ def _tokenize_count(use_stopwords: bool):
             k = len(uniques)
             dls = np.bincount(doc_idx, minlength=n).astype(np.int64)
             key = doc_idx * k + codes
-            ukey, counts = np.unique(key, return_counts=True)
-            d_i = (ukey // k).astype(np.int64)
-            c_i = (ukey % k).astype(np.int64)
             tids = tids_for(uniques)
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if not store_positions:
+                ukey, counts = np.unique(key, return_counts=True)
+                d_i = (ukey // k).astype(np.int64)
+                c_i = (ukey % k).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids[d_i],
+                        "dl": dls[d_i].astype(np.int32),
+                        "tid": tids[c_i],
+                        "tf": counts.astype(np.int32),
+                    }
+                )
+                continue
+            # positions: doc_idx is ascending (tokens in doc order), so
+            # the in-doc token index is global index minus the doc's
+            # first index; a STABLE sort by (doc, term) then keeps each
+            # group's positions ascending
+            seg_starts = np.r_[0, np.flatnonzero(np.diff(doc_idx)) + 1].astype(np.int64)
+            seg_counts = np.diff(np.r_[seg_starts, doc_idx.size]).astype(np.int64)
+            pos = np.arange(doc_idx.size, dtype=np.int64) - np.repeat(seg_starts, seg_counts)
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            g_starts = np.r_[0, np.flatnonzero(np.diff(sk)) + 1].astype(np.int64)
+            g_counts = np.diff(np.r_[g_starts, sk.size]).astype(np.int64)
+            ukey = sk[g_starts]
+            d_i = (ukey // k).astype(np.int64)
+            c_i = (ukey % k).astype(np.int64)
+            pos_sorted = pos[order].astype(np.int32)
             yield pd.DataFrame(
                 {
                     "doc_id": ids[d_i],
                     "dl": dls[d_i].astype(np.int32),
                     "tid": tids[c_i],
-                    "tf": counts.astype(np.int32),
+                    "tf": g_counts.astype(np.int32),
+                    "pos": np.split(pos_sorted, g_starts[1:].tolist()),
                 }
             )
 
@@ -252,7 +297,7 @@ def _terms_rows(use_stopwords: bool):
     return run
 
 
-def _pack_stream(block_size: int):
+def _pack_stream(block_size: int, with_positions: bool = False):
     """mapInPandas streaming packer: rows sorted by (shard, tid,
     range_id, doc_id) within the partition; groups never span partitions
     (repartition guarantees it) but may span Arrow batches.
@@ -261,16 +306,19 @@ def _pack_stream(block_size: int):
     detection; the possibly-incomplete tail group is carried as a LIST of
     array chunks and concatenated once, when the group completes. (A
     naive per-batch re-concat carry is quadratic in group size — a Zipf
-    rank-1 term like 'import' spans dozens of Arrow batches.)"""
+    rank-1 term like 'import' spans dozens of Arrow batches.)
+
+    ``with_positions``: input rows carry a ``pos`` array column; each
+    group additionally packs the concatenated position stream."""
 
     def run(batches):
         _limit_arrow_threads()
         tail_key: tuple | None = None
-        tail_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        tail_chunks: list[tuple] = []
 
-        def pack_group(key, ids, tfs, dls) -> dict:
-            packed = pack_postings(ids, tfs, dls, block_size)
-            return {
+        def pack_group(key, ids, tfs, dls, pos=None) -> dict:
+            packed = pack_postings(ids, tfs, dls, block_size, positions=pos)
+            row = {
                 "shard": int(key[0]),
                 "tid": int(key[1]),
                 "range_id": int(key[2]),
@@ -283,6 +331,10 @@ def _pack_stream(block_size: int):
                 "block_max_tf": packed["block_max_tf"],
                 "block_min_dl": packed["block_min_dl"],
             }
+            if with_positions:
+                row["pos_blob"] = packed["pos_blob"]
+                row["pos_off"] = packed["pos_off"]
+            return row
 
         def pack_tail() -> dict | None:
             nonlocal tail_key, tail_chunks
@@ -291,7 +343,10 @@ def _pack_stream(block_size: int):
             ids = np.concatenate([c[0] for c in tail_chunks])
             tfs = np.concatenate([c[1] for c in tail_chunks])
             dls = np.concatenate([c[2] for c in tail_chunks])
-            row = pack_group(tail_key, ids, tfs, dls)
+            pos = (
+                np.concatenate([c[3] for c in tail_chunks]) if with_positions else None
+            )
+            row = pack_group(tail_key, ids, tfs, dls, pos)
             tail_key, tail_chunks = None, []
             return row
 
@@ -305,14 +360,27 @@ def _pack_stream(block_size: int):
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            pos_col = pdf["pos"].to_numpy() if with_positions else None
             change = np.flatnonzero((tid[1:] != tid[:-1]) | (rng[1:] != rng[:-1])) + 1
             starts = np.concatenate([[0], change]).astype(np.int64)
             ends = np.concatenate([change, [n]]).astype(np.int64)
+
+            def group_chunk(s: int, e: int) -> tuple:
+                base = (ids[s:e], tfs[s:e], dls[s:e])
+                if not with_positions:
+                    return base
+                flat = (
+                    np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col[s:e]])
+                    if e > s
+                    else np.zeros(0, dtype=np.int64)
+                )
+                return base + (flat,)
+
             out: list[dict] = []
             for gi in range(starts.size):
                 s, e = int(starts[gi]), int(ends[gi])
                 key = (int(shard[s]), int(tid[s]), int(rng[s]))
-                chunk = (ids[s:e], tfs[s:e], dls[s:e])
+                chunk = group_chunk(s, e)
                 if gi == 0 and tail_key is not None:
                     if key == tail_key:
                         tail_chunks.append(chunk)
@@ -340,9 +408,10 @@ def postings_from_tf(
     range_size: int,
     block_size: int,
     pack_parallelism: int,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """(doc_id, dl, tid, tf) rows (unique per (tid, doc_id)) -> packed
-    posting rows.
+    """(doc_id, dl, tid, tf[, pos]) rows (unique per (tid, doc_id)) ->
+    packed posting rows.
 
     The salted repartition keys on (shard, tid, range_id) so a hot term's
     ranges land on *different* tasks (split postings), and the within-
@@ -350,10 +419,11 @@ def postings_from_tf(
     enriched = tf.withColumn("shard", shard_of_tid_col("tid", num_shards)).withColumn(
         "range_id", (F.col("doc_id") / F.lit(range_size)).cast("long")
     )
+    schema = POSTINGS_SCHEMA_POS if with_positions else POSTINGS_SCHEMA
     return (
         enriched.repartition(pack_parallelism, "shard", "tid", "range_id")
         .sortWithinPartitions("shard", "tid", "range_id", "doc_id")
-        .mapInPandas(_pack_stream(block_size), POSTINGS_SCHEMA)
+        .mapInPandas(_pack_stream(block_size, with_positions), schema)
     )
 
 
@@ -375,6 +445,7 @@ def build_index(
     resume: bool = True,
     docs_have_ids: bool = False,
     store_terms: bool = False,
+    store_positions: bool = False,
     max_content_bytes: int | None = None,
 ) -> dict:
     """Build one index segment; returns the segment meta dict.
@@ -402,6 +473,7 @@ def build_index(
         "k1": k1,
         "b": b,
         "tokenizer": "code_aware_v3_cjk",
+        "store_positions": store_positions,
     }
     phash = params_hash(params)
 
@@ -438,7 +510,10 @@ def build_index(
     if not (resume and stage_committed(seg_dir, "termdocs", phash)):
         (
             base.select("doc_id", "lang", "content")
-            .mapInPandas(_tokenize_count(use_stopwords), TERMDOCS_SCHEMA)
+            .mapInPandas(
+                _tokenize_count(use_stopwords, store_positions),
+                TERMDOCS_SCHEMA_POS if store_positions else TERMDOCS_SCHEMA,
+            )
             .write.mode("overwrite")
             .parquet(termdocs_path)
         )
@@ -503,7 +578,8 @@ def build_index(
     # ---- stage: postings ---------------------------------------------
     if not (resume and stage_committed(seg_dir, "postings", phash)):
         packed = postings_from_tf(
-            termdocs, num_shards, range_size, block_size, pack_parallelism
+            termdocs, num_shards, range_size, block_size, pack_parallelism,
+            with_positions=store_positions,
         )
         (
             packed.write.mode("overwrite")
@@ -587,7 +663,14 @@ def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:
     if os.path.exists(root):
         with open(root) as f:
             meta = json.load(f)
-    shared = {k: seg_meta[k] for k in ("num_shards", "range_size", "block_size", "use_stopwords", "k1", "b", "tokenizer")}
+    shared = {
+        k: seg_meta[k]
+        for k in (
+            "num_shards", "range_size", "block_size", "use_stopwords",
+            "k1", "b", "tokenizer", "store_positions",
+        )
+        if k in seg_meta
+    }
     if meta["params"] and meta["params"] != shared:
         raise ValueError(f"segment params mismatch: {shared} vs index {meta['params']}")
     meta["params"] = shared
@@ -615,7 +698,10 @@ def append_segment(spark: SparkSession, docs: DataFrame, index_dir: str, **kwarg
     max_doc = max(s["max_doc_id"] for s in meta["segments"].values())
     offset = ((max_doc // range_size) + 1) * range_size
     seg_name = f"seg_{len(meta['segments']):06d}"
-    for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size"):
+    for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size",
+              "store_positions"):
+        if k not in meta["params"]:  # index built before this param existed
+            continue
         if k in kwargs and kwargs[k] != meta["params"][k]:
             raise ValueError(
                 f"append_segment: param {k}={kwargs[k]} conflicts with index "

@@ -14,6 +14,17 @@ Layout per (term, range) posting row:
     block), ``block_off`` (byte offset of block in blob),
     ``block_max_tf`` / ``block_min_dl`` (block-max bounds).
 
+Optional positions stream (``store_positions`` builds — phrase query
+support, the analog of Lucene's positional postings the reference
+exercises via PhraseQuery, ``LuceneFactoryTest.java:351-367``): each
+posting's in-doc token positions (ascending) are delta-encoded (first
+position absolute, then gaps) into a SEPARATE per-block VByte stream,
+stored as ``pos_blob`` + per-block ``pos_off`` offsets. Keeping
+positions in their own parquet column means the BM25/WAND scorers never
+read them (column pruning) — only phrase queries pay the extra I/O. The
+per-posting value counts are the tf stream, so no extra length table is
+needed.
+
 Block-max bounds are stored as (max tf, min dl) rather than a
 precomputed tfnorm so the bound stays valid under *any* global avgdl —
 BM25's tfnorm is monotone increasing in tf and decreasing in dl, so
@@ -87,12 +98,19 @@ def vbyte_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarra
 
 
 def pack_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int = BLOCK_SIZE
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Pack sorted (docId, tf, dl) postings into compressed blocks.
 
     Returns dict with ``blob`` (bytes) and the skip-table list columns.
-    ``doc_ids`` must be sorted ascending and unique.
+    ``doc_ids`` must be sorted ascending and unique. ``positions``
+    (optional): flat int array of every posting's ascending in-doc token
+    positions concatenated in posting order (length = tfs.sum()); when
+    given, the result also carries ``pos_blob`` / ``pos_off``.
     """
     n = doc_ids.size
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
@@ -102,6 +120,14 @@ def pack_postings(
     block_max_tf, block_min_dl = [], []
     parts: list[bytes] = []
     off = 0
+    with_pos = positions is not None
+    if with_pos:
+        positions = np.ascontiguousarray(positions, dtype=np.int64)
+        tf_bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs.astype(np.int64), out=tf_bounds[1:])
+        pos_parts: list[bytes] = []
+        pos_off: list[int] = []
+        poff = 0
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         ids = doc_ids[s:e]
@@ -116,7 +142,16 @@ def pack_postings(
         block_min_dl.append(int(dls[s:e].min()))
         parts.append(chunk)
         off += len(chunk)
-    return {
+        if with_pos:
+            p = positions[tf_bounds[s]:tf_bounds[e]]
+            d = np.diff(p, prepend=np.int64(0))
+            starts = (tf_bounds[s:e] - tf_bounds[s]).astype(np.int64)
+            d[starts] = p[starts]  # posting-first positions stay absolute
+            pchunk = vbyte_encode(d.astype(np.uint64))
+            pos_parts.append(pchunk)
+            pos_off.append(poff)
+            poff += len(pchunk)
+    out = {
         "n_docs": n,
         "blob": b"".join(parts),
         "block_first": block_first,
@@ -125,6 +160,10 @@ def pack_postings(
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
     }
+    if with_pos:
+        out["pos_blob"] = b"".join(pos_parts)
+        out["pos_off"] = pos_off
+    return out
 
 
 def unpack_block(blob, block_off, block_n, block_first, bi: int):
@@ -143,6 +182,46 @@ def unpack_block(blob, block_off, block_n, block_first, bi: int):
     doc_ids = deltas.cumsum(dtype=np.uint64)
     doc_ids += np.uint64(block_first[bi])
     return doc_ids, tfs, dls
+
+
+def unpack_block_positions(pos_blob, pos_off, tfs_block: np.ndarray, bi: int) -> np.ndarray:
+    """Decode one block's positions stream -> flat int64 array of absolute
+    in-doc positions (posting order; per-posting counts = ``tfs_block``).
+    """
+    start = pos_off[bi]
+    end = pos_off[bi + 1] if bi + 1 < len(pos_off) else len(pos_blob)
+    tfs_block = np.asarray(tfs_block, dtype=np.int64)
+    total = int(tfs_block.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    seg = np.frombuffer(pos_blob, dtype=np.uint8, count=end - start, offset=start)
+    deltas = vbyte_decode(seg.tobytes(), total).astype(np.int64)
+    c = np.cumsum(deltas)
+    starts = np.zeros(tfs_block.size, dtype=np.int64)
+    np.cumsum(tfs_block[:-1], out=starts[1:])
+    base = np.where(starts > 0, c[starts - 1], 0)
+    return c - np.repeat(base, tfs_block)
+
+
+def unpack_row_positions(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ALL blocks of one positional posting row.
+
+    Returns (doc_ids, tfs, dls, flat_positions) where ``flat_positions``
+    concatenates each posting's ascending positions in posting order.
+    """
+    d, t, l = unpack_postings(row)
+    pos_parts = []
+    boff = row["block_off"]
+    bn = row["block_n"]
+    cursor = 0
+    for bi in range(len(boff)):
+        nb = bn[bi]
+        pos_parts.append(
+            unpack_block_positions(row["pos_blob"], row["pos_off"], t[cursor:cursor + nb], bi)
+        )
+        cursor += nb
+    flat = np.concatenate(pos_parts) if pos_parts else np.zeros(0, dtype=np.int64)
+    return d, t, l, flat
 
 
 def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from dbsyncer_spark.functions.tokenizer import tokenize_py
 from dbsyncer_spark.index.build import _limit_arrow_threads, py_shard, term_id
-from dbsyncer_spark.index.codec import unpack_block
+from dbsyncer_spark.index.codec import unpack_block, unpack_row_positions
 
 _SCORE_SCHEMA = "doc_id long, score double"
 
@@ -305,6 +305,168 @@ class SearchIndex:
             )
         else:
             scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def search_phrase(
+        self,
+        query: str,
+        k: int = 10,
+        slop: int = 0,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Phrase top-k over a positional index (build with
+        ``store_positions=True``) — the reference's PhraseQuery
+        (``LuceneFactoryTest.java:351-367``).
+
+        Match semantics: tokenize the phrase in order (duplicates kept);
+        a doc matches at anchor position p iff term_0 occurs at p and,
+        for every later phrase term i, term_i has an occurrence whose
+        slop-adjusted position (pos - i) lies within ``slop`` of p.
+        ``slop=0`` is the exact consecutive phrase; ``slop>0`` is a
+        simplified in-order sloppy match (documented divergence from
+        Lucene's move-distance slop). ``phrase_freq`` = number of
+        matching anchors.
+
+        Scoring mirrors Lucene's PhraseQuery: score = (sum of the phrase
+        terms' idfs, duplicates counted, in phrase order) *
+        tfnorm(phrase_freq, dl). Returns (doc_id, score) ordered
+        (score desc, doc_id asc), <= k rows. Tombstones and
+        ``doc_filter`` (a Column over docstats) are applied post-scoring
+        — row-identical to pre-filtering since per-doc scores are
+        independent.
+        """
+        if not self.params.get("store_positions"):
+            raise ValueError(
+                "search_phrase needs a positional index — build with store_positions=True"
+            )
+        terms = tokenize_py(query)
+        spark = self.spark
+        if not terms:
+            return spark.createDataFrame([], _SCORE_SCHEMA)
+        uniq = sorted(set(terms))
+        dfs = self.lookup(uniq)
+        if len(dfs) < len(uniq):
+            # a phrase containing an unindexed term matches nothing
+            return spark.createDataFrame([], _SCORE_SCHEMA)
+        n, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
+        idf = {t: log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in uniq}
+        idf_sum = 0.0
+        for t in terms:  # duplicates counted, phrase order (oracle twin)
+            idf_sum += idf[t]
+        instances = [(term_id(t), i) for i, t in enumerate(terms)]
+        tids = sorted({tid for tid, _ in instances})
+        shards = sorted({py_shard(t, self.num_shards) for t in uniq})
+        range_size, m = self.range_size, len(terms)
+        POS_CAP = 1 << 22  # > max in-doc token position + phrase length
+
+        def scorer(key, pdf):
+            _limit_arrow_threads()
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            if pdf.empty or len(pdf["tid"].unique()) < len(tids):
+                return empty
+            base = int(key[0]) * range_size
+            # per tid: concatenated (docs, positions-by-token, dl-by-doc)
+            # across segments' rows in this range
+            per_tid: dict[int, tuple] = {}
+            for tid_v, grp in pdf.groupby("tid"):
+                docs_l, tok_docs_l, tok_pos_l, dls_l = [], [], [], []
+                for r in grp.itertuples(index=False):
+                    d, tf, dl, flat = unpack_row_positions(
+                        {
+                            "blob": r.blob,
+                            "block_off": list(r.block_off),
+                            "block_n": list(r.block_n),
+                            "block_first": list(r.block_first),
+                            "pos_blob": r.pos_blob,
+                            "pos_off": list(r.pos_off),
+                        }
+                    )
+                    d = d.astype(np.int64) - base
+                    docs_l.append(d)
+                    dls_l.append(dl.astype(np.int64))
+                    tok_docs_l.append(np.repeat(d, tf.astype(np.int64)))
+                    tok_pos_l.append(flat)
+                per_tid[int(tid_v)] = (
+                    np.concatenate(docs_l),
+                    np.concatenate(dls_l),
+                    np.concatenate(tok_docs_l),
+                    np.concatenate(tok_pos_l),
+                )
+            if slop == 0:
+                inter = None
+                for tid_v, i in instances:
+                    _, _, tdocs, tpos = per_tid[tid_v]
+                    if tpos.size and int(tpos.max()) >= POS_CAP - m:
+                        raise ValueError(
+                            f"token position {int(tpos.max())} exceeds POS_CAP "
+                            f"({POS_CAP}) — doc too long for phrase encoding"
+                        )
+                    keys = tdocs * POS_CAP + (tpos - i + m)
+                    inter = keys if inter is None else np.intersect1d(
+                        inter, keys, assume_unique=True
+                    )
+                    if inter.size == 0:
+                        return empty
+                hit_docs, freqs = np.unique(inter // POS_CAP, return_counts=True)
+            else:
+                # candidate docs contain every distinct term; per-doc
+                # anchor check via searchsorted (candidates are few)
+                cand = None
+                for tid_v in tids:
+                    d = per_tid[tid_v][0]
+                    cand = d if cand is None else np.intersect1d(cand, np.sort(d))
+                    if cand.size == 0:
+                        return empty
+                hit_l, freq_l = [], []
+                for doc in cand:
+                    anchors = None
+                    ok_all = None
+                    for tid_v, i in instances:
+                        _, _, tdocs, tpos = per_tid[tid_v]
+                        adj = np.sort(tpos[tdocs == doc]) - i
+                        if i == 0 and anchors is None:
+                            anchors = adj
+                            ok_all = np.ones(adj.size, dtype=bool)
+                            continue
+                        lo = np.searchsorted(adj, anchors - slop, side="left")
+                        ok = (lo < adj.size) & (adj[np.minimum(lo, adj.size - 1)] <= anchors + slop)
+                        ok_all &= ok
+                    f = int(ok_all.sum())
+                    if f:
+                        hit_l.append(doc)
+                        freq_l.append(f)
+                if not hit_l:
+                    return empty
+                hit_docs = np.asarray(hit_l, dtype=np.int64)
+                freqs = np.asarray(freq_l, dtype=np.int64)
+            # dl lookup from term_0's doc list
+            d0, dl0 = per_tid[instances[0][0]][0], per_tid[instances[0][0]][1]
+            order0 = np.argsort(d0)
+            dl = dl0[order0[np.searchsorted(d0[order0], hit_docs)]].astype(np.float64)
+            f = freqs.astype(np.float64)
+            tfn = f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avgdl))
+            scores = idf_sum * tfn
+            idx = hit_docs
+            if idx.size > k:
+                part = np.argpartition(-scores, k - 1)[:k]
+                idx, scores = idx[part], scores[part]
+            order = np.lexsort((idx, -scores))
+            return pd.DataFrame(
+                {"doc_id": (base + idx[order]).astype("int64"), "score": scores[order]}
+            )
+
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin(tids)
+        )
+        scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
+        tomb = self._tombstones()
+        if tomb is not None:
+            scored = scored.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        if doc_filter is not None:
+            allowed = self.docstats().filter(doc_filter).select("doc_id")
+            scored = scored.join(allowed, "doc_id", "left_semi")
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def _terms_table(self) -> DataFrame:

@@ -55,14 +55,15 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     back to (term, doc_id, tf, dl) rows and re-pack — a pure shuffle
     job, no Python-per-row, no re-analysis.
     """
-    from dbsyncer_spark.index.build import POSTINGS_SCHEMA, postings_from_tf
+    from dbsyncer_spark.index.build import postings_from_tf
     from dbsyncer_spark.index.lineage import commit_stage, params_hash
 
     idx = SearchIndex(spark, index_dir)
     params = idx.params
+    with_positions = bool(params.get("store_positions"))
     tomb = idx._tombstones()
 
-    decoded = decode_postings(idx._postings())
+    decoded = decode_postings(idx._postings(), with_positions=with_positions)
     stats = idx.docstats()
     if tomb is not None:
         tomb_ids = tomb.select("doc_id").distinct()
@@ -77,6 +78,7 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     packed = postings_from_tf(
         decoded, params["num_shards"], params["range_size"], params["block_size"],
         int(spark.conf.get("spark.sql.shuffle.partitions")),
+        with_positions=with_positions,
     )
     packed.write.mode("overwrite").partitionBy("shard").parquet(os.path.join(seg_dir, "postings"))
     stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "docstats"))
@@ -135,39 +137,52 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     return seg_meta
 
 
-def decode_postings(postings: DataFrame) -> DataFrame:
-    """Compressed posting rows -> (term, doc_id, tf, dl) via mapInPandas."""
+def decode_postings(postings: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Compressed posting rows -> (term, doc_id, tf, dl[, pos]) via
+    mapInPandas. ``with_positions`` decodes the positions stream too, so
+    compaction of a positional index round-trips positions losslessly."""
     import numpy as np
     import pandas as pd
 
-    from dbsyncer_spark.index.codec import unpack_postings
+    from dbsyncer_spark.index.codec import unpack_postings, unpack_row_positions
 
     def gen(batches):
         for pdf in batches:
             outs = []
             for r in pdf.itertuples(index=False):
-                d, t, l = unpack_postings(
-                    {
-                        "blob": r.blob,
-                        "block_off": list(r.block_off),
-                        "block_n": list(r.block_n),
-                        "block_first": list(r.block_first),
-                    }
-                )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "tid": np.repeat(np.int64(r.tid), d.size),
-                            "doc_id": d.astype("int64"),
-                            "tf": t.astype("int32"),
-                            "dl": l.astype("int32"),
-                        }
-                    )
-                )
+                row = {
+                    "blob": r.blob,
+                    "block_off": list(r.block_off),
+                    "block_n": list(r.block_n),
+                    "block_first": list(r.block_first),
+                }
+                if with_positions:
+                    row["pos_blob"] = r.pos_blob
+                    row["pos_off"] = list(r.pos_off)
+                    d, t, l, flat = unpack_row_positions(row)
+                else:
+                    d, t, l = unpack_postings(row)
+                out = {
+                    "tid": np.repeat(np.int64(r.tid), d.size),
+                    "doc_id": d.astype("int64"),
+                    "tf": t.astype("int32"),
+                    "dl": l.astype("int32"),
+                }
+                if with_positions:
+                    bounds = np.zeros(d.size + 1, dtype=np.int64)
+                    np.cumsum(t.astype(np.int64), out=bounds[1:])
+                    out["pos"] = [
+                        flat[bounds[i]:bounds[i + 1]].astype(np.int32)
+                        for i in range(d.size)
+                    ]
+                outs.append(pd.DataFrame(out))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return postings.mapInPandas(gen, "tid long, doc_id long, tf int, dl int")
+    schema = "tid long, doc_id long, tf int, dl int"
+    if with_positions:
+        schema += ", pos array<int>"
+    return postings.mapInPandas(gen, schema)
 
 
 def stream_to_index(

@@ -74,3 +74,44 @@ def test_empty_postings():
     assert packed["n_docs"] == 0 and packed["blob"] == b""
     d, t, l = unpack_postings(packed)
     assert d.size == 0
+
+
+def test_positional_roundtrip():
+    """Positions stream round-trips per block and via the row helper."""
+    import numpy as np
+
+    from dbsyncer_spark.index.codec import (
+        pack_postings,
+        unpack_block_positions,
+        unpack_row_positions,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 300
+    doc_ids = np.cumsum(rng.integers(1, 50, n)).astype(np.uint64)
+    tfs = rng.integers(1, 9, n).astype(np.uint64)
+    dls = rng.integers(10, 2000, n).astype(np.uint64)
+    pos = np.concatenate(
+        [np.sort(rng.choice(5000, size=int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    packed = pack_postings(doc_ids, tfs, dls, block_size=32, positions=pos)
+    assert "pos_blob" in packed and len(packed["pos_off"]) == len(packed["block_off"])
+
+    d, t, l, flat = unpack_row_positions(packed)
+    assert (d == doc_ids).all() and (t == tfs).all() and (l == dls).all()
+    assert (flat == pos).all()
+
+    # per-block decode agrees with the flat view
+    cursor = tcur = 0
+    for bi in range(len(packed["block_off"])):
+        nb = packed["block_n"][bi]
+        tf_blk = tfs[cursor:cursor + nb]
+        got = unpack_block_positions(packed["pos_blob"], packed["pos_off"], tf_blk, bi)
+        want = pos[tcur:tcur + int(tf_blk.sum())]
+        assert (got == want).all()
+        cursor += nb
+        tcur += int(tf_blk.sum())
+
+    # non-positional pack unchanged (no pos columns)
+    plain = pack_postings(doc_ids, tfs, dls, block_size=32)
+    assert "pos_blob" not in plain and plain["blob"] == packed["blob"]

@@ -1,0 +1,157 @@
+"""Phrase query gate (reference PhraseQuery with slop,
+``LuceneFactoryTest.java:351-367``): positional index round-trip, exact
+and sloppy matching, Lucene-style phrase-freq scoring, multi-segment +
+tombstone + compaction interplay — all vs a from-scratch Python oracle
+sharing only tokenize_py."""
+
+from __future__ import annotations
+
+from math import log
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.functions.tokenizer import tokenize_py
+from dbsyncer_spark.index.build import append_segment, build_index
+from dbsyncer_spark.index.search import SearchIndex
+
+PARAMS = dict(num_shards=4, range_size=64, block_size=8, num_id_buckets=4,
+              store_positions=True)
+
+DOCS = [
+    "big car drives fast",
+    "big red car",
+    "car big",
+    "the big car and the big car again",
+    "nothing relevant here",
+    "big apple car big car",
+    "carbig bigcar big_car",          # joined forms: "big_car" tokenizes to big,car!
+    "big big big car car",
+]
+
+
+def phrase_oracle(docs: dict[int, str], phrase: str, slop: int = 0, k: int = 10,
+                  exclude: set[int] | None = None):
+    """Independent implementation of the documented semantics: anchor at
+    each term_0 position p; match iff every later instance i has an
+    occurrence with (pos - i) within slop of p. score = idf_sum(phrase
+    instances) * tfnorm(freq, dl); stats over the FULL doc set (tombstones
+    mask results, not stats — Lucene pre-merge behavior)."""
+    terms = tokenize_py(phrase)
+    toks = {d: tokenize_py(c) for d, c in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in set(terms)}
+    if not terms or any(df[t] == 0 for t in terms):
+        return []
+    idf_sum = 0.0
+    for t in terms:
+        idf_sum += log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+    out = []
+    for d, tk in toks.items():
+        if exclude and d in exclude:
+            continue
+        pos = {t: [i for i, x in enumerate(tk) if x == t] for t in set(terms)}
+        freq = 0
+        for p in pos[terms[0]]:
+            if all(
+                any(abs((q - i) - p) <= slop for q in pos[t])
+                for i, t in enumerate(terms)
+            ):
+                freq += 1
+        if freq:
+            tfn = freq * 2.2 / (freq + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+            out.append((d, idf_sum * tfn))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    rows = [
+        (i, "r", f"f{i}.txt", f"c{i}", "en", c) for i, c in enumerate(DOCS[:6])
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path_factory.mktemp("phraseidx"))
+    build_index(spark, docs, d, docs_have_ids=True, **PARAMS)
+    # second segment exercises the multi-segment union path
+    extra = spark.createDataFrame(
+        [(i, "r", f"f{i}.txt", f"c{i}", "en", c) for i, c in enumerate(DOCS[6:], start=6)],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    append_segment(spark, extra, d, docs_have_ids=False, num_id_buckets=4)
+    return d
+
+
+def _doc_map(spark, d):
+    idx = SearchIndex(spark, d)
+    rows = idx.docstats().select("doc_id", "path").collect()
+    by_path = {r.path: r.doc_id for r in rows}
+    # original text by index doc_id (append re-assigned ids for seg 2)
+    return idx, {by_path[f"f{i}.txt"]: DOCS[i] for i in range(len(DOCS))}
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("big car", 0),
+    ("big car", 1),
+    ("big car", 2),
+    ("big car again", 0),
+    ("big big", 0),      # duplicate term in phrase
+    ("car", 0),          # single-term phrase == term query
+    ("big zzznothere", 0),
+])
+def test_phrase_matches_oracle(spark, pidx, phrase, slop):
+    idx, docs = _doc_map(spark, pidx)
+    got = [(r.doc_id, r.score) for r in idx.search_phrase(phrase, k=10, slop=slop).collect()]
+    want = phrase_oracle(docs, phrase, slop=slop, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], (phrase, slop)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), (phrase, slop, gd)
+
+
+def test_exact_phrase_specifics(spark, pidx):
+    idx, docs = _doc_map(spark, pidx)
+    inv = {v: k for k, v in docs.items()}
+    hits = {r.doc_id for r in idx.search_phrase("big car", k=10).collect()}
+    assert inv[DOCS[0]] in hits            # "big car drives fast"
+    assert inv[DOCS[1]] not in hits        # "big red car" needs slop 1
+    assert inv[DOCS[6]] in hits            # "big_car" splits to big,car
+    assert inv[DOCS[4]] not in hits
+    # slop widens: red-separated + reversed appear at slop>=1/2
+    h1 = {r.doc_id for r in idx.search_phrase("big car", k=10, slop=1).collect()}
+    assert inv[DOCS[1]] in h1
+    h2 = {r.doc_id for r in idx.search_phrase("big car", k=10, slop=2).collect()}
+    assert inv[DOCS[2]] in h2
+
+
+def test_phrase_requires_positions(spark, corpus, tmp_path):
+    d = str(tmp_path / "nopos")
+    build_index(spark, corpus.limit(20), d, num_shards=4, range_size=64, num_id_buckets=4)
+    with pytest.raises(ValueError, match="store_positions"):
+        SearchIndex(spark, d).search_phrase("merge scan")
+
+
+def test_phrase_tombstones_and_compaction(spark, pidx):
+    from dbsyncer_spark.streaming.incremental import compact_segments, delete_docs
+
+    idx, docs = _doc_map(spark, pidx)
+    inv = {v: k for k, v in docs.items()}
+    victim_path = "f0.txt"
+    delete_docs(spark, pidx, spark.createDataFrame([(victim_path,)], "path string"))
+    idx2 = SearchIndex(spark, pidx)
+    got = [(r.doc_id, r.score) for r in idx2.search_phrase("big car", k=10).collect()]
+    want = phrase_oracle(docs, "big car", k=10, exclude={inv[DOCS[0]]})
+    assert [g[0] for g in got] == [w[0] for w in want]
+    # compaction preserves positions: same phrase results, stats now over
+    # the live set only
+    compact_segments(spark, pidx)
+    idx3 = SearchIndex(spark, pidx)
+    live = {d: c for d, c in docs.items() if d != inv[DOCS[0]]}
+    got = [(r.doc_id, r.score) for r in idx3.search_phrase("big car", k=10).collect()]
+    want = phrase_oracle(live, "big car", k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
