@@ -62,23 +62,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _bm25_oracle(query: str, k: int, lang: str | None = None,
-                 src: str = "documents") -> str:
+                 src: str = "documents", token_pred: str | None = None) -> str:
     """DuckDB twin of bm25_topk_wide — identical formula, parenthesization
     and per-sorted-term summation order (k1=1.2, b=0.75). ``lang``
     restricts the CANDIDATES only (df/avgdl stay corpus-global, matching
     filtered Lucene queries — reference MUST clauses). ``src`` is the
     FROM-able corpus (table name or parenthesized subquery with doc_id,
-    text[, lang])."""
+    text[, lang]). ``token_pred``: extra SQL condition over the token
+    array ``t`` (candidate gate — e.g. the parsed-query MUST clauses)."""
     terms = sorted(set(tokenize_py(query)))
     inlist = ", ".join(f"'{t}'" for t in terms)
     wide = " + ".join(
         f"COALESCE(SUM(CASE WHEN term = '{t}' THEN partial END), 0.0)" for t in terms
     )
-    lang_pred = (
-        f"WHERE doc_id IN (SELECT doc_id FROM {src} WHERE lang = '{lang}')"
-        if lang
-        else ""
-    )
+    preds = []
+    if lang:
+        preds.append(f"doc_id IN (SELECT doc_id FROM {src} WHERE lang = '{lang}')")
+    if token_pred:
+        preds.append(f"doc_id IN (SELECT doc_id FROM base WHERE {token_pred})")
+    lang_pred = ("WHERE " + "\n  AND ".join(preds)) if preds else ""
     return f"""
 WITH toks AS (SELECT doc_id, {_TOK} AS t FROM {src}),
 base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
@@ -248,6 +250,39 @@ def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "score", highlight_col("text", FLAGSHIP_QUERY).alias("snippet")
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+PARSED_QUERY = "merge scan +table -window lang:en"
+
+
+def q_parsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed boolean/field query (reference QueryParser +
+    MUST/SHOULD composition): +table required, -window excluded, lang:en
+    metadata filter, BM25 scores merge|scan|table."""
+    from dbsyncer_spark.query.parser import parsed_topk_wide
+
+    docs = _t(spark, sf_dir, "documents")
+    return parsed_topk_wide(spark, docs, PARSED_QUERY, k=20,
+                            id_col="doc_id", text_col="text")
+
+
+def _parsed_oracle(q: str, k: int) -> str:
+    """Oracle generated FROM the parser itself, so the SQL tracks whatever
+    the query string means: MUST/MUST_NOT -> token-array membership
+    conditions, field clauses -> metadata predicates, scored set =
+    SHOULD ∪ MUST through the standard wide-BM25 skeleton."""
+    from dbsyncer_spark.query.parser import parse_query
+
+    pq = parse_query(q)
+    conds = [f"list_contains(t, '{t}')" for t in pq.must] + [
+        f"NOT list_contains(t, '{t}')" for t in pq.must_not
+    ]
+    assert not (pq.phrases or pq.not_phrases), "phrase clauses: use bm25_phrase"
+    token_pred = " AND ".join(conds) or None
+    return _bm25_oracle(
+        " ".join(pq.scored_terms), k, lang=pq.fields.get("lang"),
+        token_pred=token_pred,
     )
 
 
@@ -626,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_filtered": q_bm25_filtered,
         "bm25_topk_zh": q_bm25_topk_zh,
+        "parsed_query": q_parsed_query,
         "highlight_topk": q_highlight_topk,
         "term_match_count": q_term_match_count,
         "fulltext_like": q_fulltext_like,
@@ -667,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_phrase"] = _phrase_oracle(PHRASE_QUERY, 20)
+    sql["parsed_query"] = _parsed_oracle(PARSED_QUERY, 20)
     sql["bm25_filtered"] = _bm25_oracle(FLAGSHIP_QUERY, 20, lang="en")
     sql["bm25_topk_zh"] = _bm25_oracle(
         _ZH_QUERY, 20,

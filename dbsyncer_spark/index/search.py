@@ -263,6 +263,7 @@ class SearchIndex:
         k: int = 10,
         mode: str = "wand",
         doc_filter=None,
+        allowed_docs: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) ordered
         by (score desc, doc_id asc), k rows max.
@@ -270,6 +271,9 @@ class SearchIndex:
         ``doc_filter``: optional Column predicate over docstats columns
         (repo/path/lang/...) — the reference's MUST clauses. Corpus-level
         stats (idf, avgdl) stay global, matching filtered Lucene queries.
+        ``allowed_docs``: optional DataFrame with a ``doc_id`` column —
+        candidates are restricted to it (the boolean-clause gate used by
+        ``search_parsed``).
         """
         terms = sorted(set(tokenize_py(query)))
         dfs = self.lookup(terms)
@@ -286,7 +290,9 @@ class SearchIndex:
         )
 
         tomb = self._tombstones()
-        use_allowed = doc_filter is not None or tomb is not None
+        use_allowed = (
+            doc_filter is not None or tomb is not None or allowed_docs is not None
+        )
         scorer = _make_scorer(
             idfs, self.k1, self.b, self.avgdl, k, self.range_size,
             prune=(mode == "wand"), use_allowed=use_allowed,
@@ -295,6 +301,10 @@ class SearchIndex:
             allowed = self.docstats()
             if doc_filter is not None:
                 allowed = allowed.filter(doc_filter)
+            if allowed_docs is not None:
+                allowed = allowed.join(
+                    allowed_docs.select("doc_id"), "doc_id", "left_semi"
+                )
             if tomb is not None:
                 allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
             allowed = allowed.select("range_id", "doc_id")
@@ -306,6 +316,65 @@ class SearchIndex:
         else:
             scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def _docs_with_term(self, term: str) -> DataFrame:
+        """All doc_ids containing ``term`` (shard/tid-pruned postings scan,
+        decode-ids only — the blob's docId stream, never scores)."""
+        tid = term_id(term)
+        postings = self._postings().filter(
+            (F.col("shard") == py_shard(term, self.num_shards)) & (F.col("tid") == tid)
+        )
+        return postings.select(
+            F.explode(
+                _decode_ids_udf()(
+                    F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off")
+                )
+            ).alias("doc_id")
+        )
+
+    def search_parsed(self, query: str, k: int = 10):
+        """Parsed boolean/field/phrase query over the index — the
+        reference's QueryParser + MUST/SHOULD composition
+        (``LuceneFactoryTest.java:380-428``,
+        ``DiskStorageService.java:294-346``).
+
+        SHOULD ∪ MUST terms score (BM25, global stats); MUST terms,
+        phrases and ``field:value`` clauses gate candidates; MUST_NOT
+        terms/phrases exclude. Row-identical to the DataFrame twin
+        ``dbsyncer_spark.query.parser.parsed_topk_wide`` (pytest-gated).
+        Phrase clauses need a positional index."""
+        from dbsyncer_spark.query.parser import parse_query
+
+        pq = parse_query(query)
+        scored = pq.scored_terms
+        if not scored:
+            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+        allowed: DataFrame | None = None
+
+        def intersect(df: DataFrame | None, other: DataFrame, anti: bool = False):
+            base = self.docstats().select("doc_id") if df is None else df
+            return base.join(
+                other.select("doc_id"), "doc_id", "left_anti" if anti else "left_semi"
+            )
+
+        for t in pq.must:
+            allowed = intersect(allowed, self._docs_with_term(t))
+        for t in pq.must_not:
+            allowed = intersect(allowed, self._docs_with_term(t), anti=True)
+        for p in pq.phrases:
+            allowed = intersect(allowed, self.search_phrase(p, k=1 << 30))
+        for p in pq.not_phrases:
+            allowed = intersect(allowed, self.search_phrase(p, k=1 << 30), anti=True)
+
+        doc_filter = None
+        for f, v in pq.fields.items():
+            cond = F.col(f) == v
+            doc_filter = cond if doc_filter is None else (doc_filter & cond)
+
+        return self.search(
+            " ".join(scored), k=k, mode="exhaustive",
+            doc_filter=doc_filter, allowed_docs=allowed,
+        )
 
     def search_phrase(
         self,

@@ -1,0 +1,153 @@
+"""Query-string parser: Lucene-style boolean/field syntax over the BM25
+engine — the analog of the reference's ``QueryParser`` usage
+(``LuceneFactoryTest.java:380-428``) and its MUST/SHOULD query composition
+(``DiskStorageService.java:294-346``).
+
+Syntax (whitespace-separated units, quotes group):
+
+- ``term``          SHOULD clause: scores, not required
+- ``+term``         MUST clause: required AND scores (Lucene semantics)
+- ``-term``         MUST_NOT clause: excludes docs containing the term
+- ``field:value``   metadata equality filter (repo/path/lang/... columns)
+- ``"a phrase"``    exact-phrase MUST clause (filter; scored by the
+                    phrase-capable paths only — documented simplification
+                    vs Lucene, which also scores sloppy phrases)
+- ``+"a phrase"`` / ``-"a phrase"`` required / excluded phrase
+
+Every unit's text runs through the engine tokenizer (camelCase split,
+lowercase, CJK unigrams), so ``+getUserName`` requires all three of
+get/user/name. A unit that tokenizes to nothing (punctuation, stop-only)
+is dropped. Scoring set = SHOULD ∪ MUST terms; docs matching zero scored
+terms never surface (conjunctive-filter, disjunctive-score — matching the
+reference's boolean builder where MUST clauses gate candidates).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from dbsyncer_spark.functions.tokenizer import tokenize_py
+
+# unit = optional +/- prefix, then quoted phrase or bare run
+_UNIT_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
+
+@dataclass
+class ParsedQuery:
+    should: list[str] = field(default_factory=list)    # scored, optional
+    must: list[str] = field(default_factory=list)      # scored, required
+    must_not: list[str] = field(default_factory=list)  # excluded
+    phrases: list[str] = field(default_factory=list)   # required phrases
+    not_phrases: list[str] = field(default_factory=list)
+    fields: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def scored_terms(self) -> list[str]:
+        """SHOULD ∪ MUST, sorted unique — the BM25 term set."""
+        return sorted(set(self.should) | set(self.must))
+
+    def is_empty(self) -> bool:
+        return not (
+            self.should or self.must or self.must_not
+            or self.phrases or self.not_phrases or self.fields
+        )
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """Parse a query string into clause lists (see module docstring)."""
+    out = ParsedQuery()
+    for mod, unit, quoted in _UNIT_RE.findall(q or ""):
+        if quoted or unit.startswith('"'):
+            phrase = quoted
+            if tokenize_py(phrase):
+                (out.not_phrases if mod == "-" else out.phrases).append(phrase)
+            continue
+        fm = _FIELD_RE.match(unit)
+        if fm and mod == "":
+            out.fields[fm.group(1)] = fm.group(2)
+            continue
+        terms = tokenize_py(unit)
+        if not terms:
+            continue
+        dest = {"": out.should, "+": out.must, "-": out.must_not}[mod]
+        dest.extend(terms)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DataFrame execution (exhaustive twin — shares semantics with the index
+# path SearchIndex.search_parsed; both are contract-gated)
+# ---------------------------------------------------------------------------
+
+def phrase_contains_col(text_col, phrase: str):
+    """Pure-Column exact-phrase membership over the tokenized text:
+    TRUE iff the token sequence of ``phrase`` occurs consecutively."""
+    from pyspark.sql import functions as F
+
+    from dbsyncer_spark.functions.tokenizer import tokens_col
+
+    terms = tokenize_py(phrase)
+    if not terms:
+        return F.lit(True)
+    toks = tokens_col(text_col)
+    m = len(terms)
+
+    def window_is_match(i):
+        cond = F.element_at(toks, i + 1) == terms[0]
+        for j in range(1, m):
+            cond = cond & (F.element_at(toks, i + 1 + j) == terms[j])
+        return cond
+
+    # clamp to 0 (sequence(0,-1) would DESCEND); docs shorter than the
+    # phrase are rejected by the size guard, and out-of-range element_at
+    # inside the probe window yields NULL -> no match
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(m), F.lit(0)))
+    return (F.size(toks) >= m) & F.exists(starts, window_is_match)
+
+
+def parsed_doc_filter(pq: ParsedQuery, text_col: str):
+    """Column predicate for the non-scoring clauses (must / must_not /
+    fields / phrases). Returns None when there are none."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from dbsyncer_spark.functions.tokenizer import tokens_col
+
+    toks = tokens_col(text_col)
+    conds = []
+    for t in pq.must:
+        conds.append(F.array_contains(toks, t))
+    for t in pq.must_not:
+        conds.append(~F.array_contains(toks, t))
+    for f, v in pq.fields.items():
+        conds.append(F.col(f) == v)
+    for p in pq.phrases:
+        conds.append(phrase_contains_col(text_col, p))
+    for p in pq.not_phrases:
+        conds.append(~phrase_contains_col(text_col, p))
+    if not conds:
+        return None
+    return reduce(lambda a, b: a & b, conds)
+
+
+def parsed_topk_wide(spark, docs, query: str, k: int = 10,
+                     id_col: str = "doc_id", text_col: str = "content"):
+    """Parse + execute over a document DataFrame: boolean/field/phrase
+    clauses gate candidates, BM25 (deterministic wide sum) scores
+    SHOULD ∪ MUST terms. A query with no scored terms returns no rows
+    (documented: pure-filter queries need a match-all scorer we don't
+    emulate — the reference always pairs filters with a scored clause)."""
+    from dbsyncer_spark.query.bm25 import bm25_topk_wide
+
+    pq = parse_query(query)
+    scored = pq.scored_terms
+    if not scored:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    flt = parsed_doc_filter(pq, text_col)
+    return bm25_topk_wide(
+        spark, docs, " ".join(scored), k=k, id_col=id_col, text_col=text_col,
+        doc_filter=flt,
+    )

@@ -1,0 +1,111 @@
+"""Query-parser gate: syntax -> clause mapping, precedence corners, and
+row-identity between the two execution paths (index search_parsed vs the
+DataFrame twin parsed_topk_wide)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.query.parser import parse_query, parsed_topk_wide
+
+
+def test_parse_clauses():
+    pq = parse_query('merge +scan -window lang:python "buffer offset"')
+    assert pq.should == ["merge"]
+    assert pq.must == ["scan"]
+    assert pq.must_not == ["window"]
+    assert pq.fields == {"lang": "python"}
+    assert pq.phrases == ["buffer offset"]
+    assert pq.scored_terms == ["merge", "scan"]
+
+
+def test_parse_corners():
+    # camelCase unit expands inside its clause
+    pq = parse_query("+getUserName -parseHTTP")
+    assert pq.must == ["get", "user", "name"]
+    assert pq.must_not == ["parse", "http"]
+    # excluded phrase; quoted phrase keeps inner spaces
+    pq = parse_query('-"bad exact match" ok')
+    assert pq.not_phrases == ["bad exact match"] and pq.should == ["ok"]
+    # punctuation-only / empty units are dropped; empty query parses empty
+    assert parse_query("+++ --- ... ").is_empty()
+    assert parse_query("").is_empty()
+    # field syntax requires bare (unsigned) unit: +x:y is a term, not a field
+    pq = parse_query("+lang:python")
+    assert pq.fields == {} and pq.must == ["lang", "python"]
+    # multiple fields accumulate; later value wins per field
+    pq = parse_query("lang:go lang:java repo:r1")
+    assert pq.fields == {"lang": "java", "repo": "r1"}
+
+
+def test_parsed_topk_wide_semantics(spark):
+    rows = [
+        (0, "en", "merge scan table fast"),        # all clauses pass
+        (1, "en", "merge scan window table"),       # -window excludes
+        (2, "de", "merge scan table"),              # lang:en excludes
+        (3, "en", "merge scan fast"),               # +table missing
+        (4, "en", "table only text"),               # scores via table
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = parsed_topk_wide(
+        spark, docs, "merge scan +table -window lang:en", k=10,
+        id_col="doc_id", text_col="text",
+    ).collect()
+    assert [r.doc_id for r in out] == [0, 4]
+    # no scored terms -> no rows (documented)
+    assert parsed_topk_wide(spark, docs, "lang:en", k=10,
+                            id_col="doc_id", text_col="text").count() == 0
+
+
+def test_phrase_clause_filters(spark):
+    rows = [
+        (0, "en", "the buffer offset grows"),
+        (1, "en", "offset buffer grows"),   # words present, phrase absent
+        (2, "en", "buffer grows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = parsed_topk_wide(spark, docs, 'grows "buffer offset"', k=10,
+                           id_col="doc_id", text_col="text").collect()
+    assert [r.doc_id for r in out] == [0]
+    out = parsed_topk_wide(spark, docs, 'grows -"buffer offset"', k=10,
+                           id_col="doc_id", text_col="text").collect()
+    # doc 2 is shorter (dl=2) -> higher BM25 for the same tf
+    assert [r.doc_id for r in out] == [2, 1]
+
+
+@pytest.fixture(scope="module")
+def parsed_idx(spark, corpus, tmp_path_factory):
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.search import SearchIndex
+
+    d = str(tmp_path_factory.mktemp("parsedidx"))
+    build_index(spark, corpus, d, num_shards=8, range_size=256,
+                num_id_buckets=32, store_positions=True)
+    return SearchIndex(spark, d)
+
+
+@pytest.mark.parametrize("q", [
+    "merge offset +scan",
+    "merge offset -scan",
+    "import lang:python",
+    "token shard +batch -sync lang:go",
+    'merge +"merge scan"',
+    "getUserName +user",
+])
+def test_index_path_matches_dataframe_twin(spark, corpus, parsed_idx, q):
+    """search_parsed (postings gate + allowed-mask scoring) must return
+    exactly the DataFrame twin's rows on the same corpus."""
+    from dbsyncer_spark.index.docids import assign_doc_ids
+
+    docs = assign_doc_ids(corpus, num_buckets=32).withColumnRenamed("content", "text")
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in parsed_topk_wide(spark, docs, q, k=10, id_col="doc_id",
+                                  text_col="text").collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in parsed_idx.search_parsed(q, k=10).collect()
+    ]
+    assert got == want, q
