@@ -237,19 +237,23 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k + hit highlighting (reference F12) on the fetched page only.
-    No SQL oracle (lookaround regex is outside DuckDB's RE2) — the Python
-    twin is asserted in tests/test_highlight.py; driver does rows-only."""
-    from dbsyncer_spark.functions.highlight import highlight_col
+    """Top-k + best-fragment highlighting (reference F12 getBestFragment)
+    on the fetched page only. Piece-array implementation is fully
+    RE2-expressible, so this is value-hash-checked against DuckDB (was
+    rows-only in r1). Top-k computed with slack then cut on the rounded
+    score (same tie discipline as the index queries)."""
+    from dbsyncer_spark.functions.highlight import best_fragment_col
 
     docs = _t(spark, sf_dir, "documents")
-    topk = bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=10, id_col="doc_id", text_col="text")
+    topk = bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=40, id_col="doc_id", text_col="text")
     return (
         docs.join(F.broadcast(topk), "doc_id")
         .select(
-            "doc_id", "score", highlight_col("text", FLAGSHIP_QUERY).alias("snippet")
+            "doc_id", "score",
+            best_fragment_col("text", FLAGSHIP_QUERY, width=24).alias("snippet"),
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
 
 
@@ -700,6 +704,15 @@ def oracle_sql() -> dict[str, str]:
     sh3 = _shingle_sql(3)
     sql: dict[str, str] = {}
 
+    from dbsyncer_spark.functions.highlight import highlight_sql_exprs
+
+    frag = highlight_sql_exprs("d.text", FLAGSHIP_QUERY, width=24)["fragment"]
+    sql["highlight_topk"] = f"""
+SELECT t.doc_id, t.score, {frag} AS snippet
+FROM ({_bm25_oracle(FLAGSHIP_QUERY, 40)}) t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC LIMIT 10
+"""
+
     sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_phrase"] = _phrase_oracle(PHRASE_QUERY, 20)
@@ -710,9 +723,6 @@ def oracle_sql() -> dict[str, str]:
         src=(f"(SELECT doc_id, translate(lower(text), '{_ASCII26}', '{_CJK26}')"
              " AS text FROM documents)"),
     )
-    # highlight_topk: intentionally no oracle (lookaround regex is outside
-    # DuckDB's RE2) -> rows-only check; Python twin in tests/test_highlight.py
-
     sql["file_roundtrip"] = """
 SELECT parts[1]::BIGINT AS event_id,
        parts[2]::BIGINT AS user_id,
@@ -1007,8 +1017,28 @@ SELECT doc_id AS media_id,
        'unknown' AS format
 FROM documents
 """
-    # multimodal_decode: intentionally no oracle (mapInPandas plumbing
-    # with stubbed decode) -> driver records rows-only check.
+    # the FAKE decoder's dims are a pure function of the payload bytes
+    # (ops/multimodal.py), so the mapInPandas plumbing IS oracle-checkable
+    # (was rows-only in r1): byte k extracted via hex + strpos (portable,
+    # encoding-independent)
+    def byte_at(k: int) -> str:
+        # DuckDB substring() is VARCHAR-only: hex the blob, read 2 chars
+        h = f"substring(hex(text::BLOB), {2 * k - 1}, 2)"
+        return (
+            f"((strpos('0123456789ABCDEF', substring({h}, 1, 1)) - 1) * 16"
+            f" + strpos('0123456789ABCDEF', substring({h}, 2, 1)) - 1)"
+        )
+
+    sql["multimodal_decode"] = f"""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       octet_length(text::BLOB)::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       (16 + (CASE WHEN octet_length(text::BLOB) >= 1 THEN {byte_at(1)} ELSE 0 END) % 240)::INT AS width,
+       (16 + (CASE WHEN octet_length(text::BLOB) >= 2 THEN {byte_at(2)} ELSE 0 END) % 240)::INT AS height,
+       1 AS n_frames
+FROM documents
+"""
     return sql
 
 
