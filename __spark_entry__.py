@@ -617,9 +617,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsyncer_spark.ops.textstats import lang_id, quality_score
 
+    from dbsyncer_spark.ops.dedup import _spread
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", quality_score("text").alias("quality"), lang_id("text").alias("lang_pred")
+    # tokenize ONCE in a child projection; every ratio reads the attribute
+    # (CollapseProject keeps multi-referenced non-cheap aliases intact)
+    base = _spread(docs).select("doc_id", "text", tokens_col("text").alias("_t"))
+    t = F.col("_t")
+    return base.select(
+        "doc_id",
+        quality_score("text", tokens=t).alias("quality"),
+        lang_id("text", tokens=t).alias("lang_pred"),
     )
 
 

@@ -60,6 +60,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism guard: if the input has fewer partitions than
+    the session's shuffle parallelism (a sub-row-group local file, one
+    kafka partition, ...), repartition it so the expensive map side
+    (tokenize + shingle + hash) isn't serialized on one core. The
+    round-robin shuffle moves exactly the input bytes once; at real scale
+    the file scan already yields >= cores splits and this is a no-op."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingles of the tokenized text, as array<string>.
 
@@ -74,11 +87,64 @@ def word_shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Colum
     return F.array_distinct(sh) if distinct else sh
 
 
-def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
+def _doc_shingles_col(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Column-expression shingle stream — the oracle twin of the kernel
+    below (byte-identical rows, parity-tested). The per-position
+    slice+concat_ws allocates heavily inside codegen (measured
+    allocation-bound: ~13 s for 260k shingles regardless of parallelism),
+    so the hot path uses the Arrow kernel; this form exists for SQL
+    parity and zero-Python contexts."""
+    return _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) rows via the vectorized Arrow kernel: pyarrow
+    RE2 tokenize (same passes as the index build kernel) + per-doc
+    distinct n-gram join. ~20x the Column form's throughput; identical
+    rows (tests/test_ops.py parity gate; empty docs emit the '' shingle,
+    matching the Column/SQL twins)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbsyncer_spark.functions.tokenizer import CAMEL_RULES, CJK_CLASS, CJK_PAD
+    from dbsyncer_spark.index.build import _limit_arrow_threads
+
+    sel = _spread(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        _limit_arrow_threads()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = pa.array(pdf["text"].fillna(""), type=pa.string())
+            for pat, repl in CAMEL_RULES + [CJK_PAD]:
+                arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+            arr = pc.utf8_lower(arr)
+            lists = pc.split_pattern_regex(arr, pattern=f"[^a-z0-9{CJK_CLASS}]+")
+            ids_out: list[int] = []
+            sh_out: list[str] = []
+            for did, toks in zip(pdf["doc_id"].to_numpy(), lists.to_pylist()):
+                toks = [t for t in toks if t]
+                seen: set[str] = set()
+                for i in range(max(len(toks) - n, 0) + 1):
+                    s = " ".join(toks[i:i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        sh_out.append(s)
+                        ids_out.append(int(did))
+            yield pd.DataFrame(
+                {"doc_id": np.asarray(ids_out, dtype=np.int64), "shingle": sh_out}
+            )
+
+    return sel.mapInPandas(gen, "doc_id long, shingle string")
 
 
 def ngram_jaccard_pairs(
@@ -101,19 +167,25 @@ def ngram_jaccard_pairs(
     # the frequency cap must run before collect_list, otherwise one
     # degenerate shingle shared by 10^7 docs materializes a 10^7-element
     # aggregation buffer (executor OOM) before the size filter ever sees
-    # it. The count agg and the semi-join shuffle on the same shingle key,
-    # so Catalyst reuses the exchange; surviving buckets are bounded by
-    # max_shingle_freq, making the collect_list allocation provably
-    # bounded. With max_shingle_freq=None the caller explicitly accepts
-    # unbounded buckets (small-corpus use only).
+    # it. The explicit repartition on the bucket key is the SINGLE
+    # exchange of the shingle stream: the count branch and the join probe
+    # both consume it (ReusedExchange — the tokenize+shingle lineage runs
+    # once), and every downstream groupBy(shingle) is already clustered,
+    # so no further exchange. (A partial-agg count would shuffle a
+    # DIFFERENT dataset than the probe and force the lineage to run
+    # twice.) Surviving buckets are bounded by max_shingle_freq, making
+    # the collect_list allocation provably bounded. With
+    # max_shingle_freq=None the caller explicitly accepts unbounded
+    # buckets (small-corpus use only).
     if max_shingle_freq is not None:
+        shp = sh.repartition("shingle")
         ok = (
-            sh.groupBy("shingle")
+            shp.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("f"))
             .filter(F.col("f") <= max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(ok, "shingle")
+        sh = shp.join(ok, "shingle")
     buckets = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
     inter = (
         buckets.filter(F.size("ids") > 1)
@@ -192,16 +264,19 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    # pre-count on the bucket key (same shuffle key as the bucket build —
-    # exchange reused), keep only buckets with 2..cap members, THEN build
-    # the bounded member lists and emit pairs. One logical shuffle; the
-    # signature lineage (shingles + N min-hashes) is computed once.
-    cnt = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("f"))
+    # pre-count on the bucket key, keep only buckets with 2..cap members,
+    # THEN build the bounded member lists and emit pairs. The explicit
+    # repartition is the single exchange both the count branch and the
+    # join probe consume (ReusedExchange — the signature lineage of
+    # shingles + N min-hashes runs ONCE), and the post-join
+    # groupBy(band,bh) is already clustered.
+    bp = buckets.repartition("band", "bh")
+    cnt = bp.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("f"))
     keep = cnt.filter(F.col("f") >= 2)
     if max_bucket_size is not None:
         keep = keep.filter(F.col("f") <= max_bucket_size)
     grouped = (
-        buckets.join(keep.select("band", "bh"), ["band", "bh"])
+        bp.join(keep.select("band", "bh"), ["band", "bh"])
         .groupBy("band", "bh")
         .agg(F.collect_list("doc_id").alias("ids"))
     )

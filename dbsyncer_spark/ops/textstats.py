@@ -47,40 +47,48 @@ def punct_ratio(col: Column | str) -> Column:
     return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
 
 
-def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
-    toks = tokens_col(col)
+def stopword_ratio(col: Column | str, stopwords: list[str],
+                   tokens: Column | None = None) -> Column:
+    toks = tokens_col(col) if tokens is None else tokens
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def mean_token_len(col: Column | str) -> Column:
-    toks = tokens_col(col)
+def mean_token_len(col: Column | str, tokens: Column | None = None) -> Column:
+    toks = tokens_col(col) if tokens is None else tokens
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:
+def quality_score(col: Column | str, stopwords: list[str] | None = None,
+                  tokens: Column | None = None) -> Column:
     """Composite document quality in [0,1]: length band + low punctuation
     + healthy mean token length + stopword presence. Deterministic
-    heuristic (the point is the Column-math shape, not linguistics)."""
+    heuristic (the point is the Column-math shape, not linguistics).
+
+    ``tokens``: pre-tokenized array column. Pass it when combining with
+    other token-deriving features so the text is tokenized ONCE in a
+    child projection (each inline ``tokens_col`` re-runs the full regex
+    pipeline per expression — 5 expansions cost ~2.3x at sf0.1)."""
     sw = stopwords or LANG_MARKERS["en"]
     toks_n = ws_token_count(col).cast("double")
     len_band = F.least(toks_n / F.lit(20.0), F.lit(1.0))  # saturate at 20 tokens
     low_punct = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
-    mtl = mean_token_len(col)
+    mtl = mean_token_len(col, tokens=tokens)
     mtl_band = F.lit(1.0) - F.least(F.abs(mtl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
-    sw_band = F.least(stopword_ratio(col, sw) * F.lit(5.0), F.lit(1.0))
+    sw_band = F.least(stopword_ratio(col, sw, tokens=tokens) * F.lit(5.0), F.lit(1.0))
     return F.round((len_band + low_punct + mtl_band + sw_band) / F.lit(4.0), 6)
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, tokens: Column | None = None) -> Column:
     """Heuristic language ID: argmax of per-language marker-token hit
     ratios; 'zh' if CJK chars present; 'und' when nothing scores.
 
-    Ties broken by fixed language order (deterministic).
+    Ties broken by fixed language order (deterministic). ``tokens``:
+    pre-tokenized array column (see quality_score).
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens_col(c)
+    toks = tokens_col(c) if tokens is None else tokens
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*marks))).cast("double") / n
@@ -97,6 +105,37 @@ def lang_id(col: Column | str) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
 
 
+def fingerprints_col(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints, Column/window form — the oracle twin of
+    the Arrow kernel below (identical rows, parity-tested). The per-
+    position slice+concat_ws+md5 is allocation-bound in codegen, so the
+    hot path is the kernel; this form documents the declarative shape
+    (bounded window over (doc, pos) — shuffles on doc_id only)."""
+    from pyspark.sql import Window as W
+
+    from dbsyncer_spark.ops.dedup import _spread
+
+    toks = tokens_col(text_col)
+    kg = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(kgram), F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, kgram))),
+    )
+    pos = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(kg).alias("pos", "h")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        pos.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",
@@ -107,20 +146,51 @@ def fingerprints(
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     word k-gram, keep the min hash of each sliding window of ``window``
     consecutive k-grams, distinct per doc. md5-hex min (=numeric min on
-    fixed-width hex). Returns (doc_id, fp) exploded + distinct.
+    fixed-width hex). Returns (doc_id, fp).
 
-    The window min is a bounded window over (doc, position) — partitioned
-    by doc, so at scale it shuffles once on doc_id, never globally."""
-    from pyspark.sql import Window as W
+    Arrow-kernel implementation: tokenize (same pyarrow passes as the
+    index build), per-doc k-gram md5 + sliding-window min in Python over
+    the batch — the whole operator becomes MAP-ONLY + one distinct
+    (the Column/window twin ``fingerprints_col`` shuffles on doc_id for
+    its window; rows are identical — parity gate in tests)."""
+    import hashlib
 
-    toks = tokens_col(text_col)
-    kg = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(kgram), F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, kgram))),
+    import pandas as pd
+
+    from dbsyncer_spark.functions.tokenizer import CAMEL_RULES, CJK_CLASS, CJK_PAD
+    from dbsyncer_spark.index.build import _limit_arrow_threads
+    from dbsyncer_spark.ops.dedup import _spread
+
+    sel = _spread(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
-    pos = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(kg).alias("pos", "h"))
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    return (
-        pos.select("doc_id", F.min("h").over(w).alias("fp"))
-        .distinct()
-    )
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        _limit_arrow_threads()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = pa.array(pdf["text"].fillna(""), type=pa.string())
+            for pat, repl in CAMEL_RULES + [CJK_PAD]:
+                arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+            arr = pc.utf8_lower(arr)
+            lists = pc.split_pattern_regex(arr, pattern=f"[^a-z0-9{CJK_CLASS}]+")
+            ids_out: list[int] = []
+            fp_out: list[str] = []
+            for did, toks in zip(pdf["doc_id"].to_numpy(), lists.to_pylist()):
+                toks = [t for t in toks if t]
+                hs = [
+                    hashlib.md5(" ".join(toks[i:i + kgram]).encode()).hexdigest()
+                    for i in range(max(len(toks) - kgram, 0) + 1)
+                ]
+                fps = {min(hs[i:i + window]) for i in range(len(hs))}
+                ids_out.extend([int(did)] * len(fps))
+                fp_out.extend(fps)
+            yield pd.DataFrame({"doc_id": ids_out, "fp": fp_out})
+
+    # per-doc set already emits distinct (doc_id, fp) and a doc lives in
+    # exactly one input row — no distinct() shuffle needed
+    return sel.mapInPandas(gen, "doc_id long, fp string")

@@ -128,3 +128,25 @@ def test_knn_join_agrees_with_cosine_topk(spark):
         for r in knn_join(emb, q, k=5, qid_col="qid").orderBy(F.col("score").desc(), "vec_id").collect()
     ]
     assert single == joined
+
+
+def test_shingle_kernel_matches_column_form(spark, docs):
+    """The Arrow shingle kernel must emit exactly the Column form's
+    (doc_id, shingle) rows — incl. the '' shingle for empty docs."""
+    from dbsyncer_spark.ops.dedup import _doc_shingles, _doc_shingles_col
+
+    extra = docs.union(spark.createDataFrame(
+        [(9, ""), (10, "getUserName snake_case 中文测试 short")],
+        "doc_id long, text string"))
+    a = sorted((r.doc_id, r.shingle) for r in _doc_shingles(extra, "text", "doc_id", 3).collect())
+    b = sorted((r.doc_id, r.shingle) for r in _doc_shingles_col(extra, "text", "doc_id", 3).collect())
+    assert a == b and len(a) > 0
+
+
+def test_fingerprint_kernel_matches_column_form(spark):
+    from dbsyncer_spark.ops.textstats import fingerprints, fingerprints_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    a = sorted((r.doc_id, r.fp) for r in fingerprints(docs).collect())
+    b = sorted((r.doc_id, r.fp) for r in fingerprints_col(docs).collect())
+    assert a == b and len(a) > 0
