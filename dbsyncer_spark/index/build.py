@@ -486,8 +486,12 @@ def build_index(
         flagged = docs.withColumn("_reason", bad_reason)
         bad = flagged.filter(F.col("_reason").isNotNull())
         if not (resume and stage_committed(seg_dir, "quarantine", phash)):
+            # full row image (content included) — replay must not depend
+            # on the source still holding the bad rows (the reference
+            # persists the protobuf row image for UI-driven replay,
+            # FlushStrategyImpl / DataSyncServiceImpl.java:106-206)
             (
-                bad.select("repo", "path", "commit", "lang", "_reason")
+                bad.select("repo", "path", "commit", "lang", "content", "_reason")
                 .withColumnRenamed("_reason", "reason")
                 .write.mode("overwrite")
                 .parquet(seg_quarantine)
@@ -684,6 +688,27 @@ def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
     os.replace(tmp, root)
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    index_dir: str,
+    segment: str = "seg_000000",
+    **kwargs,
+) -> dict | None:
+    """Re-ingest a segment's dead-letter rows from the quarantine's own
+    row images (no source read — the reference's capture-and-replay,
+    ``DataSyncServiceImpl.java:106-206``). Pass relaxed/fixed build
+    kwargs (e.g. a higher ``max_content_bytes``); rows that still fail
+    are re-quarantined in the new segment. Returns the new segment's
+    meta, or None if the quarantine is empty/absent."""
+    q = os.path.join(index_dir, "segments", segment, "quarantine")
+    if not os.path.exists(q):
+        return None
+    rows = spark.read.parquet(q).drop("reason")
+    if not rows.head(1):
+        return None
+    return append_segment(spark, rows, index_dir, **kwargs)
 
 
 def append_segment(spark: SparkSession, docs: DataFrame, index_dir: str, **kwargs) -> dict:

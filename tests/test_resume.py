@@ -96,7 +96,7 @@ def test_quarantine_dead_letter(spark, tmp_path):
     rows = [
         ("r", "ok.py", "c1", "python", "def parse(): return merge_offset"),
         ("r", "null.py", "c2", "python", None),
-        ("r", "big.py", "c3", "python", "x" * 5000),
+        ("r", "big.py", "c3", "python", "x " * 2500),
     ]
     docs = spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, content string"
@@ -110,5 +110,24 @@ def test_quarantine_dead_letter(spark, tmp_path):
     q = spark.read.parquet(d + "/segments/seg_000000/quarantine")
     got = {(r.path, r.reason) for r in q.collect()}
     assert got == {("null.py", "null_content"), ("big.py", "oversized_content")}
+    # the quarantine carries the FULL row image (content), so replay
+    # cannot depend on the source retaining the bad rows
+    assert {r.path: r.content for r in q.collect()}["big.py"] == "x " * 2500
     idx = SearchIndex(spark, d)
     assert idx.search("merge offset", k=5).count() == 1
+
+    # replay from quarantine ALONE (source df gone from scope — nothing
+    # re-reads it) with a relaxed limit: the oversized doc becomes
+    # searchable; the null row is re-quarantined in the new segment
+    from dbsyncer_spark.index.build import replay_quarantine
+
+    del docs
+    meta2 = replay_quarantine(
+        spark, d, num_id_buckets=8, max_content_bytes=10_000,
+    )
+    assert meta2 is not None and meta2["n_docs"] == 1
+    idx2 = SearchIndex(spark, d)
+    assert idx2.n_docs == 2
+    assert idx2.search("x", k=5).count() == 1  # "x " * 2500 tokenizes to x's
+    q2 = spark.read.parquet(d + f"/segments/{meta2['segment']}/quarantine")
+    assert {(r.path, r.reason) for r in q2.collect()} == {("null.py", "null_content")}
