@@ -657,6 +657,35 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True)
 
 
+def q_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL lifecycle (K6 sink + C7 barrier analog; reference
+    ``DDLParserImpl.java:54-104``): create a parquet table from the
+    even-doc_id half of documents, ALTER ADD a column, append the odd
+    half with it populated, CHANGE-rename lang->language, MODIFY-narrow
+    n_chars to int, DROP text — then read the evolved table. Every ALTER
+    is a metadata-only log append (no data rewrite), the property that
+    keeps DDL O(1) on a 100 TB table."""
+    import tempfile
+
+    from dbsyncer_spark.sources import ddl as D
+
+    docs = _t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="dbss_ddl_")
+    D.create_table(
+        spark, tdir, docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang", "n_chars")
+    )
+    D.apply_ddl(tdir, "ALTER TABLE documents ADD COLUMN `source` varchar(255) NULL")
+    D.append_rows(
+        spark,
+        tdir,
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang", "n_chars", "source"),
+    )
+    D.apply_ddl(tdir, "ALTER TABLE documents CHANGE COLUMN `lang` `language` varchar(16)")
+    D.apply_ddl(tdir, "ALTER TABLE documents MODIFY COLUMN n_chars int")
+    D.apply_ddl(tdir, "ALTER TABLE documents DROP COLUMN text")
+    return D.read_evolved(spark, tdir)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -704,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "ddl_evolution": q_ddl_evolution,
     }
 
 
@@ -1045,6 +1075,15 @@ SELECT doc_id AS media_id,
        (16 + (CASE WHEN octet_length(text::BLOB) >= 1 THEN {byte_at(1)} ELSE 0 END) % 240)::INT AS width,
        (16 + (CASE WHEN octet_length(text::BLOB) >= 2 THEN {byte_at(2)} ELSE 0 END) % 240)::INT AS height,
        1 AS n_frames
+FROM documents
+"""
+    # evolved read = merged scan + projection replay: added column is NULL
+    # for pre-ALTER files (the even half), rename/cast are pure projection
+    sql["ddl_evolution"] = """
+SELECT doc_id,
+       lang AS language,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CASE WHEN doc_id % 2 = 1 THEN source END AS source
 FROM documents
 """
     return sql

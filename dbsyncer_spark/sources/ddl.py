@@ -1,0 +1,381 @@
+"""DDL parsing + parquet-native schema evolution — the analog of the
+reference's DDL sink (K6) and incremental DDL barrier (C7).
+
+Reference behavior (``parser/ddl/impl/DDLParserImpl.java:54-104`` +
+``parser/ddl/alter/{Add,Drop,Modify,Change}Strategy.java``): an ALTER
+statement is parsed into one of four ops — ADD / DROP / MODIFY / CHANGE
+— yielding the affected column names (back-quotes and double quotes
+stripped); the statement is re-targeted at the sink table, and the
+TableGroup's field mappings are refreshed per op
+(``DDLParserImpl.java:109-199``: append skips columns already mapped or
+absent from either side; change renames source and, when the names
+matched, target; drop removes the mapping; modify re-resolves the field).
+
+Spark shape: the sandbox has no Iceberg runtime, so the sink is an
+immutable parquet directory plus a JSON evolution log — exactly
+Iceberg's metadata-only evolution model, re-expressed over plain
+parquet. ``apply_ddl`` parses the ALTER, validates it against the
+current logical schema, and appends one log entry atomically
+(temp-file + ``os.replace``). ``read_evolved`` replays the log as a
+projection over a ``mergeSchema`` scan:
+
+- ADD    -> column surfaced, NULL for files written before the ALTER
+- DROP   -> column no longer projected (files untouched)
+- CHANGE -> rename-on-read: ``coalesce`` over the physical name history
+            (files written after the rename carry the new name)
+- MODIFY -> ``cast``-on-read to the new type
+
+No data file is ever rewritten: every DDL is an O(1) metadata operation
+regardless of table size — the property that makes schema evolution
+viable on a 100 TB table. The one scale trade-off is documented where
+it happens: a renamed column reads as a 2-column ``coalesce`` until the
+table is compacted, which widens that column's scan but keeps every
+other pushdown intact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LOG_NAME = "_ddl_log.json"
+DATA_DIR = "data"
+
+# ---------------------------------------------------------------------------
+# ALTER parsing (reference: jsqlparser Alter -> AlterStrategy dispatch)
+# ---------------------------------------------------------------------------
+
+# MySQL-ish source types -> Spark SQL DDL types. Unknown types fall back
+# to string, mirroring the reference's default FieldResolver.stringValue().
+_TYPE_MAP = {
+    "varchar": "string",
+    "char": "string",
+    "text": "string",
+    "longtext": "string",
+    "mediumtext": "string",
+    "tinytext": "string",
+    "json": "string",
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "int": "int",
+    "integer": "int",
+    "mediumint": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "real": "double",
+    "decimal": "decimal",
+    "numeric": "decimal",
+    "bit": "boolean",
+    "boolean": "boolean",
+    "bool": "boolean",
+    "date": "date",
+    "datetime": "timestamp",
+    "timestamp": "timestamp",
+    "time": "string",
+    "binary": "binary",
+    "varbinary": "binary",
+    "blob": "binary",
+    "longblob": "binary",
+}
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>(?:`[^`]*`|\"[^\"]*\"|[\w$])+"
+    r"(?:\s*\.\s*(?:`[^`]*`|\"[^\"]*\"|[\w$])+)?)\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IDENT = r"(?:`[^`]*`|\"[^\"]*\"|[\w$]+)"
+_ADD_RE = re.compile(
+    rf"^ADD\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s+(?P<type>\w+(?:\s*\([^)]*\))?)",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(rf"^DROP\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s*$", re.IGNORECASE)
+_MODIFY_RE = re.compile(
+    rf"^MODIFY\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s+(?P<type>\w+(?:\s*\([^)]*\))?)",
+    re.IGNORECASE,
+)
+_CHANGE_RE = re.compile(
+    rf"^CHANGE\s+(?:COLUMN\s+)?(?P<old>{_IDENT})\s+(?P<new>{_IDENT})"
+    r"(?:\s+(?P<type>\w+(?:\s*\([^)]*\))?))?",
+    re.IGNORECASE,
+)
+
+
+def _unquote(name: str) -> str:
+    """Strip back-quotes / double quotes, as the reference strategies do
+    (``AddStrategy.java:33-35`` et al.)."""
+    return name.strip().strip("`").strip('"')
+
+
+def _split_clauses(body: str) -> list[str]:
+    """Split ALTER clauses on top-level commas (``decimal(10,2)`` safe)."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def to_spark_type(source_type: str) -> str:
+    """Map a MySQL-ish column type to a Spark SQL type string."""
+    m = re.match(r"^(\w+)(?:\s*\(([^)]*)\))?", source_type.strip())
+    if not m:
+        return "string"
+    base = m.group(1).lower()
+    spark = _TYPE_MAP.get(base, "string")
+    if spark == "decimal":
+        args = m.group(2) or "10,0"
+        return f"decimal({args})"
+    return spark
+
+
+@dataclass
+class DDLConfig:
+    """Parsed ALTER — the analog of ``sdk/config/DDLConfig.java``.
+
+    One statement may carry several clauses of the SAME op (the reference
+    dispatches per-expression but accumulates into one config); mixed-op
+    statements keep the last op tag, like the reference's
+    ``setDdlOperationEnum`` overwrite.
+    """
+
+    table: str = ""
+    operation: str = ""  # ADD | DROP | MODIFY | CHANGE
+    added: list[tuple[str, str]] = field(default_factory=list)  # (name, spark type)
+    dropped: list[str] = field(default_factory=list)
+    modified: list[tuple[str, str]] = field(default_factory=list)
+    changed: dict[str, str] = field(default_factory=dict)  # old -> new
+
+
+def parse_alter(sql: str) -> DDLConfig:
+    """Parse an ``ALTER TABLE`` statement into a :class:`DDLConfig`.
+
+    Reference: ``DDLParserImpl.parse`` (jsqlparser) + the four
+    ``AlterStrategy`` implementations. Raises ``ValueError`` on anything
+    that isn't a well-formed ALTER with recognized clauses.
+    """
+    m = _ALTER_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        raise ValueError(f"not an ALTER TABLE statement: {sql!r}")
+    cfg = DDLConfig(table=_unquote(m.group("table").split(".")[-1]))
+    for clause in _split_clauses(m.group("body")):
+        if a := _ADD_RE.match(clause):
+            cfg.added.append((_unquote(a.group("col")), to_spark_type(a.group("type"))))
+            cfg.operation = "ADD"
+        elif d := _DROP_RE.match(clause):
+            cfg.dropped.append(_unquote(d.group("col")))
+            cfg.operation = "DROP"
+        elif mo := _MODIFY_RE.match(clause):
+            cfg.modified.append(
+                (_unquote(mo.group("col")), to_spark_type(mo.group("type")))
+            )
+            cfg.operation = "MODIFY"
+        elif c := _CHANGE_RE.match(clause):
+            cfg.changed[_unquote(c.group("old"))] = _unquote(c.group("new"))
+            cfg.operation = "CHANGE"
+        else:
+            raise ValueError(f"unsupported ALTER clause: {clause!r}")
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Field-mapping refresh (reference DDLParserImpl.refreshFiledMappings)
+# ---------------------------------------------------------------------------
+
+
+def refresh_field_mappings(
+    mappings: list[tuple[str, str]],
+    cfg: DDLConfig,
+    source_cols: set[str],
+    target_cols: set[str],
+) -> list[tuple[str, str]]:
+    """Patch (source, target) column mappings after a DDL, with the
+    reference's exact semantics (``DDLParserImpl.java:109-199``):
+
+    - ADD:    skip a column already mapped name->name; otherwise append a
+              mapping only when the column now exists on BOTH sides.
+    - DROP:   remove mappings whose source is a dropped column.
+    - CHANGE: rename the mapping's source; when the target had the same
+              name, rename it too.
+    - MODIFY: type-only change — mapping names are untouched (the
+              reference re-resolves the Field object; names stay).
+    """
+    out = list(mappings)
+    if cfg.operation == "ADD":
+        for name, _t in cfg.added:
+            if any(s == name and t == name for s, t in out):
+                continue
+            if name in source_cols and name in target_cols:
+                out.append((name, name))
+    elif cfg.operation == "DROP":
+        out = [(s, t) for s, t in out if s not in cfg.dropped]
+    elif cfg.operation == "CHANGE":
+        out = [
+            (cfg.changed.get(s, s), cfg.changed[s] if (s in cfg.changed and t == s) else t)
+            for s, t in out
+        ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Evolved parquet table: create / apply_ddl / append / read
+# ---------------------------------------------------------------------------
+
+
+def _log_path(table_dir: str) -> str:
+    return os.path.join(table_dir, LOG_NAME)
+
+
+def _read_log(table_dir: str) -> list[dict]:
+    with open(_log_path(table_dir)) as f:
+        return json.load(f)
+
+
+def _write_log(table_dir: str, entries: list[dict]) -> None:
+    """Atomic log swap — same visibility rule as the index root-meta
+    (write temp, ``os.replace``): readers see the old or new schema,
+    never a torn one."""
+    fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".ddltmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(entries, f, indent=1)
+    os.replace(tmp, _log_path(table_dir))
+
+
+@dataclass
+class _LogicalColumn:
+    name: str  # current logical name
+    physical: list[str]  # name history, oldest first (rename appends)
+    type: str  # current Spark SQL type (MODIFY updates)
+
+
+def _replay(entries: list[dict]) -> list[_LogicalColumn]:
+    cols: list[_LogicalColumn] = []
+    for e in entries:
+        op = e["op"]
+        if op == "create":
+            cols = [_LogicalColumn(n, [n], t) for n, t in e["schema"]]
+        elif op == "add":
+            if any(c.name == e["name"] for c in cols):
+                raise ValueError(f"ADD: column exists: {e['name']}")
+            cols.append(_LogicalColumn(e["name"], [e["name"]], e["type"]))
+        elif op == "drop":
+            before = len(cols)
+            cols = [c for c in cols if c.name != e["name"]]
+            if len(cols) == before:
+                raise ValueError(f"DROP: no such column: {e['name']}")
+        elif op == "change":
+            for c in cols:
+                if c.name == e["old"]:
+                    c.name = e["new"]
+                    c.physical.append(e["new"])
+                    break
+            else:
+                raise ValueError(f"CHANGE: no such column: {e['old']}")
+        elif op == "modify":
+            for c in cols:
+                if c.name == e["name"]:
+                    c.type = e["type"]
+                    break
+            else:
+                raise ValueError(f"MODIFY: no such column: {e['name']}")
+    return cols
+
+
+def logical_schema(table_dir: str) -> list[tuple[str, str]]:
+    """Current (name, type) list after replaying the evolution log."""
+    return [(c.name, c.type) for c in _replay(_read_log(table_dir))]
+
+
+def create_table(spark: SparkSession, table_dir: str, df: DataFrame) -> None:
+    """Materialize ``df`` as the table's first snapshot + log entry 0."""
+    os.makedirs(table_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, DATA_DIR))
+    schema = [(f_.name, f_.dataType.simpleString()) for f_ in df.schema.fields]
+    _write_log(table_dir, [{"op": "create", "schema": schema}])
+
+
+def apply_ddl(table_dir: str, sql: str) -> DDLConfig:
+    """Parse + validate + append an ALTER to the evolution log (O(1),
+    no data rewrite). Returns the parsed config for mapping refresh."""
+    cfg = parse_alter(sql)
+    entries = _read_log(table_dir)
+    for name, typ in cfg.added:
+        entries.append({"op": "add", "name": name, "type": typ})
+    for name in cfg.dropped:
+        entries.append({"op": "drop", "name": name})
+    for name, typ in cfg.modified:
+        entries.append({"op": "modify", "name": name, "type": typ})
+    for old, new in cfg.changed.items():
+        entries.append({"op": "change", "old": old, "new": new})
+    _replay(entries)  # validate before publishing
+    _write_log(table_dir, entries)
+    return cfg
+
+
+def append_rows(spark: SparkSession, table_dir: str, df: DataFrame) -> None:
+    """Append a batch under the CURRENT logical schema (post-rename names;
+    added columns may be present or absent — absent reads as NULL)."""
+    logical = {n: t for n, t in logical_schema(table_dir)}
+    unknown = [c for c in df.columns if c not in logical]
+    if unknown:
+        raise ValueError(f"append: columns not in logical schema: {unknown}")
+    cast = df.select(*[F.col(c).cast(logical[c]).alias(c) for c in df.columns])
+    cast.write.mode("append").parquet(os.path.join(table_dir, DATA_DIR))
+
+
+def read_evolved(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Scan with ``mergeSchema`` and project the logical schema.
+
+    Old files lacking an added column yield NULL; renamed columns
+    coalesce over the physical-name history (newest first); MODIFY types
+    apply as casts. Filters on non-renamed columns still push down to
+    the parquet scan — the projection is plain Column math.
+    """
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(table_dir, DATA_DIR)
+    )
+    have = set(merged.columns)
+    out = []
+    for c in _replay(_read_log(table_dir)):
+        present = [p for p in reversed(c.physical) if p in have]
+        if not present:
+            expr = F.lit(None)
+        elif len(present) == 1:
+            expr = F.col(present[0])
+        else:
+            expr = F.coalesce(*[F.col(p) for p in present])
+        out.append(expr.cast(c.type).alias(c.name))
+    return merged.select(*out)
+
+
+def compact_table(spark: SparkSession, table_dir: str) -> None:
+    """Rewrite the table under its current logical schema and reset the
+    log — the explicit, heavyweight operation (full scan + write) that
+    collapses rename histories so scans are single-column again."""
+    df = read_evolved(spark, table_dir)
+    tmp = os.path.join(table_dir, f"compact-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    old = os.path.join(table_dir, DATA_DIR)
+    shutil.rmtree(old)
+    os.replace(tmp, old)
+    schema = [(f_.name, f_.dataType.simpleString()) for f_ in df.schema.fields]
+    _write_log(table_dir, [{"op": "create", "schema": schema}])

@@ -1,0 +1,135 @@
+"""DDL parsing + parquet-native schema evolution (K6 sink / C7 barrier).
+
+Reference semantics under test: ``DDLParserImpl.java:54-104`` (parse +
+op classification), ``:109-199`` (field-mapping refresh), and the four
+alter strategies (quote stripping, multi-clause statements).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbsyncer_spark.sources import ddl as D
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def test_parse_add_multi_clause_backquotes():
+    cfg = D.parse_alter(
+        "ALTER TABLE `test`.`test_user` "
+        "ADD COLUMN `aaa` varchar(255) NULL AFTER `create_date`, "
+        "ADD COLUMN `bbb` varchar(255) NULL AFTER `aaa`"
+    )
+    assert cfg.operation == "ADD"
+    assert cfg.table == "test_user"
+    assert cfg.added == [("aaa", "string"), ("bbb", "string")]
+
+
+def test_parse_drop_change_modify():
+    cfg = D.parse_alter('ALTER TABLE t DROP COLUMN "aaa", DROP `bbb`')
+    assert cfg.operation == "DROP" and cfg.dropped == ["aaa", "bbb"]
+
+    cfg = D.parse_alter(
+        "ALTER TABLE `test`.`test_user` CHANGE COLUMN `name` `name2` "
+        "varchar(200) NULL DEFAULT NULL AFTER `id`"
+    )
+    assert cfg.operation == "CHANGE" and cfg.changed == {"name": "name2"}
+
+    cfg = D.parse_alter("ALTER TABLE t MODIFY COLUMN price decimal(10,2) NOT NULL;")
+    assert cfg.operation == "MODIFY" and cfg.modified == [("price", "decimal(10,2)")]
+
+
+def test_parse_rejects_non_alter_and_unknown_clause():
+    with pytest.raises(ValueError):
+        D.parse_alter("DROP TABLE t")
+    with pytest.raises(ValueError):
+        D.parse_alter("ALTER TABLE t RENAME TO u")
+
+
+def test_type_mapping():
+    assert D.to_spark_type("varchar(255)") == "string"
+    assert D.to_spark_type("BIGINT") == "bigint"
+    assert D.to_spark_type("datetime") == "timestamp"
+    assert D.to_spark_type("decimal(12,3)") == "decimal(12,3)"
+    assert D.to_spark_type("weirdtype") == "string"
+
+
+# ------------------------------------------------- field-mapping refresh
+
+
+def test_mapping_refresh_reference_semantics():
+    maps = [("id", "id"), ("name", "name"), ("x", "y")]
+    both = {"id", "name", "x", "aaa"}
+
+    # ADD: skip already-mapped name->name; only append when on both sides
+    cfg = D.DDLConfig(operation="ADD", added=[("aaa", "string"), ("zzz", "string"), ("id", "int")])
+    out = D.refresh_field_mappings(maps, cfg, both, both)
+    assert ("aaa", "aaa") in out and not any(s == "zzz" for s, _ in out)
+    assert out.count(("id", "id")) == 1
+
+    # DROP removes by source name
+    cfg = D.DDLConfig(operation="DROP", dropped=["name"])
+    assert ("name", "name") not in D.refresh_field_mappings(maps, cfg, both, both)
+
+    # CHANGE renames source; target only when it had the same name
+    cfg = D.DDLConfig(operation="CHANGE", changed={"name": "name2", "x": "x2"})
+    out = D.refresh_field_mappings(maps, cfg, both, both)
+    assert ("name2", "name2") in out and ("x2", "y") in out
+
+
+# --------------------------------------------------- evolution lifecycle
+
+
+def test_evolved_table_lifecycle(spark, tmp_path):
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(0, 6).selectExpr(
+        "id", "concat('u', id) AS name", "cast(id * 10 as bigint) AS n"
+    )
+    D.create_table(spark, tdir, base)
+
+    # ADD then append a batch carrying the new column
+    D.apply_ddl(tdir, "ALTER TABLE tbl ADD COLUMN note varchar(64)")
+    batch = spark.range(6, 9).selectExpr(
+        "id", "concat('u', id) AS name", "cast(id * 10 as bigint) AS n", "'new' AS note"
+    )
+    D.append_rows(spark, tdir, batch)
+    got = {r["id"]: r["note"] for r in D.read_evolved(spark, tdir).collect()}
+    assert got[0] is None and got[7] == "new"
+
+    # CHANGE: rename-on-read coalesces old/new physical names
+    D.apply_ddl(tdir, "ALTER TABLE tbl CHANGE COLUMN name user_name varchar(64)")
+    D.append_rows(
+        spark,
+        tdir,
+        spark.range(9, 10).selectExpr("id", "'u9' AS user_name", "90 AS n", "'new' AS note"),
+    )
+    rows = {r["id"]: r["user_name"] for r in D.read_evolved(spark, tdir).collect()}
+    assert rows[3] == "u3" and rows[9] == "u9"
+
+    # MODIFY casts on read
+    D.apply_ddl(tdir, "ALTER TABLE tbl MODIFY COLUMN n int")
+    assert dict(D.logical_schema(tdir))["n"] == "int"
+    assert D.read_evolved(spark, tdir).schema["n"].dataType.simpleString() == "int"
+
+    # DROP hides the column without touching files
+    D.apply_ddl(tdir, "ALTER TABLE tbl DROP COLUMN note")
+    assert "note" not in D.read_evolved(spark, tdir).columns
+
+    # invalid DDL is rejected BEFORE publishing (log unchanged)
+    with pytest.raises(ValueError):
+        D.apply_ddl(tdir, "ALTER TABLE tbl DROP COLUMN nope")
+    assert [n for n, _ in D.logical_schema(tdir)] == ["id", "user_name", "n"]
+
+    # appends under a stale schema are rejected
+    with pytest.raises(ValueError):
+        D.append_rows(spark, tdir, spark.range(1).selectExpr("id", "'x' AS name"))
+
+    # compaction collapses the rename history; results identical
+    before = sorted(map(tuple, D.read_evolved(spark, tdir).collect()))
+    D.compact_table(spark, tdir)
+    after = sorted(map(tuple, D.read_evolved(spark, tdir).collect()))
+    assert before == after
+    assert [c.physical for c in D._replay(D._read_log(tdir))] == [
+        ["id"], ["user_name"], ["n"]
+    ]
