@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from dbsyncer_spark.functions.tokenizer import tokenize_py
 from dbsyncer_spark.index.build import _limit_arrow_threads, py_shard, term_id
 from dbsyncer_spark.index.codec import unpack_block, unpack_row_positions
+from dbsyncer_spark.session import empty_df
 
 _SCORE_SCHEMA = "doc_id long, score double"
 
@@ -202,11 +203,21 @@ class SearchIndex:
         if cache_postings:
             # pre-partitioned by range_id: the per-query
             # groupBy(range_id).applyInPandas then reuses the cached
-            # partitioning — no exchange inside the serving hot path
-            p = self._postings().repartition("range_id").persist()
+            # partitioning — no exchange inside the serving hot path.
+            # Partition count = number of live docId ranges (capped at
+            # shuffle.partitions), NOT the session default: a 100k-doc
+            # index has 2 ranges, and a 32-partition cache costs 30 empty
+            # Python-worker round trips per query (~12 ms each — the
+            # whole p50 was scheduling floor, measured r2). ClusteredDist
+            # is satisfied by any hash partitioning on range_id, so fewer
+            # partitions than ranges stays correct (ranges co-group).
+            n_ranges = max(1, -(-self.n_docs // self.range_size))
+            default_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            n_parts = min(n_ranges, default_parts)
+            p = self._postings().repartition(n_parts, "range_id").persist()
             p.count()
             self._df_cache["postings"] = p
-            d = self.docstats().repartition("range_id").persist()
+            d = self.docstats().repartition(n_parts, "range_id").persist()
             d.count()
             self._df_cache["docstats"] = d
 
@@ -279,7 +290,7 @@ class SearchIndex:
         dfs = self.lookup(terms)
         spark = self.spark
         if not dfs:
-            return spark.createDataFrame([], _SCORE_SCHEMA)
+            return empty_df(spark, _SCORE_SCHEMA)
 
         n = self.n_docs
         idfs = {term_id(t): log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) for t, df_ in dfs.items()}
@@ -348,7 +359,7 @@ class SearchIndex:
         pq = parse_query(query)
         scored = pq.scored_terms
         if not scored:
-            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+            return empty_df(self.spark, _SCORE_SCHEMA)
         allowed: DataFrame | None = None
 
         def intersect(df: DataFrame | None, other: DataFrame, anti: bool = False):
@@ -411,12 +422,12 @@ class SearchIndex:
         terms = tokenize_py(query)
         spark = self.spark
         if not terms:
-            return spark.createDataFrame([], _SCORE_SCHEMA)
+            return empty_df(spark, _SCORE_SCHEMA)
         uniq = sorted(set(terms))
         dfs = self.lookup(uniq)
         if len(dfs) < len(uniq):
             # a phrase containing an unindexed term matches nothing
-            return spark.createDataFrame([], _SCORE_SCHEMA)
+            return empty_df(spark, _SCORE_SCHEMA)
         n, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
         idf = {t: log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in uniq}
         idf_sum = 0.0
@@ -589,7 +600,7 @@ class SearchIndex:
 
     def _search_expanded(self, terms: list[str], k: int) -> DataFrame:
         if not terms:
-            return self.spark.createDataFrame([], _SCORE_SCHEMA)
+            return empty_df(self.spark, _SCORE_SCHEMA)
         return self.search(" ".join(terms), k=k)
 
     def search_prefix(self, prefix: str, k: int = 10, limit: int = 1024) -> DataFrame:
@@ -626,7 +637,7 @@ class SearchIndex:
         dfs = self.lookup(all_terms)
         out_schema = "query_id string, doc_id long, score double"
         if not dfs:
-            return spark.createDataFrame([], out_schema)
+            return empty_df(spark, out_schema)
         n, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
         idfs = {term_id(t): log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) for t, df_ in dfs.items()}
         # query_id -> {tid} for terms present in the index
@@ -636,7 +647,7 @@ class SearchIndex:
         }
         qterms = {qid: ts for qid, ts in qterms.items() if ts}
         if not qterms:
-            return spark.createDataFrame([], out_schema)
+            return empty_df(spark, out_schema)
         by_tid: dict[int, list[str]] = {}
         for qid, ts in qterms.items():
             for t in ts:

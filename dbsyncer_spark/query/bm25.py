@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from dbsyncer_spark import BM25_B, BM25_K1
 from dbsyncer_spark.functions.tokenizer import tokenize_py, tokens_col
+from dbsyncer_spark.session import empty_df
 
 
 def idf_col(df_col, n_docs) -> F.Column:
@@ -107,7 +108,7 @@ def bm25_topk_wide(
     6dp, ordered (score desc, id asc), limit k."""
     q_terms = sorted(set(tokenize_py(query)))
     if not q_terms:
-        return spark.createDataFrame([], f"{id_col} long, score double")
+        return empty_df(spark, f"{id_col} long, score double")
     partials = bm25_scored_terms(docs, q_terms, id_col, text_col, k1, b)
     aggs = [
         F.sum(F.when(F.col("term") == t, F.col("partial"))).alias(f"_s{i}")
@@ -154,7 +155,7 @@ def bm25_topk(
     """
     q_terms = sorted(set(tokenize_py(query)))
     if not q_terms:
-        return spark.createDataFrame([], f"{id_col} long, score double")
+        return empty_df(spark, f"{id_col} long, score double")
 
     base = docs.select(
         F.col(id_col).cast("long").alias(id_col),

@@ -28,6 +28,7 @@ import re
 from dataclasses import dataclass, field
 
 from dbsyncer_spark.functions.tokenizer import tokenize_py
+from dbsyncer_spark.session import empty_df
 
 # unit = optional +/- prefix, then quoted phrase or bare run
 _UNIT_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
@@ -145,7 +146,7 @@ def parsed_topk_wide(spark, docs, query: str, k: int = 10,
     pq = parse_query(query)
     scored = pq.scored_terms
     if not scored:
-        return spark.createDataFrame([], f"{id_col} long, score double")
+        return empty_df(spark, f"{id_col} long, score double")
     flt = parsed_doc_filter(pq, text_col)
     return bm25_topk_wide(
         spark, docs, " ".join(scored), k=k, id_col=id_col, text_col=text_col,

@@ -68,6 +68,19 @@ def get_spark(
     return spark
 
 
+def empty_df(spark: SparkSession, schema: str):
+    """Empty DataFrame that COLLECTS WITHOUT A SPARK JOB.
+
+    ``createDataFrame([], schema)`` parallelizes ``defaultParallelism``
+    empty slices — a 32-task no-op job (~500 ms per miss-query collect,
+    measured r2). ``WHERE false`` lets Catalyst's PruneFilters fold the
+    plan to an empty LocalRelation (LocalTableScan <empty>), which
+    ``collect()`` serves driver-side."""
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame([], schema).where(F.lit(False))
+
+
 def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
     """Pre-fork the Arrow Python UDF workers (one per core) so the first
     real UDF stage doesn't pay n concurrent numpy/pandas import storms
