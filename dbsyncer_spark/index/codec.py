@@ -166,6 +166,73 @@ def pack_postings(
     return out
 
 
+def _vbyte_decode_arr(b: np.ndarray, count: int) -> np.ndarray:
+    """Vectorized VByte decode of a uint8 array -> uint64 array."""
+    if b.size == 0 or count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)[:count]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        mask = lengths > j
+        vals[mask] |= (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return vals
+
+
+def unpack_blocks(blob, block_off, block_n, block_first, keep=None):
+    """Decode all (or ``keep``, an index array of) blocks of one posting
+    row in ONE vectorized pass -> (doc_ids, tfs, dls) uint64 arrays.
+
+    Row-identical to concatenating per-block ``unpack_block`` results
+    (pytest parity-gated), but the numpy call overhead is paid once per
+    ROW instead of once per 128-posting block — the per-block loop was
+    ~143 us/block of fixed overhead, which dominated hot-term scoring
+    (~770 blocks = ~110 ms per query, measured r2)."""
+    boff = np.asarray(block_off, dtype=np.int64)
+    bn = np.asarray(block_n, dtype=np.int64)
+    bf = np.asarray(block_first, dtype=np.uint64)
+    blob_len = len(blob)
+    if keep is not None:
+        keep = np.asarray(keep, dtype=np.int64)
+        if keep.size == 0:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z.copy(), z.copy()
+        bends = np.empty_like(boff)
+        bends[:-1] = boff[1:]
+        bends[-1] = blob_len
+        full = np.frombuffer(blob, dtype=np.uint8)
+        b = np.concatenate([full[boff[i]:bends[i]] for i in keep])
+        bn, bf = bn[keep], bf[keep]
+    else:
+        b = np.frombuffer(blob, dtype=np.uint8)
+    if bn.size == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    n_total = int(bn.sum())
+    vals = _vbyte_decode_arr(b, 3 * n_total)
+    # per-block value layout: [deltas(n) tfs(n) dls(n)]; map each posting
+    # to its three value indexes with arange/repeat arithmetic
+    v0 = np.zeros(bn.size, dtype=np.int64)
+    np.cumsum(3 * bn[:-1], out=v0[1:])
+    p0 = np.zeros(bn.size, dtype=np.int64)
+    np.cumsum(bn[:-1], out=p0[1:])
+    j = np.arange(n_total, dtype=np.int64) - np.repeat(p0, bn)
+    bn_rep = np.repeat(bn, bn)
+    d_idx = np.repeat(v0, bn) + j
+    deltas = vals[d_idx]
+    tfs = vals[d_idx + bn_rep]
+    dls = vals[d_idx + 2 * bn_rep]
+    # docIds: block-first absolute + within-block cumsum of deltas
+    # (delta at each block start is stored as 0)
+    c = deltas.cumsum(dtype=np.uint64)
+    base = c[p0]  # c at block start == prefix before the block (delta=0)
+    doc_ids = np.repeat(bf, bn) + c - np.repeat(base, bn)
+    return doc_ids, tfs, dls
+
+
 def unpack_block(blob, block_off, block_n, block_first, bi: int):
     """Decode one block -> (doc_ids, tfs, dls) uint64 arrays."""
     start = block_off[bi]
@@ -204,37 +271,32 @@ def unpack_block_positions(pos_blob, pos_off, tfs_block: np.ndarray, bi: int) ->
 
 
 def unpack_row_positions(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Decode ALL blocks of one positional posting row.
+    """Decode ALL blocks of one positional posting row (one vectorized
+    pass per stream — see ``unpack_blocks``).
 
     Returns (doc_ids, tfs, dls, flat_positions) where ``flat_positions``
     concatenates each posting's ascending positions in posting order.
     """
     d, t, l = unpack_postings(row)
-    pos_parts = []
-    boff = row["block_off"]
-    bn = row["block_n"]
-    cursor = 0
-    for bi in range(len(boff)):
-        nb = bn[bi]
-        pos_parts.append(
-            unpack_block_positions(row["pos_blob"], row["pos_off"], t[cursor:cursor + nb], bi)
-        )
-        cursor += nb
-    flat = np.concatenate(pos_parts) if pos_parts else np.zeros(0, dtype=np.int64)
+    total = int(t.sum())
+    if total == 0:
+        return d, t, l, np.zeros(0, dtype=np.int64)
+    b = np.frombuffer(row["pos_blob"], dtype=np.uint8)
+    vals = _vbyte_decode_arr(b, total).astype(np.int64)
+    # each posting's first value is absolute, the rest are gaps: global
+    # cumsum minus the cumsum just before each posting's start recovers
+    # the absolute positions regardless of block/posting boundaries
+    c = np.cumsum(vals)
+    tfs_i = t.astype(np.int64)
+    starts = np.zeros(tfs_i.size, dtype=np.int64)
+    np.cumsum(tfs_i[:-1], out=starts[1:])
+    base = np.where(starts > 0, c[starts - 1], 0)
+    flat = c - np.repeat(base, tfs_i)
     return d, t, l, flat
 
 
 def unpack_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode all blocks of one posting row -> (doc_ids, tfs, dls)."""
-    outs_d, outs_t, outs_l = [], [], []
-    blob = row["blob"]
-    boff, bn, bf = row["block_off"], row["block_n"], row["block_first"]
-    for bi in range(len(boff)):
-        d, t, l = unpack_block(blob, boff, bn, bf, bi)
-        outs_d.append(d)
-        outs_t.append(t)
-        outs_l.append(l)
-    if not outs_d:
-        z = np.zeros(0, dtype=np.uint64)
-        return z, z.copy(), z.copy()
-    return np.concatenate(outs_d), np.concatenate(outs_t), np.concatenate(outs_l)
+    return unpack_blocks(
+        row["blob"], row["block_off"], row["block_n"], row["block_first"]
+    )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from dbsyncer_spark.functions.tokenizer import tokenize_py
 from dbsyncer_spark.index.build import _limit_arrow_threads, py_shard, term_id
-from dbsyncer_spark.index.codec import unpack_block, unpack_row_positions
+from dbsyncer_spark.index.codec import unpack_blocks, unpack_row_positions
 from dbsyncer_spark.session import empty_df
 
 _SCORE_SCHEMA = "doc_id long, score double"
@@ -54,9 +54,19 @@ def _tfnorm_bound(max_tf, min_dl, k1: float, b: float, avgdl: float):
 
 
 def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
-                 range_size: int, prune: bool, use_allowed: bool):
+                 range_size: int, prune: bool, use_allowed: bool,
+                 after: tuple[float, int] | None = None):
     """Build the per-range applyInPandas scorer (closure carries the tiny
-    query-side state: idf per term, BM25 params, k)."""
+    query-side state: idf per term, BM25 params, k).
+
+    ``after=(score, doc_id)``: cursor paging — keep only docs strictly
+    after the cursor in (score desc, doc_id asc) order, applied BEFORE
+    the per-range top-k cut. Requires ``prune=False`` (WAND's theta is
+    the k-th best overall, which would prune exactly the post-cursor
+    candidates a later page needs). Score equality against the cursor is
+    exact: scoring is deterministic float math, so re-running the query
+    reproduces the cursor row's score bit-for-bit."""
+    assert not (prune and after is not None)
 
     def score_range_impl(key, postings, allow_pdf):
         _limit_arrow_threads()
@@ -99,25 +109,33 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
                 if segmax is not None:
                     keep = (segmax + ub_blocks + suffix[i + 1]) >= theta
             if keep.any():
-                blob = r.blob
-                boff, bn, bf = list(r.block_off), list(r.block_n), list(r.block_first)
-                for bi in np.flatnonzero(keep):
-                    d, tf, dl = unpack_block(blob, boff, bn, bf, int(bi))
-                    tf = tf.astype(np.float64)
-                    dl = dl.astype(np.float64)
-                    tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                    idx = (d - np.uint64(base)).astype(np.int64)
-                    if allowed_mask is not None:
-                        m = allowed_mask[idx]
-                        idx, tfn = idx[m], tfn[m]
-                    S[idx] += idf * tfn
-                    seen[idx] = True
+                # all kept blocks of this term decode in ONE vectorized
+                # pass (theta only updates per TERM, so this is WAND-
+                # identical to the old per-block loop)
+                d, tf, dl = unpack_blocks(
+                    r.blob, r.block_off, r.block_n, r.block_first,
+                    keep=None if keep.all() else np.flatnonzero(keep),
+                )
+                tf = tf.astype(np.float64)
+                dl = dl.astype(np.float64)
+                tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                idx = (d - np.uint64(base)).astype(np.int64)
+                if allowed_mask is not None:
+                    m = allowed_mask[idx]
+                    idx, tfn = idx[m], tfn[m]
+                S[idx] += idf * tfn
+                seen[idx] = True
             if prune:
                 cnt = int(seen.sum())
                 if cnt >= k:
                     theta = np.partition(S[seen], cnt - k)[cnt - k]
 
         idx = np.flatnonzero(seen)
+        if after is not None and idx.size:
+            s_after, id_after = after
+            gid = base + idx
+            m = (S[idx] < s_after) | ((S[idx] == s_after) & (gid > id_after))
+            idx = idx[m]
         if idx.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -275,6 +293,7 @@ class SearchIndex:
         mode: str = "wand",
         doc_filter=None,
         allowed_docs: DataFrame | None = None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) ordered
         by (score desc, doc_id asc), k rows max.
@@ -285,6 +304,10 @@ class SearchIndex:
         ``allowed_docs``: optional DataFrame with a ``doc_id`` column —
         candidates are restricted to it (the boolean-clause gate used by
         ``search_parsed``).
+        ``after``: cursor ``(score, doc_id)`` of the previous page's last
+        row — results are strictly after it in (score desc, doc_id asc)
+        order (the reference's searchAfter paging, ``Shard.java:57-58,
+        182-183``); forces exhaustive scoring (see ``_make_scorer``).
         """
         terms = sorted(set(tokenize_py(query)))
         dfs = self.lookup(terms)
@@ -306,7 +329,8 @@ class SearchIndex:
         )
         scorer = _make_scorer(
             idfs, self.k1, self.b, self.avgdl, k, self.range_size,
-            prune=(mode == "wand"), use_allowed=use_allowed,
+            prune=(mode == "wand" and after is None), use_allowed=use_allowed,
+            after=after,
         )
         if use_allowed:
             allowed = self.docstats()
@@ -327,6 +351,25 @@ class SearchIndex:
         else:
             scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def search_after(
+        self,
+        query: str,
+        after: tuple[float, int],
+        k: int = 10,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Next ``k`` results strictly after cursor ``after=(score,
+        doc_id)`` — the reference's searchAfter deep paging
+        (``Shard.java:57-58, 182-183``: step-500 cursor walk instead of
+        ever-growing OFFSET). Each page is one bounded job: per range
+        the scorer discards everything at-or-before the cursor BEFORE
+        the top-k cut, so page N costs the same as page 1 (no offset
+        materialization). Union of cursor pages is row-identical to one
+        big top-K (pytest-gated)."""
+        return self.search(
+            query, k=k, mode="exhaustive", doc_filter=doc_filter, after=after
+        )
 
     def _docs_with_term(self, term: str) -> DataFrame:
         """All doc_ids containing ``term`` (shard/tid-pruned postings scan,
@@ -668,18 +711,18 @@ class SearchIndex:
             }
             for r in pdf.itertuples(index=False):
                 idf = idfs[r.tid]
-                boff, bn, bf = list(r.block_off), list(r.block_n), list(r.block_first)
-                for bi in range(len(boff)):
-                    d, tf, dl = unpack_block(r.blob, boff, bn, bf, bi)
-                    tf = tf.astype(np.float64)
-                    dl = dl.astype(np.float64)
-                    tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                    idx = (d - np.uint64(base)).astype(np.int64)
-                    contrib = idf * tfn
-                    for qid in by_tid[r.tid]:
-                        S, seen = acc[qid]
-                        S[idx] += contrib
-                        seen[idx] = True
+                d, tf, dl = unpack_blocks(
+                    r.blob, r.block_off, r.block_n, r.block_first
+                )
+                tf = tf.astype(np.float64)
+                dl = dl.astype(np.float64)
+                tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                idx = (d - np.uint64(base)).astype(np.int64)
+                contrib = idf * tfn
+                for qid in by_tid[r.tid]:
+                    S, seen = acc[qid]
+                    S[idx] += contrib
+                    seen[idx] = True
             frames = []
             for qid, (S, seen) in acc.items():
                 idx = np.flatnonzero(seen)
@@ -759,16 +802,11 @@ def _decode_ids_udf():
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def decode_ids(blob: pd.Series, bf: pd.Series, bn: pd.Series, boff: pd.Series) -> pd.Series:
-        empty = np.zeros(0, dtype=np.int64)
         out = []
         for blob_i, bf_i, bn_i, boff_i in zip(blob, bf, bn, boff):
-            parts = [
-                unpack_block(blob_i, list(boff_i), list(bn_i), list(bf_i), bi)[0]
-                for bi in range(len(boff_i))
-            ]
-            # arrays stay numpy end-to-end (no per-element Python ints —
-            # ADVICE r1 flagged the int() loop here)
-            out.append(np.concatenate(parts).astype(np.int64) if parts else empty)
+            # whole-row vectorized decode; arrays stay numpy end-to-end
+            d, _, _ = unpack_blocks(blob_i, boff_i, bn_i, bf_i)
+            out.append(d.astype(np.int64))
         return pd.Series(out, index=blob.index)
 
     return decode_ids

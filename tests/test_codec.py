@@ -115,3 +115,35 @@ def test_positional_roundtrip():
     # non-positional pack unchanged (no pos columns)
     plain = pack_postings(doc_ids, tfs, dls, block_size=32)
     assert "pos_blob" not in plain and plain["blob"] == packed["blob"]
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=50, deadline=None)
+def test_unpack_blocks_keep_parity(n, seed):
+    """Bulk subset decode == concatenation of per-block decodes."""
+    from dbsyncer_spark.index.codec import unpack_blocks
+
+    rng = np.random.default_rng(seed)
+    doc_ids = np.sort(rng.choice(np.arange(n * 50, dtype=np.uint64), n, replace=False))
+    tfs = rng.integers(1, 5000, n).astype(np.uint64)
+    dls = rng.integers(1, 2000, n).astype(np.uint64)
+    packed = pack_postings(doc_ids, tfs, dls, block_size=64)
+    nb = len(packed["block_off"])
+    keep = np.flatnonzero(rng.random(nb) < 0.5)
+    want_d, want_t, want_l = [], [], []
+    for bi in keep:
+        bd, bt, bl = unpack_block(
+            packed["blob"], packed["block_off"], packed["block_n"], packed["block_first"], int(bi)
+        )
+        want_d.append(bd); want_t.append(bt); want_l.append(bl)
+    got = unpack_blocks(
+        packed["blob"], packed["block_off"], packed["block_n"], packed["block_first"], keep=keep
+    )
+    if keep.size == 0:
+        assert got[0].size == 0
+    else:
+        assert got[0].tolist() == np.concatenate(want_d).tolist()
+        assert got[1].tolist() == np.concatenate(want_t).tolist()
+        assert got[2].tolist() == np.concatenate(want_l).tolist()

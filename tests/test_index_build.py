@@ -127,3 +127,37 @@ def test_cjk_docs_searchable_via_index(spark, tmp_path):
     top_path = idx.fetch(idx.search("检索", k=1)).collect()[0].path
     assert top_path == "b.md"
     assert idx.search("不存在词", k=3).count() == 0
+
+
+def test_search_after_pages(index):
+    """Cursor paging (reference searchAfter, Shard.java:57-58,182-183):
+    pages are disjoint, strictly descending across the boundary, and
+    their union is row-identical to one big top-K."""
+    q = "merge shard token"
+    full = index.search(q, k=30, mode="exhaustive").collect()
+    assert len(full) >= 12, "fixture query too sparse for a paging test"
+    p1 = index.search(q, k=10, mode="wand").collect()
+    cursor = (p1[-1].score, p1[-1].doc_id)
+    p2 = index.search_after(q, after=cursor, k=10).collect()
+    assert {r.doc_id for r in p1}.isdisjoint({r.doc_id for r in p2})
+    got = [(r.doc_id, r.score) for r in p1 + p2]
+    want = [(r.doc_id, r.score) for r in full[: len(got)]]
+    assert got == want
+    # a cursor past the very last result yields an empty page, not an error
+    everything = index.search(q, k=1 << 20, mode="exhaustive").collect()
+    tail = everything[-1]
+    assert index.search_after(q, after=(tail.score, tail.doc_id), k=10).count() == 0
+
+
+def test_search_after_filtered(index, oracle_side):
+    """Cursor paging composes with MUST-clause doc filters."""
+    _, langs, _ = oracle_side
+    q = "import return"
+    flt = F.col("lang") == "python"
+    full = index.search(q, k=50, mode="exhaustive", doc_filter=flt).collect()
+    if len(full) < 6:
+        pytest.skip("not enough python matches in fixture corpus")
+    p1 = full[:3]
+    p2 = index.search_after(q, after=(p1[-1].score, p1[-1].doc_id), k=3, doc_filter=flt).collect()
+    assert [(r.doc_id, r.score) for r in p2] == [(r.doc_id, r.score) for r in full[3:6]]
+    assert all(langs[r.doc_id] == "python" for r in p2)
