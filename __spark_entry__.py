@@ -62,7 +62,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _bm25_oracle(query: str, k: int, lang: str | None = None,
-                 src: str = "documents", token_pred: str | None = None) -> str:
+                 src: str = "documents", token_pred: str | None = None,
+                 boosts: dict[str, float] | None = None) -> str:
     """DuckDB twin of bm25_topk_wide — identical formula, parenthesization
     and per-sorted-term summation order (k1=1.2, b=0.75). ``lang``
     restricts the CANDIDATES only (df/avgdl stay corpus-global, matching
@@ -72,8 +73,12 @@ def _bm25_oracle(query: str, k: int, lang: str | None = None,
     array ``t`` (candidate gate — e.g. the parsed-query MUST clauses)."""
     terms = sorted(set(tokenize_py(query)))
     inlist = ", ".join(f"'{t}'" for t in terms)
+    boosts = boosts or {}
     wide = " + ".join(
-        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN partial END), 0.0)" for t in terms
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN partial END)"
+        + (f" * {boosts[t]!r}" if t in boosts else "")
+        + ", 0.0)"
+        for t in terms
     )
     preds = []
     if lang:
@@ -214,6 +219,21 @@ def q_bm25_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docid_from_path(idx.fetch(topk), k=20)
 
 
+def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor deep paging through the index — the reference's searchAfter
+    walk (Shard.java:57-58,182-183). Page 1 is a normal WAND top-20; page
+    2 resumes strictly after page 1's last (score, docId) cursor. The
+    stitched pages are row-identical to one big top-40 (that is the
+    oracle), proving the cursor loses/duplicates nothing at the
+    boundary."""
+    idx = _entry_index(spark, sf_dir)
+    p1 = idx.search(FLAGSHIP_QUERY, k=20, mode="wand")
+    last = p1.collect()[-1]
+    p2 = idx.search_after(FLAGSHIP_QUERY, after=(last.score, last.doc_id),
+                          k=20 + _TIE_SLACK)
+    return _docid_from_path(idx.fetch(p1.unionByName(p2)), k=40)
+
+
 PHRASE_QUERY = "fast merge"  # adjacent pair present at every sf
 
 
@@ -258,6 +278,20 @@ def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PARSED_QUERY = "merge scan +table -window lang:en"
+BOOSTED_QUERY = "merge^2.5 scan table^0.5"
+
+
+def q_boosted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boost clauses (Lucene QueryParser ``term^2.5``): each boosted
+    term's BM25 partial is scaled before the deterministic wide sum —
+    parser -> boosts dict -> scorer, same semantics on the index path
+    (SearchIndex.search boosts fold into idf, keeping WAND bounds exact;
+    pytest-gated twin)."""
+    from dbsyncer_spark.query.parser import parsed_topk_wide
+
+    docs = _t(spark, sf_dir, "documents")
+    return parsed_topk_wide(spark, docs, BOOSTED_QUERY, k=20, id_col="doc_id", text_col="text")
+
 
 
 def q_parsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,9 +734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_index_wand": q_bm25_index_wand,
         "bm25_phrase": q_bm25_phrase,
+        "search_after_page": q_search_after_page,
         "bm25_filtered": q_bm25_filtered,
         "bm25_topk_zh": q_bm25_topk_zh,
         "parsed_query": q_parsed_query,
+        "boosted_query": q_boosted_query,
         "highlight_topk": q_highlight_topk,
         "term_match_count": q_term_match_count,
         "fulltext_like": q_fulltext_like,
@@ -754,7 +790,12 @@ ORDER BY t.score DESC, t.doc_id ASC LIMIT 10
     sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_phrase"] = _phrase_oracle(PHRASE_QUERY, 20)
+    sql["search_after_page"] = _bm25_oracle(FLAGSHIP_QUERY, 40)
     sql["parsed_query"] = _parsed_oracle(PARSED_QUERY, 20)
+    sql["boosted_query"] = _bm25_oracle(
+        BOOSTED_QUERY.replace("^2.5", "").replace("^0.5", ""), 20,
+        boosts={"merge": 2.5, "table": 0.5},
+    )
     sql["bm25_filtered"] = _bm25_oracle(FLAGSHIP_QUERY, 20, lang="en")
     sql["bm25_topk_zh"] = _bm25_oracle(
         _ZH_QUERY, 20,

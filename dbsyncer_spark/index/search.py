@@ -294,6 +294,7 @@ class SearchIndex:
         doc_filter=None,
         allowed_docs: DataFrame | None = None,
         after: tuple[float, int] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) ordered
         by (score desc, doc_id asc), k rows max.
@@ -308,6 +309,10 @@ class SearchIndex:
         row — results are strictly after it in (score desc, doc_id asc)
         order (the reference's searchAfter paging, ``Shard.java:57-58,
         182-183``); forces exhaustive scoring (see ``_make_scorer``).
+        ``boosts``: per-term multiplier on the BM25 partial (parser
+        ``term^2.5`` clauses). Folding the boost into the term's idf also
+        scales WAND's per-block upper bounds by the same factor, so
+        block-max pruning stays exact under boosting.
         """
         terms = sorted(set(tokenize_py(query)))
         dfs = self.lookup(terms)
@@ -316,7 +321,11 @@ class SearchIndex:
             return empty_df(spark, _SCORE_SCHEMA)
 
         n = self.n_docs
-        idfs = {term_id(t): log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) for t, df_ in dfs.items()}
+        boosts = boosts or {}
+        idfs = {
+            term_id(t): boosts.get(t, 1.0) * log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+            for t, df_ in dfs.items()
+        }
         shards = sorted({py_shard(t, self.num_shards) for t in dfs})
 
         postings = self._postings().filter(
@@ -428,6 +437,7 @@ class SearchIndex:
         return self.search(
             " ".join(scored), k=k, mode="exhaustive",
             doc_filter=doc_filter, allowed_docs=allowed,
+            boosts=pq.boosts or None,
         )
 
     def search_phrase(

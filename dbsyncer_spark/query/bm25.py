@@ -96,6 +96,7 @@ def bm25_topk_wide(
     k1: float = BM25_K1,
     b: float = BM25_B,
     doc_filter=None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Exhaustive BM25 top-k with a *fixed* summation order.
 
@@ -105,13 +106,18 @@ def bm25_topk_wide(
     its own aggregate column and the final score adds them left-to-right
     — bit-reproducible and exactly mirrored by the SQL oracle
     (__spark_entry__.bm25_oracle_sql). Returns (id_col, score) rounded
-    6dp, ordered (score desc, id asc), limit k."""
+    6dp, ordered (score desc, id asc), limit k.
+
+    ``boosts``: per-term multiplier on the BM25 partial (the parser's
+    ``term^2.5`` clauses — Lucene QueryParser boost semantics)."""
     q_terms = sorted(set(tokenize_py(query)))
     if not q_terms:
         return empty_df(spark, f"{id_col} long, score double")
+    boosts = boosts or {}
     partials = bm25_scored_terms(docs, q_terms, id_col, text_col, k1, b)
     aggs = [
-        F.sum(F.when(F.col("term") == t, F.col("partial"))).alias(f"_s{i}")
+        (F.sum(F.when(F.col("term") == t, F.col("partial")))
+         * F.lit(float(boosts.get(t, 1.0)))).alias(f"_s{i}")
         for i, t in enumerate(q_terms)
     ]
     wide = partials.groupBy(id_col).agg(*aggs)

@@ -13,6 +13,14 @@ Syntax (whitespace-separated units, quotes group):
                     phrase-capable paths only — documented simplification
                     vs Lucene, which also scores sloppy phrases)
 - ``+"a phrase"`` / ``-"a phrase"`` required / excluded phrase
+- ``term^2.5``      boost: the term's BM25 partial is multiplied by the
+                    factor (Lucene QueryParser ``^`` syntax). A multi-
+                    token unit spreads its boost to every token; if the
+                    same term appears in several clauses the LARGEST
+                    boost wins (our scorers sum each unique term once,
+                    unlike Lucene's per-clause sum — documented). A boost
+                    on a quoted phrase parses but is ignored, since
+                    phrases gate candidates rather than score here.
 
 Every unit's text runs through the engine tokenizer (camelCase split,
 lowercase, CJK unigrams), so ``+getUserName`` requires all three of
@@ -30,9 +38,11 @@ from dataclasses import dataclass, field
 from dbsyncer_spark.functions.tokenizer import tokenize_py
 from dbsyncer_spark.session import empty_df
 
-# unit = optional +/- prefix, then quoted phrase or bare run
-_UNIT_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+# unit = optional +/- prefix, then quoted phrase (with optional ^boost)
+# or bare run
+_UNIT_RE = re.compile(r'([+-]?)("([^"]*)"(?:\^[0-9]*\.?[0-9]+)?|\S+)')
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+_BOOST_RE = re.compile(r"^(.+)\^([0-9]*\.?[0-9]+)$")
 
 
 @dataclass
@@ -43,6 +53,7 @@ class ParsedQuery:
     phrases: list[str] = field(default_factory=list)   # required phrases
     not_phrases: list[str] = field(default_factory=list)
     fields: dict[str, str] = field(default_factory=dict)
+    boosts: dict[str, float] = field(default_factory=dict)  # term -> ^boost
 
     @property
     def scored_terms(self) -> list[str]:
@@ -69,11 +80,18 @@ def parse_query(q: str) -> ParsedQuery:
         if fm and mod == "":
             out.fields[fm.group(1)] = fm.group(2)
             continue
+        boost = 1.0
+        bm = _BOOST_RE.match(unit)
+        if bm:
+            unit, boost = bm.group(1), float(bm.group(2))
         terms = tokenize_py(unit)
         if not terms:
             continue
         dest = {"": out.should, "+": out.must, "-": out.must_not}[mod]
         dest.extend(terms)
+        if boost != 1.0 and mod != "-":
+            for t in terms:
+                out.boosts[t] = max(out.boosts.get(t, 0.0), boost)
     return out
 
 
@@ -150,5 +168,5 @@ def parsed_topk_wide(spark, docs, query: str, k: int = 10,
     flt = parsed_doc_filter(pq, text_col)
     return bm25_topk_wide(
         spark, docs, " ".join(scored), k=k, id_col=id_col, text_col=text_col,
-        doc_filter=flt,
+        doc_filter=flt, boosts=pq.boosts or None,
     )

@@ -39,6 +39,41 @@ def test_parse_corners():
     assert pq.fields == {"lang": "java", "repo": "r1"}
 
 
+def test_parse_boosts():
+    pq = parse_query("merge^2.5 scan table^0.5")
+    assert pq.scored_terms == ["merge", "scan", "table"]
+    assert pq.boosts == {"merge": 2.5, "table": 0.5}
+    # camelCase boost spreads to every token; MUST keeps its boost
+    pq = parse_query("+getUserName^3")
+    assert pq.must == ["get", "user", "name"]
+    assert pq.boosts == {"get": 3.0, "user": 3.0, "name": 3.0}
+    # duplicate term across clauses: largest boost wins (documented)
+    pq = parse_query("merge^2 merge^4")
+    assert pq.boosts == {"merge": 4.0}
+    # boost on an excluded clause is meaningless and dropped
+    pq = parse_query("-noise^9 keep")
+    assert pq.must_not == ["noise"] and pq.boosts == {}
+    # boosted quoted phrase parses as a phrase; boost is gated (documented)
+    pq = parse_query('ok "exact pair"^2')
+    assert pq.phrases == ["exact pair"] and pq.boosts == {}
+
+
+def test_boost_changes_ranking(spark):
+    rows = [
+        (0, "en", "merge merge merge fast"),
+        (1, "en", "table table table fast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plain = parsed_topk_wide(spark, docs, "merge table", k=2,
+                             id_col="doc_id", text_col="text").collect()
+    boosted = parsed_topk_wide(spark, docs, "merge table^5", k=2,
+                               id_col="doc_id", text_col="text").collect()
+    # symmetric corpus: unboosted tie breaks by doc_id; boosting table
+    # must put doc 1 first
+    assert [r.doc_id for r in plain] == [0, 1]
+    assert [r.doc_id for r in boosted] == [1, 0]
+
+
 def test_parsed_topk_wide_semantics(spark):
     rows = [
         (0, "en", "merge scan table fast"),        # all clauses pass
@@ -92,6 +127,8 @@ def parsed_idx(spark, corpus, tmp_path_factory):
     "token shard +batch -sync lang:go",
     'merge +"merge scan"',
     "getUserName +user",
+    "merge^2.5 offset scan^0.5",
+    "import^3 +return lang:python",
 ])
 def test_index_path_matches_dataframe_twin(spark, corpus, parsed_idx, q):
     """search_parsed (postings gate + allowed-mask scoring) must return
