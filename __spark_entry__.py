@@ -626,6 +626,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN plumbing, driven exactly: spherical k-means centroids on a
+    deterministic sample, map-only list assignment (centroid literals in
+    plan), probe top-nprobe inverted lists, exact cosine rerank. With
+    nprobe == n_centroids every list is probed, so the result is exact
+    and shares the brute-force SQL oracle; pytest covers the
+    recall-vs-nprobe tradeoff separately (tests/test_ops.py)."""
+    from dbsyncer_spark.ops.similarity import ivf_ann_topk, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = ivf_centroids(emb, n_centroids=8, sample=2000)
+    out = ivf_ann_topk(emb, qvec, k=12, nprobe=8, centroids=cents)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -764,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk_impl,
         "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "quality_lang": q_quality_lang,
         "fingerprints": q_fingerprints,
@@ -1026,6 +1043,12 @@ SELECT query_id, vec_id, round(s, 6) AS score FROM s WHERE rn <= 5
 """
 
     sql["ann_lsh"] = _ann_lsh_oracle()
+    sql["ann_ivf"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(s, 6) AS score FROM (
+  SELECT vec_id, {cos} AS s FROM embeddings CROSS JOIN q
+) ORDER BY s DESC, vec_id ASC LIMIT 12
+""".format(cos=_cos)
 
     sql["text_stats"] = f"""
 SELECT doc_id,

@@ -275,6 +275,110 @@ def lsh_signature(vec_col: Column | str, planes: np.ndarray) -> Column:
     return out
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train IVF coarse centroids: spherical k-means on a bounded,
+    DETERMINISTIC sample (the ``sample`` lowest ids — a TakeOrdered, so
+    the driver never holds more than sample x d floats; training on a
+    bounded sample is the standard IVF recipe at any corpus size).
+
+    Returns an (n_centroids, d) L2-normalized float64 matrix. Iteration
+    is plain numpy Lloyd with cosine (= dot on normalized vectors)
+    assignment; empty clusters keep their previous centroid. Fully
+    deterministic: sample choice, init (first distinct sample rows) and
+    argmax tie-breaks (lowest index) contain no RNG."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf
+    mat = mat / norms[:, None]
+    # init: first n_centroids distinct-enough rows (skip exact dupes)
+    cents: list[np.ndarray] = []
+    for row in mat:
+        if not any(np.allclose(row, c) for c in cents):
+            cents.append(row)
+        if len(cents) == n_centroids:
+            break
+    C = np.stack(cents) if cents else mat[:1]
+    for _ in range(iters):
+        assign = np.argmax(mat @ C.T, axis=1)
+        for ci in range(C.shape[0]):
+            members = mat[assign == ci]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[ci] = m / nrm
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add an ``_ivf_list`` column: index of the nearest (max-cosine)
+    centroid, ties to the HIGHER index (array_max struct comparison).
+    Pure Column math — the centroid matrix is tiny and embedded as plan
+    literals, so assignment is a map-only codegen pass; writing the
+    corpus partitioned by ``_ivf_list`` makes probes partition-pruned
+    reads at scale (the IVF inverted-file layout)."""
+    v = F.col(vec_col).cast("array<double>")
+    nv = _norm(v)
+    cells = [
+        F.struct(
+            (_dot(v, F.lit([float(x) for x in c]).cast("array<double>")) / nv).alias("s"),
+            F.lit(i).alias("c"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return emb.withColumn("_ivf_list", F.array_max(F.array(*cells))["c"])
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate NN: rank centroids by cosine to the query, keep
+    the top-``nprobe`` inverted lists, exact-cosine rerank ONLY those
+    candidates. ``nprobe == n_centroids`` probes everything and is
+    therefore exact (row-identical to ``cosine_topk`` — the contract
+    oracle); smaller nprobe trades recall for a 1/nprobe-of-corpus scan
+    (pytest pins recall@10 on the fixture corpus). Candidate filtering
+    is an ``isin`` over the assignment column — partition pruning when
+    the corpus is stored partitioned by list."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    qv = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    if qn > 0:
+        qv = qv / qn
+    order = np.argsort(-(centroids @ qv), kind="stable")
+    probes = [int(x) for x in order[: max(1, nprobe)]]
+    cand = ivf_assign(emb, centroids, id_col, vec_col).filter(
+        F.col("_ivf_list").isin(probes)
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query: list[float],

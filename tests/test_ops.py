@@ -150,3 +150,46 @@ def test_fingerprint_kernel_matches_column_form(spark):
     a = sorted((r.doc_id, r.fp) for r in fingerprints(docs).collect())
     b = sorted((r.doc_id, r.fp) for r in fingerprints_col(docs).collect())
     assert a == b and len(a) > 0
+
+
+def test_ivf_exact_when_probing_all(spark):
+    """nprobe == n_centroids probes every inverted list -> row-identical
+    to brute-force cosine_topk (the contract oracle's claim)."""
+    from dbsyncer_spark.ops.similarity import cosine_topk, ivf_ann_topk, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    cents = ivf_centroids(emb, n_centroids=4, sample=200)
+    exact = [(r.vec_id, round(r.score, 9)) for r in cosine_topk(emb, qv, k=8).collect()]
+    ivf = [
+        (r.vec_id, round(r.score, 9))
+        for r in ivf_ann_topk(emb, qv, k=8, nprobe=4, centroids=cents).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_centroids_deterministic_and_recall(spark):
+    """Training is RNG-free (same input -> identical centroids) and a
+    partial probe keeps most of the true top-k (recall@10 on the fixture
+    embeddings; IVF is approximate by design below nprobe=all)."""
+    import numpy as np
+
+    from dbsyncer_spark.ops.similarity import cosine_topk, ivf_ann_topk, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ivf_centroids(emb, n_centroids=8, sample=300)
+    c2 = ivf_centroids(emb, n_centroids=8, sample=300)
+    assert np.array_equal(c1, c2)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+    got = {r.vec_id for r in ivf_ann_topk(emb, qv, k=10, nprobe=4, centroids=c1).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"recall@10 {recall} too low for nprobe=4/8"
+    # probing fewer lists scans fewer candidates (the point of IVF)
+    from dbsyncer_spark.ops.similarity import ivf_assign
+    assigned = ivf_assign(emb, c1)
+    sizes = dict(
+        (r["_ivf_list"], r["count"])
+        for r in assigned.groupBy("_ivf_list").count().collect()
+    )
+    assert len(sizes) > 1, "all vectors fell into one list — useless partitioning"
