@@ -83,3 +83,41 @@ def test_cached_partitioning_elides_exchange(spark, pindex):
             cached = pindex._df_cache.pop(key, None)
             if cached is not None:
                 cached.unpersist()
+
+
+def test_warm_cache_partition_count_matches_ranges(spark, pindex):
+    """The pinned postings cache sizes its partitioning to the number of
+    live docId ranges — NOT the session shuffle default — so a small
+    index never pays empty Python-worker round trips per query (r2)."""
+    pindex.warm(cache_postings=True)
+    try:
+        n_ranges = max(1, -(-pindex.n_docs // pindex.range_size))
+        expect = min(n_ranges, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        assert pindex._df_cache["postings"].rdd.getNumPartitions() == expect
+    finally:
+        for key in ("postings", "docstats"):
+            cached = pindex._df_cache.pop(key, None)
+            if cached is not None:
+                cached.unpersist()
+
+
+def test_miss_query_collects_without_a_job(pindex):
+    """Term-miss results fold to an empty LocalRelation (LocalTableScan):
+    collect() is driver-side — no 32-task no-op job per miss (r2)."""
+    df = pindex.search("zz_never_indexed_zz", k=10)
+    assert "LocalTableScan" in _plan(df)
+    assert df.collect() == []
+
+
+def test_ivf_plan_is_map_only(spark):
+    """IVF probe + rerank: centroid literals in plan, single file scan,
+    TakeOrdered — zero Exchange (at scale with a list-partitioned layout
+    the filter becomes partition pruning)."""
+    from dbsyncer_spark.ops.similarity import ivf_ann_topk, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = ivf_centroids(emb, n_centroids=4, sample=100)
+    p = _plan(ivf_ann_topk(emb, qv, k=5, nprobe=2, centroids=cents))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p, "IVF probe path must stay map-only"
