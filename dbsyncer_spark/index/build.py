@@ -722,7 +722,11 @@ def append_segment(spark: SparkSession, docs: DataFrame, index_dir: str, **kwarg
     range_size = meta["params"]["range_size"]
     max_doc = max(s["max_doc_id"] for s in meta["segments"].values())
     offset = ((max_doc // range_size) + 1) * range_size
-    seg_name = f"seg_{len(meta['segments']):06d}"
+    # next name = max numeric suffix + 1, NOT len(segments): after a
+    # partial (tiered) merge the count shrinks while high-numbered
+    # segments survive, and len() would collide with a live segment.
+    next_n = 1 + max(int(name.split("_")[1]) for name in meta["segments"])
+    seg_name = f"seg_{next_n:06d}"
     for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size",
               "store_positions"):
         if k not in meta["params"]:  # index built before this param existed

@@ -47,34 +47,25 @@ def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
     return n
 
 
-def compact_segments(spark: SparkSession, index_dir: str) -> dict:
-    """Merge all segments into one, dropping tombstones (segment-merge
-    analog). Doc ids and content are preserved; stats recomputed.
-
-    Implementation: rather than re-tokenizing, decode every live posting
-    back to (term, doc_id, tf, dl) rows and re-pack — a pure shuffle
-    job, no Python-per-row, no re-analysis.
-    """
+def _pack_segment(
+    spark: SparkSession,
+    decoded: DataFrame,
+    stats: DataFrame,
+    seg_dir: str,
+    params: dict,
+    *,
+    segment: str,
+    doc_id_offset: int,
+) -> dict:
+    """Write one segment (postings + docstats + dictionary + seg_meta)
+    from already-decoded (tid, doc_id, tf, dl[, pos]) rows. Shared by
+    full compaction and tiered merge; one shuffle keyed exactly like the
+    fresh-build packer, so merged segments are byte-compatible."""
     from dbsyncer_spark.index.build import postings_from_tf
     from dbsyncer_spark.index.lineage import commit_stage, params_hash
 
-    idx = SearchIndex(spark, index_dir)
-    params = idx.params
     with_positions = bool(params.get("store_positions"))
-    tomb = idx._tombstones()
-
-    decoded = decode_postings(idx._postings(), with_positions=with_positions)
-    stats = idx.docstats()
-    if tomb is not None:
-        tomb_ids = tomb.select("doc_id").distinct()
-        decoded = decoded.join(tomb_ids, "doc_id", "left_anti")
-        stats = stats.join(tomb_ids, "doc_id", "left_anti")
-
-    new_dir = os.path.join(index_dir, "segments_compacting")
-    shutil.rmtree(new_dir, ignore_errors=True)
-    seg_dir = os.path.join(new_dir, "seg_000000")
     os.makedirs(seg_dir, exist_ok=True)
-
     packed = postings_from_tf(
         decoded, params["num_shards"], params["range_size"], params["block_size"],
         int(spark.conf.get("spark.sql.shuffle.partitions")),
@@ -102,8 +93,8 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     ).collect()[0]
     seg_meta = {
         **params,
-        "segment": "seg_000000",
-        "doc_id_offset": 0,
+        "segment": segment,
+        "doc_id_offset": doc_id_offset,
         "n_docs": int(agg.n),
         "sum_dl": int(agg.sum_dl or 0),
         "max_doc_id": int(agg.mx if agg.mx is not None else -1),
@@ -111,6 +102,36 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     with open(os.path.join(seg_dir, "seg_meta.json"), "w") as f:
         json.dump(seg_meta, f, indent=2)
     commit_stage(seg_dir, "meta", params_hash(seg_meta), metrics=seg_meta)
+    return seg_meta
+
+
+def compact_segments(spark: SparkSession, index_dir: str) -> dict:
+    """Merge all segments into one, dropping tombstones (the forceMerge /
+    optimize analog). Doc ids and content are preserved; stats recomputed.
+
+    Implementation: rather than re-tokenizing, decode every live posting
+    back to (term, doc_id, tf, dl) rows and re-pack — a pure shuffle
+    job, no Python-per-row, no re-analysis. For routine maintenance at
+    scale use ``maybe_merge`` (tiered policy) instead: full compaction
+    rewrites the entire index in one job.
+    """
+    idx = SearchIndex(spark, index_dir)
+    params = idx.params
+    tomb = idx._tombstones()
+
+    decoded = decode_postings(idx._postings(), with_positions=bool(params.get("store_positions")))
+    stats = idx.docstats()
+    if tomb is not None:
+        tomb_ids = tomb.select("doc_id").distinct()
+        decoded = decoded.join(tomb_ids, "doc_id", "left_anti")
+        stats = stats.join(tomb_ids, "doc_id", "left_anti")
+
+    new_dir = os.path.join(index_dir, "segments_compacting")
+    shutil.rmtree(new_dir, ignore_errors=True)
+    seg_dir = os.path.join(new_dir, "seg_000000")
+    seg_meta = _pack_segment(
+        spark, decoded, stats, seg_dir, params, segment="seg_000000", doc_id_offset=0
+    )
 
     # atomic-ish swap: move old segments away, promote compacted set
     old = os.path.join(index_dir, "segments_old")
@@ -135,6 +156,259 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     return seg_meta
+
+
+def select_merge(
+    segments: dict,
+    tombstone_counts: dict | None = None,
+    *,
+    tier_factor: int = 8,
+    merge_at: int = 4,
+    max_merge: int = 10,
+    reclaim_ratio: float = 0.2,
+    max_merged_docs: int | None = None,
+) -> list[str]:
+    """Pick the next merge under a tiered policy (Lucene TieredMergePolicy
+    analog, the reference's merge scheduler: ``Shard.java:361-368``).
+
+    Pure driver-side function over segment metadata — unit-testable with
+    no Spark. Two triggers, deletes first:
+
+    1. *Reclaim*: any segment whose tombstoned fraction >= reclaim_ratio
+       is rewritten (possibly alone) to physically drop deletes.
+    2. *Tier*: segments bucket by floor(log_{tier_factor}(n_docs)); the
+       smallest tier holding >= merge_at segments merges its max_merge
+       smallest members. Each doc is thus rewritten O(log_{tier_factor} N)
+       times over the index lifetime instead of O(appends) — the property
+       that keeps a 10^12-doc index's write amplification bounded.
+
+    ``max_merged_docs`` (Lucene's maxMergedSegment, 128 MB in the
+    reference): a tier merge never produces a segment above this size —
+    the selected run is truncated to fit, and segments already at/over
+    the cap are never tier-merged at all (reclaim still rewrites them).
+
+    INVARIANT: a returned set is always CONSECUTIVE in the global
+    doc-id-offset order of all segments. We preserve doc ids verbatim
+    (Lucene renumbers instead), so the merged segment's recorded interval
+    is the union [min offset, max id] — merging non-adjacent segments
+    would make that interval swallow a bystander segment's id range,
+    breaking the interval-disjointness that per-segment tombstone
+    counting and covered-tombstone GC depend on.
+    """
+    import math
+
+    counts = tombstone_counts or {}
+    order = sorted(segments, key=lambda n: segments[n]["doc_id_offset"])
+
+    def runs_of(names: set) -> list[list[str]]:
+        out, cur = [], []
+        for n in order:
+            if n in names:
+                cur.append(n)
+            elif cur:
+                out.append(cur)
+                cur = []
+        if cur:
+            out.append(cur)
+        return out
+
+    def truncate(run: list[str]) -> list[str]:
+        run = run[:max_merge]
+        if max_merged_docs is not None:
+            kept, total = [], 0
+            for n in run:
+                if kept and total + segments[n]["n_docs"] > max_merged_docs:
+                    break
+                kept.append(n)
+                total += segments[n]["n_docs"]
+            run = kept
+        return run
+
+    reclaim = {
+        name for name, s in segments.items()
+        if s["n_docs"] and counts.get(name, 0) / s["n_docs"] >= reclaim_ratio
+    }
+    if reclaim:
+        # one merge per call: take the run with the most reclaimable docs
+        best = max(runs_of(reclaim), key=lambda r: sum(counts.get(n, 0) for n in r))
+        return truncate(best)
+
+    tiers: dict[int, set] = {}
+    for name, s in segments.items():
+        if max_merged_docs is not None and s["n_docs"] >= max_merged_docs:
+            continue
+        tier = int(math.log(max(s["n_docs"], 1), tier_factor)) if s["n_docs"] > 1 else 0
+        tiers.setdefault(tier, set()).add(name)
+    for tier in sorted(tiers):
+        group = tiers[tier]
+        if len(group) >= merge_at:
+            # longest adjacent run of this tier's members; tie -> smallest
+            best = max(
+                runs_of(group),
+                key=lambda r: (len(r), -sum(segments[n]["n_docs"] for n in r)),
+            )
+            picked = truncate(best)
+            if len(picked) >= min(merge_at, 2):
+                return picked
+    return []
+
+
+def maybe_merge(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    tier_factor: int = 8,
+    merge_at: int = 4,
+    max_merge: int = 10,
+    reclaim_ratio: float = 0.2,
+    max_merged_docs: int | None = None,
+) -> dict | None:
+    """Run ONE tiered merge if the policy finds a candidate set; returns
+    the new segment meta (plus ``"merged"``: the replaced segment names)
+    or None when the index is already well-shaped.
+
+    Unlike ``compact_segments`` this rewrites only the selected segments
+    — the steady-state maintenance path for a continuously-appending
+    index. Readers are never disturbed: the merged segment is written
+    under ``segments/`` (invisible until referenced), then the root
+    ``meta.json`` swap atomically retires the inputs. Doc ids are global
+    and range-aligned per segment, so merging preserves them verbatim and
+    untouched segments' postings are never read.
+    """
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    params = meta["params"]
+    segments = meta["segments"]
+
+    idx = SearchIndex(spark, index_dir)
+    tomb = idx._tombstones()
+    counts: dict[str, int] = {}
+    if tomb is not None:
+        # tombstone count per segment: broadcast the (few, driver-known)
+        # doc-id intervals against the tombstone set — one tiny job.
+        intervals = spark.createDataFrame(
+            [(n, s["doc_id_offset"], s["max_doc_id"]) for n, s in segments.items()],
+            "seg string, lo long, hi long",
+        )
+        rows = (
+            tomb.select("doc_id").distinct()
+            .join(F.broadcast(intervals),
+                  (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") <= F.col("hi")))
+            .groupBy("seg").count().collect()
+        )
+        counts = {r.seg: int(r["count"]) for r in rows}
+
+    merged = select_merge(
+        segments, counts, tier_factor=tier_factor, merge_at=merge_at,
+        max_merge=max_merge, reclaim_ratio=reclaim_ratio,
+        max_merged_docs=max_merged_docs,
+    )
+    if not merged:
+        return None
+
+    seg_root = os.path.join(index_dir, "segments")
+    sel_dirs = [os.path.join(seg_root, n) for n in merged]
+
+    def union_read(sub: str) -> DataFrame:
+        dfs = [spark.read.parquet(os.path.join(d, sub)) for d in sel_dirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    decoded = decode_postings(union_read("postings"),
+                              with_positions=bool(params.get("store_positions")))
+    stats = union_read("docstats")
+    if tomb is not None:
+        tomb_ids = tomb.select("doc_id").distinct()
+        decoded = decoded.join(tomb_ids, "doc_id", "left_anti")
+        stats = stats.join(tomb_ids, "doc_id", "left_anti")
+
+    if tomb is not None and stats.isEmpty():
+        # every doc in the run is tombstoned: nothing to write. Drop the
+        # segments outright, folding their doc-id high-water mark into the
+        # largest remaining segment so append_segment never reuses ids
+        # (safe: the covered tombstones are GC'd below, and deletes can
+        # only target ids present in docstats, never the dropped range).
+        survivors = {n: dict(s) for n, s in segments.items() if n not in merged}
+        if not survivors:
+            return None  # fully-deleted index: leave tombstone masking in place
+        hwm = max(s["max_doc_id"] for s in segments.values())
+        top = max(survivors, key=lambda n: survivors[n]["max_doc_id"])
+        survivors[top]["max_doc_id"] = max(survivors[top]["max_doc_id"], hwm)
+        new_meta = {"params": params, "segments": survivors}
+        tmp = os.path.join(index_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f, indent=2)
+        os.replace(tmp, os.path.join(index_dir, "meta.json"))
+        for d in sel_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        _gc_covered_tombstones(spark, index_dir, [
+            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
+        ])
+        return {"segment": None, "n_docs": 0, "merged": merged}
+
+    next_n = 1 + max(int(n.split("_")[1]) for n in segments)
+    new_name = f"seg_{next_n:06d}"
+    seg_meta = _pack_segment(
+        spark, decoded, stats, os.path.join(seg_root, new_name), params,
+        segment=new_name,
+        doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
+    )
+    # keep the doc-id high-water mark of the inputs even if their tail
+    # docs were all tombstoned — append_segment must never reuse ids
+    seg_meta["max_doc_id"] = max(
+        seg_meta["max_doc_id"], *(segments[n]["max_doc_id"] for n in merged)
+    )
+
+    new_meta = {
+        "params": params,
+        "segments": {
+            **{n: s for n, s in segments.items() if n not in merged},
+            new_name: {
+                "n_docs": seg_meta["n_docs"],
+                "sum_dl": seg_meta["sum_dl"],
+                "doc_id_offset": seg_meta["doc_id_offset"],
+                "max_doc_id": seg_meta["max_doc_id"],
+            },
+        },
+    }
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=2)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    for d in sel_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # garbage-collect tombstones covered by the merge (their docs are now
+    # physically gone; doc ids are globally unique so this is pure hygiene)
+    if tomb is not None:
+        _gc_covered_tombstones(spark, index_dir, [
+            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
+        ])
+    return {**seg_meta, "merged": merged}
+
+
+def _gc_covered_tombstones(spark: SparkSession, index_dir: str, intervals: list) -> None:
+    """Drop tombstones whose doc id falls in the given (lo, hi) intervals
+    (their docs were physically removed by a merge). Write-then-swap —
+    never collects the tombstone set to the driver."""
+    cond = None
+    for lo, hi in intervals:
+        c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        cond = c if cond is None else (cond | c)
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if cond is None or not os.path.exists(tomb_dir):
+        return
+    tomb_tmp = tomb_dir + ".rewriting"
+    shutil.rmtree(tomb_tmp, ignore_errors=True)
+    keep = spark.read.parquet(tomb_dir).filter(~cond)
+    if keep.isEmpty():
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        return
+    keep.write.mode("overwrite").parquet(tomb_tmp)
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    os.replace(tomb_tmp, tomb_dir)
 
 
 def decode_postings(postings: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -189,10 +463,16 @@ def stream_to_index(
     docs_stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    auto_merge: bool = False,
     **build_kwargs,
 ):
     """Structured Streaming sink: each micro-batch of new docs becomes a
-    segment (idempotent by batchId-derived segment name)."""
+    segment (idempotent by batchId-derived segment name).
+
+    ``auto_merge=True`` runs one tiered-policy merge after each batch
+    lands — the analog of Lucene's merge-on-commit
+    (``ConcurrentMergeScheduler``, reference ``Shard.java:60-64``), so a
+    long-running ingest keeps segment count O(log N) instead of O(batches)."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
@@ -202,6 +482,8 @@ def stream_to_index(
             append_segment(spark, batch_df, index_dir, **build_kwargs)
         else:
             build_index(spark, batch_df, index_dir, **build_kwargs)
+        if auto_merge:
+            maybe_merge(spark, index_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(handle_batch)

@@ -1,0 +1,212 @@
+"""Tiered merge policy (Lucene TieredMergePolicy analog, reference
+``Shard.java:361-368``): partial merges must preserve doc ids and stay
+rank-identical to a from-scratch oracle, reclaim merges must physically
+drop tombstoned docs, and untouched segments must never be rewritten."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.fixtures.corpus import gen_corpus_pdf
+from dbsyncer_spark.index.build import append_segment, build_index
+from dbsyncer_spark.index.search import SearchIndex
+from dbsyncer_spark.oracle.bm25_oracle import bm25_oracle_topk, corpus_stats
+from dbsyncer_spark.streaming.incremental import delete_docs, maybe_merge, select_merge
+
+PARAMS = dict(num_shards=4, range_size=128, block_size=16, num_id_buckets=8)
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+# -- policy unit tests (pure driver-side, no Spark) -----------------------
+
+def _segs(*sizes):
+    out, off = {}, 0
+    for i, n in enumerate(sizes):
+        out[f"seg_{i:06d}"] = {
+            "n_docs": n, "sum_dl": n * 50, "doc_id_offset": off, "max_doc_id": off + n - 1,
+        }
+        off += ((n // 128) + 1) * 128
+    return out
+
+
+def test_select_merge_tier_trigger():
+    segs = _segs(5000, 30, 40, 35, 20)
+    got = select_merge(segs, merge_at=4, tier_factor=8)
+    # the four small segments share a tier; the big one is left alone
+    assert sorted(got) == ["seg_000001", "seg_000002", "seg_000003", "seg_000004"]
+
+
+def test_select_merge_no_op_when_well_shaped():
+    assert select_merge(_segs(5000, 30, 40), merge_at=4) == []
+    assert select_merge(_segs(100000), merge_at=2) == []
+
+
+def test_select_merge_reclaim_beats_tier():
+    segs = _segs(100, 30, 40, 35, 20)
+    got = select_merge(segs, {"seg_000000": 30}, merge_at=4, reclaim_ratio=0.2)
+    assert got == ["seg_000000"]  # singleton delete-reclaim rewrite
+
+
+def test_select_merge_caps_at_max_merge():
+    segs = _segs(*([10] * 20))
+    assert len(select_merge(segs, merge_at=4, max_merge=10)) == 10
+
+
+def test_select_merge_respects_max_merged_docs():
+    # group truncated so the output segment stays under the cap
+    segs = _segs(40, 40, 40, 40)
+    got = select_merge(segs, merge_at=4, max_merged_docs=100)
+    assert len(got) == 2  # 40+40 fits, +40 more would exceed 100
+    # oversized segments never tier-merge (but a huge+small pair isn't
+    # proposed either: the survivors alone don't reach merge_at)
+    segs = _segs(500, 500, 10, 10)
+    assert select_merge(segs, merge_at=2, max_merged_docs=200) == [
+        "seg_000002", "seg_000003",
+    ]
+    # reclaim ignores the cap: delete-heavy oversized segments still rewrite
+    segs = _segs(500)
+    assert select_merge(segs, {"seg_000000": 200}, max_merged_docs=100) == ["seg_000000"]
+
+
+def test_select_merge_only_adjacent_runs():
+    """Doc ids are preserved verbatim, so a merge must stay consecutive in
+    global doc-id order — otherwise the merged interval would swallow a
+    bystander segment's id range and break tombstone interval accounting."""
+    # small tier split by a big bystander: only the longest run merges
+    segs = _segs(30, 5000, 30, 30, 30)
+    assert select_merge(segs, merge_at=3, tier_factor=8) == [
+        "seg_000002", "seg_000003", "seg_000004",
+    ]
+    # scattered delete-heavy segments: one run per call, most-reclaimable first
+    segs = _segs(100, 5000, 100)
+    got = select_merge(segs, {"seg_000000": 30, "seg_000002": 60}, reclaim_ratio=0.2)
+    assert got == ["seg_000002"]
+
+
+# -- end-to-end -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def merged_env(spark, tmp_path_factory):
+    pdf = gen_corpus_pdf(n_docs=400, seed=7)
+    d = str(tmp_path_factory.mktemp("merge_idx"))
+    build_index(spark, spark.createDataFrame(pdf.iloc[:300], schema=SCHEMA), d, **PARAMS)
+    for lo, hi in [(300, 330), (330, 360), (360, 400)]:
+        append_segment(
+            spark, spark.createDataFrame(pdf.iloc[lo:hi], schema=SCHEMA), d, num_id_buckets=8
+        )
+    by_key = {(r.repo, r.path, r.commit): r.content for r in pdf.itertuples(index=False)}
+    return d, by_key
+
+
+def _docs_of(spark, idx, by_key):
+    rows = idx.docstats().select("doc_id", "repo", "path", "commit").collect()
+    return {r.doc_id: by_key[(r.repo, r.path, r.commit)] for r in rows}
+
+
+def test_tiered_merge_small_segments_only(spark, merged_env):
+    d, by_key = merged_env
+    docs_before = _docs_of(spark, SearchIndex(spark, d), by_key)
+
+    meta = maybe_merge(spark, d, merge_at=3, tier_factor=8)
+    assert meta is not None
+    assert sorted(meta["merged"]) == ["seg_000001", "seg_000002", "seg_000003"]
+    assert meta["n_docs"] == 100
+
+    idx = SearchIndex(spark, d)
+    assert sorted(idx.meta["segments"]) == ["seg_000000", "seg_000004"]
+    # the base segment was never rewritten (its dir is the original)
+    assert os.path.exists(os.path.join(d, "segments", "seg_000000"))
+    assert not os.path.exists(os.path.join(d, "segments", "seg_000001"))
+
+    # doc ids + content preserved verbatim; ranking identical to oracle
+    docs_after = _docs_of(spark, idx, by_key)
+    assert docs_after == docs_before
+    stats = corpus_stats(docs_after)
+    for q in ["merge offset", "import", "token shard batch"]:
+        got = idx.search(q, k=10).collect()
+        want = bm25_oracle_topk(docs_after, q, k=10, precomputed=stats)
+        assert [r.doc_id for r in got] == [doc for doc, _ in want], q
+        for r, (_, s) in zip(got, want):
+            assert r.score == pytest.approx(s, abs=1e-9)
+
+    # well-shaped now: policy finds nothing further to do
+    assert maybe_merge(spark, d, merge_at=3, tier_factor=8) is None
+
+
+def test_reclaim_merge_drops_deletes_physically(spark, merged_env):
+    d, by_key = merged_env
+    idx = SearchIndex(spark, d)
+    merged_name = "seg_000004"
+    lo = idx.meta["segments"][merged_name]["doc_id_offset"]
+    victims = (
+        idx.docstats().filter(F.col("doc_id") >= lo).select("repo", "path", "commit").limit(25)
+    )
+    n = delete_docs(spark, d, victims)
+    assert n == 25
+
+    meta = maybe_merge(spark, d, merge_at=3, reclaim_ratio=0.2)
+    assert meta is not None and meta["merged"] == [merged_name]
+    assert meta["n_docs"] == 75
+    # all tombstones were covered by the rewritten segment -> dir removed
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+
+    idx2 = SearchIndex(spark, d)
+    assert idx2.n_docs == 375
+    docs = _docs_of(spark, idx2, by_key)
+    stats = corpus_stats(docs)
+    for q in ["merge offset", "import"]:
+        got = idx2.search(q, k=10).collect()
+        want = bm25_oracle_topk(docs, q, k=10, precomputed=stats)
+        assert [r.doc_id for r in got] == [doc for doc, _ in want], q
+
+    # doc-id high-water mark survives the rewrite: a fresh append must
+    # allocate ids above every id ever issued, and its auto-name must not
+    # collide with live segments after the count shrank
+    with open(os.path.join(d, "meta.json")) as f:
+        hwm = max(s["max_doc_id"] for s in json.load(f)["segments"].values())
+    pdf = gen_corpus_pdf(n_docs=20, seed=99)
+    append_segment(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, num_id_buckets=8)
+    idx3 = SearchIndex(spark, d)
+    new_segs = set(idx3.meta["segments"]) - set(idx2.meta["segments"])
+    assert len(new_segs) == 1
+    added = idx3.meta["segments"][new_segs.pop()]
+    assert added["doc_id_offset"] > hwm
+    assert idx3.n_docs == 395
+
+
+def test_fully_deleted_run_drops_segment_without_writing(spark, merged_env):
+    """Reclaim of a 100%-tombstoned segment must not try to write an empty
+    parquet segment: the run is dropped from meta and its doc-id
+    high-water mark folds into a survivor so ids are never reused."""
+    d, _ = merged_env
+    idx = SearchIndex(spark, d)
+    small = min(idx.meta["segments"], key=lambda n: idx.meta["segments"][n]["n_docs"])
+    lo = idx.meta["segments"][small]["doc_id_offset"]
+    hi = idx.meta["segments"][small]["max_doc_id"]
+    hwm = max(s["max_doc_id"] for s in idx.meta["segments"].values())
+    # key by doc_id: the seed-99 appended docs reuse (repo, path, commit)
+    # keys of originals (commit ignores the seed), and a key-join would
+    # tombstone both copies — here we want exactly this segment's docs
+    victims = (
+        idx.docstats()
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        .select("doc_id")
+    )
+    n_dropped = idx.meta["segments"][small]["n_docs"]
+    assert delete_docs(spark, d, victims) == n_dropped
+
+    meta = maybe_merge(spark, d, reclaim_ratio=0.2)
+    assert meta is not None and meta["merged"] == [small] and meta["segment"] is None
+
+    idx2 = SearchIndex(spark, d)
+    assert small not in idx2.meta["segments"]
+    assert not os.path.exists(os.path.join(d, "segments", small))
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+    assert max(s["max_doc_id"] for s in idx2.meta["segments"].values()) >= hwm
+    assert idx2.n_docs == idx.n_docs - n_dropped
+    # index still queryable with the survivors only
+    assert idx2.search("import", k=5).count() == 5
