@@ -701,14 +701,22 @@ def replay_quarantine(
     ``DataSyncServiceImpl.java:106-206``). Pass relaxed/fixed build
     kwargs (e.g. a higher ``max_content_bytes``); rows that still fail
     are re-quarantined in the new segment. Returns the new segment's
-    meta, or None if the quarantine is empty/absent."""
+    meta, or None if the quarantine is empty/absent.
+
+    Replay is consume-once: on success the source quarantine is renamed
+    to ``quarantine.replayed-<new segment>`` (audit trail kept), so a
+    retry loop or second call can't re-ingest the same rows as duplicate
+    doc ids — the reference likewise removes replayed dead-letter rows
+    (``DataSyncServiceImpl.java:193-204``)."""
     q = os.path.join(index_dir, "segments", segment, "quarantine")
     if not os.path.exists(q):
         return None
     rows = spark.read.parquet(q).drop("reason")
     if not rows.head(1):
         return None
-    return append_segment(spark, rows, index_dir, **kwargs)
+    meta = append_segment(spark, rows, index_dir, **kwargs)
+    os.replace(q, q + f".replayed-{meta['segment']}")
+    return meta
 
 
 def append_segment(spark: SparkSession, docs: DataFrame, index_dir: str, **kwargs) -> dict:

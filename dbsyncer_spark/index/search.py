@@ -45,6 +45,22 @@ from dbsyncer_spark.session import empty_df
 _SCORE_SCHEMA = "doc_id long, score double"
 
 
+def _cut_topk(idx: np.ndarray, scores: np.ndarray, k: int):
+    """Exact per-range top-k cut under (score desc, doc_id asc).
+
+    ``np.argpartition`` alone breaks boundary score-ties arbitrarily —
+    with exact-duplicate documents (identical tf and dl give bit-equal
+    float scores) it could drop the tie member with the LOWEST doc id,
+    which the documented total order (and the DuckDB oracles) must keep.
+    Keep every boundary tie, then resolve the full order by doc id."""
+    if idx.size > k:
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        keep = scores >= kth
+        idx, scores = idx[keep], scores[keep]
+    order = np.lexsort((idx, -scores))[:k]
+    return idx[order], scores[order]
+
+
 def _tfnorm_bound(max_tf, min_dl, k1: float, b: float, avgdl: float):
     """Upper bound of tfnorm for any posting with tf<=max_tf, dl>=min_dl
     (monotone increasing in tf, decreasing in dl — valid for any avgdl)."""
@@ -140,13 +156,9 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        scores = S[idx]
-        if idx.size > k:
-            part = np.argpartition(-scores, k - 1)[:k]
-            idx, scores = idx[part], scores[part]
-        order = np.lexsort((idx, -scores))
-        return pd.DataFrame({"doc_id": (base + idx[order]).astype("int64"),
-                             "score": scores[order]})
+        idx, scores = _cut_topk(idx, S[idx], k)
+        return pd.DataFrame({"doc_id": (base + idx).astype("int64"),
+                             "score": scores})
 
     def grouped(key, pdf):
         return score_range_impl(key, pdf, None)
@@ -464,9 +476,10 @@ class SearchIndex:
         terms' idfs, duplicates counted, in phrase order) *
         tfnorm(phrase_freq, dl). Returns (doc_id, score) ordered
         (score desc, doc_id asc), <= k rows. Tombstones and
-        ``doc_filter`` (a Column over docstats) are applied post-scoring
-        — row-identical to pre-filtering since per-doc scores are
-        independent.
+        ``doc_filter`` (a Column over docstats) mask candidates BEFORE
+        the per-range top-k cut (cogrouped allowed set, same shape as
+        ``search()``) — masking after the cut would silently drop live
+        docs ranked behind excluded ones within a range.
         """
         if not self.params.get("store_positions"):
             raise ValueError(
@@ -491,8 +504,10 @@ class SearchIndex:
         shards = sorted({py_shard(t, self.num_shards) for t in uniq})
         range_size, m = self.range_size, len(terms)
         POS_CAP = 1 << 22  # > max in-doc token position + phrase length
+        tomb = self._tombstones()
+        use_allowed = doc_filter is not None or tomb is not None
 
-        def scorer(key, pdf):
+        def score_impl(key, pdf, allow_pdf):
             _limit_arrow_threads()
             empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -574,6 +589,14 @@ class SearchIndex:
                     return empty
                 hit_docs = np.asarray(hit_l, dtype=np.int64)
                 freqs = np.asarray(freq_l, dtype=np.int64)
+            if use_allowed:
+                amask = np.zeros(range_size, dtype=bool)
+                if allow_pdf is not None and len(allow_pdf):
+                    amask[(allow_pdf["doc_id"].to_numpy() - base)] = True
+                keep = amask[hit_docs]
+                hit_docs, freqs = hit_docs[keep], freqs[keep]
+                if hit_docs.size == 0:
+                    return empty
             # dl lookup from term_0's doc list
             d0, dl0 = per_tid[instances[0][0]][0], per_tid[instances[0][0]][1]
             order0 = np.argsort(d0)
@@ -581,25 +604,30 @@ class SearchIndex:
             f = freqs.astype(np.float64)
             tfn = f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avgdl))
             scores = idf_sum * tfn
-            idx = hit_docs
-            if idx.size > k:
-                part = np.argpartition(-scores, k - 1)[:k]
-                idx, scores = idx[part], scores[part]
-            order = np.lexsort((idx, -scores))
+            idx, scores = _cut_topk(hit_docs, scores, k)
             return pd.DataFrame(
-                {"doc_id": (base + idx[order]).astype("int64"), "score": scores[order]}
+                {"doc_id": (base + idx).astype("int64"), "score": scores}
             )
 
         postings = self._postings().filter(
             F.col("shard").isin(shards) & F.col("tid").isin(tids)
         )
-        scored = postings.groupBy("range_id").applyInPandas(scorer, _SCORE_SCHEMA)
-        tomb = self._tombstones()
-        if tomb is not None:
-            scored = scored.join(tomb.select("doc_id"), "doc_id", "left_anti")
-        if doc_filter is not None:
-            allowed = self.docstats().filter(doc_filter).select("doc_id")
-            scored = scored.join(allowed, "doc_id", "left_semi")
+        if use_allowed:
+            allowed = self.docstats()
+            if doc_filter is not None:
+                allowed = allowed.filter(doc_filter)
+            if tomb is not None:
+                allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
+            allowed = allowed.select("range_id", "doc_id")
+            scored = (
+                postings.groupBy("range_id")
+                .cogroup(allowed.groupBy("range_id"))
+                .applyInPandas(lambda key, l, r: score_impl(key, l, r), _SCORE_SCHEMA)
+            )
+        else:
+            scored = postings.groupBy("range_id").applyInPandas(
+                lambda key, pdf: score_impl(key, pdf, None), _SCORE_SCHEMA
+            )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def _terms_table(self) -> DataFrame:
@@ -708,13 +736,17 @@ class SearchIndex:
         shards = sorted({py_shard(t, self.num_shards) for t in dfs})
         range_size = self.range_size
 
-        def scorer(key, pdf):
+        def score_impl(key, pdf, dead_pdf):
             _limit_arrow_threads()
             if pdf.empty:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                     {"query_id": "object", "doc_id": "int64", "score": "float64"}
                 )
             base = int(key[0]) * range_size
+            dead_mask = None
+            if dead_pdf is not None and len(dead_pdf):
+                dead_mask = np.zeros(range_size, dtype=bool)
+                dead_mask[(dead_pdf["doc_id"].to_numpy() - base)] = True
             acc: dict[str, tuple[np.ndarray, np.ndarray]] = {
                 qid: (np.zeros(range_size), np.zeros(range_size, dtype=bool))
                 for qid in qterms
@@ -729,6 +761,12 @@ class SearchIndex:
                 tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
                 idx = (d - np.uint64(base)).astype(np.int64)
                 contrib = idf * tfn
+                if dead_mask is not None:
+                    # mask BEFORE the per-query top-k cut: dropping deleted
+                    # docs after the cut would lose live docs ranked behind
+                    # them within this range (found r2)
+                    live = ~dead_mask[idx]
+                    idx, contrib = idx[live], contrib[live]
                 for qid in by_tid[r.tid]:
                     S, seen = acc[qid]
                     S[idx] += contrib
@@ -738,15 +776,11 @@ class SearchIndex:
                 idx = np.flatnonzero(seen)
                 if idx.size == 0:
                     continue
-                scores = S[idx]
-                if idx.size > k:
-                    part = np.argpartition(-scores, k - 1)[:k]
-                    idx, scores = idx[part], scores[part]
-                order = np.lexsort((idx, -scores))
+                idx, scores = _cut_topk(idx, S[idx], k)
                 frames.append(pd.DataFrame({
                     "query_id": qid,
-                    "doc_id": (base + idx[order]).astype("int64"),
-                    "score": scores[order],
+                    "doc_id": (base + idx).astype("int64"),
+                    "score": scores,
                 }))
             if not frames:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -757,14 +791,21 @@ class SearchIndex:
         postings = self._postings().filter(
             F.col("shard").isin(shards) & F.col("tid").isin(list(idfs))
         )
-        scored = postings.groupBy("range_id").applyInPandas(scorer, out_schema)
-        # deleted docs never surface: per-doc BM25 scores are independent,
-        # so anti-joining tombstones AFTER scoring is row-identical to the
-        # pre-score allowed-mask in search() (and keeps this path cogroup-
-        # free). Mirrors search()'s tombstone handling.
         tomb = self._tombstones()
         if tomb is not None:
-            scored = scored.join(tomb.select("doc_id"), "doc_id", "left_anti")
+            dead = (
+                tomb.select("doc_id").distinct()
+                .withColumn("range_id", (F.col("doc_id") / F.lit(range_size)).cast("long"))
+            )
+            scored = (
+                postings.groupBy("range_id")
+                .cogroup(dead.groupBy("range_id"))
+                .applyInPandas(lambda key, l, r: score_impl(key, l, r), out_schema)
+            )
+        else:
+            scored = postings.groupBy("range_id").applyInPandas(
+                lambda key, pdf: score_impl(key, pdf, None), out_schema
+            )
         w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return (
             scored.withColumn("_rn", F.row_number().over(w))

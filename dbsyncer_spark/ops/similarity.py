@@ -124,10 +124,11 @@ def embedding_dup_pairs(
     )
 
 
-def _norm_stack(series) -> tuple[np.ndarray, np.ndarray]:
-    """Stack a pandas column of vectors into an L2-normalized matrix.
-    Zero-norm vectors get norm=inf so they never match (cosine undefined)."""
-    mat = np.stack(series.to_numpy())
+def _norm_stack(vecs) -> tuple[np.ndarray, np.ndarray]:
+    """Stack a pandas column (or sequence) of vectors into an
+    L2-normalized matrix. Zero-norm vectors get norm=inf so they never
+    match (cosine undefined)."""
+    mat = np.stack(vecs.to_numpy() if hasattr(vecs, "to_numpy") else vecs)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = np.inf
     return mat / norms[:, None], norms
@@ -228,9 +229,12 @@ def embedding_dup_pairs_gemm(
 
     spark = emb.sparkSession
     sel = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    n = sel.count()
-    if n > max_broadcast_rows:
-        nb = n_blocks or max(2, -(-n // max_broadcast_rows))  # ceil division
+    # bounded probe, not count(): LocalLimit stops the scan at the
+    # threshold row, so the small-corpus fast path never pays a full
+    # input scan just to pick itself
+    over = sel.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
+    if over:
+        nb = n_blocks or max(2, -(-sel.count() // max_broadcast_rows))  # ceil division
         return embedding_dup_pairs_blocked(emb, threshold, id_col, vec_col, nb)
     pdf = sel.toPandas()
     ids = pdf["id"].to_numpy(dtype=np.int64)
@@ -299,10 +303,7 @@ def ivf_centroids(
         .limit(sample)
         .collect()
     )
-    mat = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = np.inf
-    mat = mat / norms[:, None]
+    mat, _ = _norm_stack([np.asarray(r.v, dtype=np.float64) for r in rows])
     # init: first n_centroids distinct-enough rows (skip exact dupes)
     cents: list[np.ndarray] = []
     for row in mat:

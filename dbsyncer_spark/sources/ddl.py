@@ -92,6 +92,15 @@ _ALTER_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _IDENT = r"(?:`[^`]*`|\"[^\"]*\"|[\w$]+)"
+# ADD INDEX/KEY/constraint clauses are NOT column adds: the reference's
+# AddStrategy iterates only colDataTypes (jsqlparser parses index adds
+# with none), so they fall through as schema no-ops — without this guard
+# 'ADD INDEX idx (col)' would mis-parse as adding a column named 'INDEX'
+_ADD_NONCOLUMN_RE = re.compile(
+    r"^ADD\s+(?:INDEX|KEY|PRIMARY\s+KEY|UNIQUE|FULLTEXT|SPATIAL|CONSTRAINT|"
+    r"FOREIGN\s+KEY|PARTITION|CHECK)\b",
+    re.IGNORECASE,
+)
 _ADD_RE = re.compile(
     rf"^ADD\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s+(?P<type>\w+(?:\s*\([^)]*\))?)",
     re.IGNORECASE,
@@ -162,6 +171,11 @@ class DDLConfig:
     dropped: list[str] = field(default_factory=list)
     modified: list[tuple[str, str]] = field(default_factory=list)
     changed: dict[str, str] = field(default_factory=dict)  # old -> new
+    # CHANGE's (MySQL-mandatory) column type, keyed by NEW name — applied
+    # as a modify after the rename (the reference re-resolves the Field,
+    # picking up the type; dropping it would silently keep casting to the
+    # pre-CHANGE type)
+    changed_types: dict[str, str] = field(default_factory=dict)
 
 
 def parse_alter(sql: str) -> DDLConfig:
@@ -176,6 +190,8 @@ def parse_alter(sql: str) -> DDLConfig:
         raise ValueError(f"not an ALTER TABLE statement: {sql!r}")
     cfg = DDLConfig(table=_unquote(m.group("table").split(".")[-1]))
     for clause in _split_clauses(m.group("body")):
+        if _ADD_NONCOLUMN_RE.match(clause):
+            continue  # index/constraint add: schema no-op (reference parity)
         if a := _ADD_RE.match(clause):
             cfg.added.append((_unquote(a.group("col")), to_spark_type(a.group("type"))))
             cfg.operation = "ADD"
@@ -188,7 +204,10 @@ def parse_alter(sql: str) -> DDLConfig:
             )
             cfg.operation = "MODIFY"
         elif c := _CHANGE_RE.match(clause):
-            cfg.changed[_unquote(c.group("old"))] = _unquote(c.group("new"))
+            new = _unquote(c.group("new"))
+            cfg.changed[_unquote(c.group("old"))] = new
+            if c.group("type"):
+                cfg.changed_types[new] = to_spark_type(c.group("type"))
             cfg.operation = "CHANGE"
         else:
             raise ValueError(f"unsupported ALTER clause: {clause!r}")
@@ -324,6 +343,8 @@ def apply_ddl(table_dir: str, sql: str) -> DDLConfig:
         entries.append({"op": "modify", "name": name, "type": typ})
     for old, new in cfg.changed.items():
         entries.append({"op": "change", "old": old, "new": new})
+        if new in cfg.changed_types:
+            entries.append({"op": "modify", "name": new, "type": cfg.changed_types[new]})
     _replay(entries)  # validate before publishing
     _write_log(table_dir, entries)
     return cfg

@@ -401,14 +401,20 @@ def _gc_covered_tombstones(spark: SparkSession, index_dir: str, intervals: list)
     if cond is None or not os.path.exists(tomb_dir):
         return
     tomb_tmp = tomb_dir + ".rewriting"
+    tomb_old = tomb_dir + ".old"
     shutil.rmtree(tomb_tmp, ignore_errors=True)
+    shutil.rmtree(tomb_old, ignore_errors=True)
     keep = spark.read.parquet(tomb_dir).filter(~cond)
     if keep.isEmpty():
         shutil.rmtree(tomb_dir, ignore_errors=True)
         return
     keep.write.mode("overwrite").parquet(tomb_tmp)
-    shutil.rmtree(tomb_dir, ignore_errors=True)
+    # two renames, not rmtree-then-rename: a concurrent reader's window of
+    # seeing NO tombstones (deleted docs in unmerged segments reappearing)
+    # shrinks from a recursive delete to two atomic renames
+    os.replace(tomb_dir, tomb_old)
     os.replace(tomb_tmp, tomb_dir)
+    shutil.rmtree(tomb_old, ignore_errors=True)
 
 
 def decode_postings(postings: DataFrame, with_positions: bool = False) -> DataFrame:

@@ -47,6 +47,42 @@ def test_parse_rejects_non_alter_and_unknown_clause():
         D.parse_alter("ALTER TABLE t RENAME TO u")
 
 
+def test_parse_add_index_constraint_are_schema_noops():
+    """ADD INDEX/KEY/constraint must not mis-parse as ADD COLUMN (the
+    reference's AddStrategy only walks colDataTypes; jsqlparser gives
+    index adds none) — regression: these produced columns named
+    'INDEX'/'PRIMARY' (r2 review)."""
+    for sql in [
+        "ALTER TABLE t ADD INDEX idx_name (col)",
+        "ALTER TABLE t ADD KEY k1 (col)",
+        "ALTER TABLE t ADD PRIMARY KEY (id)",
+        "ALTER TABLE t ADD UNIQUE uq (col)",
+        "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES u(b)",
+        "ALTER TABLE t ADD FULLTEXT ft (txt)",
+    ]:
+        cfg = D.parse_alter(sql)
+        assert cfg.added == [] and cfg.operation == "", sql
+    # mixed statement: the real column add still lands
+    cfg = D.parse_alter("ALTER TABLE t ADD COLUMN c int, ADD INDEX i (c)")
+    assert cfg.added == [("c", "int")] and cfg.operation == "ADD"
+
+
+def test_change_applies_mandatory_type(spark, tmp_path):
+    """MySQL CHANGE always carries the column type; dropping it kept
+    casting to the pre-CHANGE type (silent truncation on widening)."""
+    cfg = D.parse_alter("ALTER TABLE t CHANGE COLUMN n n2 bigint")
+    assert cfg.changed == {"n": "n2"} and cfg.changed_types == {"n2": "bigint"}
+
+    tdir = str(tmp_path / "chg")
+    D.create_table(spark, tdir, spark.range(3).selectExpr("CAST(id AS int) AS n"))
+    D.apply_ddl(tdir, "ALTER TABLE t CHANGE COLUMN n n2 bigint")
+    assert dict(D.logical_schema(tdir)) == {"n2": "bigint"}
+    big = 4_000_000_000  # > int32 max: only survives if the CHANGE widened
+    D.append_rows(spark, tdir, spark.createDataFrame([(big,)], "n2 long"))
+    got = {r.n2 for r in D.read_evolved(spark, tdir).collect()}
+    assert big in got
+
+
 def test_type_mapping():
     assert D.to_spark_type("varchar(255)") == "string"
     assert D.to_spark_type("BIGINT") == "bigint"

@@ -1,0 +1,112 @@
+"""Regression gates for r2 review findings: tombstone / doc_filter masks
+must apply BEFORE the per-range top-k cut (masking after the cut silently
+loses live docs ranked behind excluded ones), the cut itself must keep
+boundary score-ties and resolve them by doc id, and quarantine replay is
+consume-once."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.index.build import build_index, replay_quarantine
+from dbsyncer_spark.index.search import SearchIndex, _cut_topk
+from dbsyncer_spark.streaming.incremental import delete_docs
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _phrase_corpus():
+    """Six docs, all containing the phrase 'alpha beta' once, strictly
+    increasing doc length -> strictly decreasing BM25 phrase scores."""
+    rows = []
+    for i in range(6):
+        filler = " ".join(f"filler{i}tok{j}" for j in range(4 + 6 * i))
+        rows.append((f"r{i}", f"p{i}.py", f"c{i}", ["java", "python"][i % 2],
+                     f"alpha beta {filler}"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mask_idx"))
+    docs = spark.createDataFrame(_phrase_corpus(), SCHEMA)
+    build_index(spark, docs, d, num_shards=4, range_size=128, block_size=16,
+                num_id_buckets=4, store_positions=True)
+    return d
+
+
+def test_cut_topk_keeps_lowest_doc_id_on_boundary_ties():
+    ids = np.array([40, 10, 30, 20, 50], dtype=np.int64)
+    scores = np.array([1.0, 0.5, 0.5, 0.5, 0.2])
+    got_ids, got_scores = _cut_topk(ids, scores, 2)
+    # three-way tie at the k=2 boundary: the LOWEST doc id must survive
+    assert got_ids.tolist() == [40, 10]
+    assert got_scores.tolist() == [1.0, 0.5]
+    # under-full input: full (score desc, id asc) order
+    got_ids, _ = _cut_topk(ids, scores, 10)
+    assert got_ids.tolist() == [40, 10, 20, 30, 50]
+
+
+def test_phrase_tombstone_masks_before_cut(spark, pidx):
+    idx = SearchIndex(spark, pidx)
+    full = idx.search_phrase("alpha beta", k=10).collect()
+    assert len(full) == 6
+    top = full[0]
+    vic = idx.docstats().filter(F.col("doc_id") == top.doc_id).select("repo", "path")
+    assert delete_docs(spark, pidx, vic) == 1
+
+    idx2 = SearchIndex(spark, pidx)
+    got = idx2.search_phrase("alpha beta", k=5).collect()
+    # post-cut masking would return only 4 rows (rank-1 cut then dropped)
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in full[1:6]
+    ]
+
+
+def test_search_and_search_many_tombstone_before_cut(spark, pidx):
+    """Depends on the tombstone from the previous test: single range,
+    6 matching docs, top-1 deleted — k=3 must return original ranks 2-4."""
+    idx = SearchIndex(spark, pidx)
+    got_many = idx.search_many({"q": "alpha"}, k=3).collect()
+    want = idx.search("alpha", k=3, mode="exhaustive").collect()
+    assert len(want) == 3
+    assert [(r.doc_id, round(r.score, 12)) for r in got_many] == [
+        (r.doc_id, round(r.score, 12)) for r in want
+    ]
+
+
+def test_phrase_doc_filter_masks_before_cut(spark, pidx):
+    idx = SearchIndex(spark, pidx)
+    full = idx.search_phrase("alpha beta", k=10).collect()
+    by_id = {
+        r.doc_id: r.lang
+        for r in idx.docstats().select("doc_id", "lang").collect()
+    }
+    top_lang = by_id[full[0].doc_id]
+    keep = [r for r in full if by_id[r.doc_id] != top_lang]
+    assert len(keep) >= 2, "fixture must have both langs in the ranking"
+    k = len(keep)
+    got = idx.search_phrase(
+        "alpha beta", k=k, doc_filter=(F.col("lang") != top_lang)
+    ).collect()
+    assert [(r.doc_id, r.score) for r in got] == [(r.doc_id, r.score) for r in keep]
+
+
+def test_replay_quarantine_is_consume_once(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("replay_idx"))
+    rows = [("r", f"p{i}.py", f"c{i}", "python", "alpha beta " + "x" * (4000 if i == 0 else 10))
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    build_index(spark, docs, d, num_shards=4, range_size=128, block_size=16,
+                num_id_buckets=4, max_content_bytes=1000)
+    idx = SearchIndex(spark, d)
+    assert idx.n_docs == 3  # oversized doc quarantined
+
+    meta = replay_quarantine(spark, d, max_content_bytes=10_000)
+    assert meta is not None and meta["n_docs"] == 1
+    assert SearchIndex(spark, d).n_docs == 4
+    # second replay must be a no-op, not a duplicate ingest
+    assert replay_quarantine(spark, d, max_content_bytes=10_000) is None
+    assert SearchIndex(spark, d).n_docs == 4

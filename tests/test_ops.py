@@ -136,7 +136,7 @@ def test_shingle_kernel_matches_column_form(spark, docs):
     from dbsyncer_spark.ops.dedup import _doc_shingles, _doc_shingles_col
 
     extra = docs.union(spark.createDataFrame(
-        [(9, ""), (10, "getUserName snake_case 中文测试 short")],
+        [(9, ""), (10, "getUserName snake_case 中文测试 short"), (11, None)],
         "doc_id long, text string"))
     a = sorted((r.doc_id, r.shingle) for r in _doc_shingles(extra, "text", "doc_id", 3).collect())
     b = sorted((r.doc_id, r.shingle) for r in _doc_shingles_col(extra, "text", "doc_id", 3).collect())
@@ -147,6 +147,9 @@ def test_fingerprint_kernel_matches_column_form(spark):
     from dbsyncer_spark.ops.textstats import fingerprints, fingerprints_col
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    docs = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(9001, None), (9002, "")], "doc_id long, text string")
+    )
     a = sorted((r.doc_id, r.fp) for r in fingerprints(docs).collect())
     b = sorted((r.doc_id, r.fp) for r in fingerprints_col(docs).collect())
     assert a == b and len(a) > 0
