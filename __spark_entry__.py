@@ -256,6 +256,16 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms-facet over the index (the reference's ES aggregation
+    capability, S6 SearchSourceBuilder, and the Shard.java:196-201 count
+    short-circuit generalized to group-by): per-lang count of documents
+    matching ANY flagship-query term, computed from the pruned postings'
+    docId streams joined to docstats — never a corpus scan."""
+    idx = _entry_index(spark, sf_dir)
+    return idx.facet_counts(FLAGSHIP_QUERY, by="lang")
+
+
 def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k + best-fragment highlighting (reference F12 getBestFragment)
     on the fetched page only. Piece-array implementation is fully
@@ -755,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_zh": q_bm25_topk_zh,
         "parsed_query": q_parsed_query,
         "boosted_query": q_boosted_query,
+        "facet_lang_counts": q_facet_lang_counts,
         "highlight_topk": q_highlight_topk,
         "term_match_count": q_term_match_count,
         "fulltext_like": q_fulltext_like,
@@ -814,6 +825,14 @@ ORDER BY t.score DESC, t.doc_id ASC LIMIT 10
         boosts={"merge": 2.5, "table": 0.5},
     )
     sql["bm25_filtered"] = _bm25_oracle(FLAGSHIP_QUERY, 20, lang="en")
+    from dbsyncer_spark.functions.tokenizer import tokenize_py as _tok_py
+
+    _facet_terms = ", ".join(f"'{t}'" for t in sorted(set(_tok_py(FLAGSHIP_QUERY))))
+    sql["facet_lang_counts"] = f"""
+SELECT lang, count(*) AS cnt FROM documents
+WHERE len(list_intersect({_TOK}, [{_facet_terms}])) > 0
+GROUP BY lang ORDER BY lang
+"""
     sql["bm25_topk_zh"] = _bm25_oracle(
         _ZH_QUERY, 20,
         src=(f"(SELECT doc_id, translate(lower(text), '{_ASCII26}', '{_CJK26}')"

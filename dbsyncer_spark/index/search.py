@@ -824,6 +824,50 @@ class SearchIndex:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
 
+    def facet_counts(self, query: str, by: str = "lang", doc_filter=None) -> DataFrame:
+        """Matching-document counts grouped by a docstats column — the
+        terms-facet the reference serves through its ES capability
+        (``SearchSourceBuilder`` aggregations, S6) and its count
+        short-circuit (``Shard.java:196-201``) generalized to group-by.
+        Match semantics = ``count()``: docs containing ANY query term.
+
+        Plan at scale: shard/tid-pruned postings scan -> docId streams
+        decoded (blob column only, never scores) -> distinct -> join to
+        docstats pruned to (doc_id, by) -> partial-agg count. Never a
+        full-corpus scan; returns (by, cnt) ordered by the facet value.
+        """
+        terms = sorted(set(tokenize_py(query)))
+        dfs = self.lookup(terms)
+        stats = self.docstats()
+        if doc_filter is not None:
+            stats = stats.filter(doc_filter)
+        if not dfs:
+            # zero-job empty result with the right (by, cnt) schema
+            return (
+                stats.select(by).where(F.lit(False))
+                .groupBy(by).agg(F.count(F.lit(1)).alias("cnt"))
+            )
+        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin([term_id(t) for t in dfs])
+        )
+        ids = postings.select(
+            F.explode(
+                _decode_ids_udf()(
+                    F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off")
+                )
+            ).alias("doc_id")
+        ).distinct()
+        tomb = self._tombstones()
+        if tomb is not None:
+            ids = ids.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        return (
+            ids.join(stats.select("doc_id", by), "doc_id")
+            .groupBy(by)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(by)
+        )
+
     def count(self, query: str) -> int:
         """Count-only query (reference count short-circuit,
         ``Shard.java:196-201``) — reads only posting metadata columns."""

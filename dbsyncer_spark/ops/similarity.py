@@ -380,6 +380,49 @@ def ivf_ann_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def ivf_write(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted-file layout: the corpus written
+    partitioned by nearest-centroid list (one map-only assignment pass +
+    write). This is the at-scale form of ``ivf_ann_topk``'s isin filter:
+    once laid out, every probe is a partition-PRUNED read — a query
+    touches nprobe/n_centroids of the files, no matter the corpus size
+    (``ivf_probe_topk``; plan-gated in tests/test_plans.py)."""
+    ivf_assign(emb, centroids, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "_ivf_list"
+    ).parquet(path)
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over an ``ivf_write`` layout: rank centroids by cosine to the
+    query, read ONLY the top-``nprobe`` list partitions (partition
+    pruning — the filter never reaches row groups of other lists), exact
+    cosine rerank. ``nprobe == n_centroids`` is exact (row-identical to
+    ``cosine_topk`` over the full corpus)."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    if qn > 0:
+        qv = qv / qn
+    order = np.argsort(-(centroids @ qv), kind="stable")
+    probes = [int(x) for x in order[: max(1, nprobe)]]
+    cand = spark.read.parquet(path).filter(F.col("_ivf_list").isin(probes))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query: list[float],

@@ -94,6 +94,34 @@ def test_phrase_doc_filter_masks_before_cut(spark, pidx):
     assert [(r.doc_id, r.score) for r in got] == [(r.doc_id, r.score) for r in keep]
 
 
+def test_facet_counts_respects_tombstones_and_filter(spark, pidx):
+    """Terms-facet (ES aggregation analog): ANY-term match counts per
+    lang, excluding tombstoned docs; doc_filter narrows the stats side.
+    Runs after the phrase tests, so exactly one doc is tombstoned."""
+    idx = SearchIndex(spark, pidx)
+    live = {
+        r.doc_id: r.lang for r in idx.docstats().select("doc_id", "lang").collect()
+    }
+    tomb = {r.doc_id for r in spark.read.parquet(f"{pidx}/tombstones").collect()}
+    assert len(tomb) == 1
+    want: dict[str, int] = {}
+    for did, lang in live.items():
+        if did not in tomb:  # every doc contains 'alpha'
+            want[lang] = want.get(lang, 0) + 1
+    got = {r.lang: r.cnt for r in idx.facet_counts("alpha", by="lang").collect()}
+    assert got == want
+    got_f = {
+        r.lang: r.cnt
+        for r in idx.facet_counts(
+            "alpha", by="lang", doc_filter=(F.col("lang") == "python")
+        ).collect()
+    }
+    assert got_f == {"python": want["python"]}
+    # miss query: empty result, right schema, no job needed
+    miss = idx.facet_counts("zz_absent_zz", by="lang")
+    assert miss.columns == ["lang", "cnt"] and miss.collect() == []
+
+
 def test_replay_quarantine_is_consume_once(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("replay_idx"))
     rows = [("r", f"p{i}.py", f"c{i}", "python", "alpha beta " + "x" * (4000 if i == 0 else 10))

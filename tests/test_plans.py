@@ -109,6 +109,34 @@ def test_miss_query_collects_without_a_job(pindex):
     assert df.collect() == []
 
 
+def test_ivf_layout_probe_is_partition_pruned(spark, tmp_path):
+    """The ivf_write inverted-file layout makes probes partition-pruned
+    reads: the _ivf_list filter appears as PartitionFilters on the scan
+    (never a post-scan Filter over all rows), plan stays Exchange-free,
+    and nprobe=all is row-identical to the full-corpus exact top-k."""
+    from dbsyncer_spark.ops.similarity import (
+        cosine_topk, ivf_centroids, ivf_probe_topk, ivf_write,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = ivf_centroids(emb, n_centroids=4, sample=100)
+    layout = str(tmp_path / "ivf_layout")
+    ivf_write(emb, cents, layout)
+
+    probed = ivf_probe_topk(spark, layout, qv, cents, k=5, nprobe=2)
+    p = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "_ivf_list" in p.split("PartitionFilters")[1][:200]
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+    exact = ivf_probe_topk(spark, layout, qv, cents, k=5, nprobe=4)
+    want = cosine_topk(emb, qv, k=5).collect()
+    assert [(r.vec_id, round(r.score, 9)) for r in exact.collect()] == [
+        (r.vec_id, round(r.score, 9)) for r in want
+    ]
+
+
 def test_ivf_plan_is_map_only(spark):
     """IVF probe + rerank: centroid literals in plan, single file scan,
     TakeOrdered — zero Exchange (at scale with a list-partitioned layout
