@@ -256,6 +256,21 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-sorted index query (reference Option.sortField /
+    ensureSortForPaging, Shard.java:231-247): docs containing 'merge'
+    ordered by (lang, original doc id) — the synthetic path embeds the
+    original id zero-padded, so sorting by path IS the oracle's doc_id
+    order (deterministic total order, no score involved)."""
+    idx = _entry_index(spark, sf_dir)
+    rows = idx.search_sorted("merge", [("lang", True), ("path", True)], k=20)
+    return rows.select(
+        F.substring("path", 2, 12).cast("long").alias("doc_id"),
+        "lang",
+        F.col("dl").alias("n_tokens"),
+    )
+
+
 def q_facet_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terms-facet over the index (the reference's ES aggregation
     capability, S6 SearchSourceBuilder, and the Shard.java:196-201 count
@@ -765,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_zh": q_bm25_topk_zh,
         "parsed_query": q_parsed_query,
         "boosted_query": q_boosted_query,
+        "sorted_match": q_sorted_match,
         "facet_lang_counts": q_facet_lang_counts,
         "highlight_topk": q_highlight_topk,
         "term_match_count": q_term_match_count,
@@ -832,6 +848,11 @@ ORDER BY t.score DESC, t.doc_id ASC LIMIT 10
 SELECT lang, count(*) AS cnt FROM documents
 WHERE len(list_intersect({_TOK}, [{_facet_terms}])) > 0
 GROUP BY lang ORDER BY lang
+"""
+    sql["sorted_match"] = f"""
+SELECT doc_id, lang, len({_TOK}) AS n_tokens FROM documents
+WHERE list_contains({_TOK}, 'merge')
+ORDER BY lang ASC, doc_id ASC LIMIT 20
 """
     sql["bm25_topk_zh"] = _bm25_oracle(
         _ZH_QUERY, 20,

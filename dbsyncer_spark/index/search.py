@@ -868,6 +868,49 @@ class SearchIndex:
             .orderBy(by)
         )
 
+    def search_sorted(
+        self,
+        query: str,
+        sort_cols: list[tuple[str, bool]],
+        k: int = 10,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Field-sorted match: docs containing ANY query term, ordered by
+        docstats columns instead of relevance — the reference's sorted
+        queries (``Option.sortField`` / ``ensureSortForPaging``,
+        ``Shard.java:231-247``), with the same stable ``_doc`` tiebreaker
+        (doc_id asc appended, so paging is total-ordered).
+
+        ``sort_cols``: list of (column, ascending). Plan: pruned postings
+        docId streams -> distinct -> join docstats -> TakeOrdered (never
+        a global sort). Returns docstats rows + doc_id, <= k rows.
+        """
+        terms = sorted(set(tokenize_py(query)))
+        dfs = self.lookup(terms)
+        stats = self.docstats()
+        if doc_filter is not None:
+            stats = stats.filter(doc_filter)
+        order = [
+            (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_cols
+        ] + [F.col("doc_id").asc()]
+        if not dfs:
+            return stats.where(F.lit(False)).orderBy(*order).limit(k)
+        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin([term_id(t) for t in dfs])
+        )
+        ids = postings.select(
+            F.explode(
+                _decode_ids_udf()(
+                    F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off")
+                )
+            ).alias("doc_id")
+        ).distinct()
+        tomb = self._tombstones()
+        if tomb is not None:
+            ids = ids.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        return ids.join(stats, "doc_id").orderBy(*order).limit(k)
+
     def count(self, query: str) -> int:
         """Count-only query (reference count short-circuit,
         ``Shard.java:196-201``) — reads only posting metadata columns."""

@@ -122,6 +122,31 @@ def test_facet_counts_respects_tombstones_and_filter(spark, pidx):
     assert miss.columns == ["lang", "cnt"] and miss.collect() == []
 
 
+def test_search_sorted_field_order_and_tombstones(spark, pidx):
+    """Field-sorted match (reference Option.sortField): ANY-term match
+    ordered by docstats columns with the stable doc_id tiebreaker; live
+    docs only (one tombstone from the earlier tests); TakeOrdered plan."""
+    idx = SearchIndex(spark, pidx)
+    tomb = {r.doc_id for r in spark.read.parquet(f"{pidx}/tombstones").collect()}
+    want = sorted(
+        (
+            (r.lang, r.path, r.doc_id)
+            for r in idx.docstats().select("doc_id", "lang", "path").collect()
+            if r.doc_id not in tomb
+        ),
+    )
+    got = idx.search_sorted("alpha", [("lang", True), ("path", True)], k=10)
+    assert [(r.lang, r.path, r.doc_id) for r in got.collect()] == want
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, "field sort must be TakeOrdered, not global Sort"
+    # filtered + miss behave
+    only_py = idx.search_sorted(
+        "alpha", [("path", True)], k=10, doc_filter=(F.col("lang") == "python")
+    ).collect()
+    assert only_py and all(r.lang == "python" for r in only_py)
+    assert idx.search_sorted("zz_absent", [("lang", True)], k=5).collect() == []
+
+
 def test_replay_quarantine_is_consume_once(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("replay_idx"))
     rows = [("r", f"p{i}.py", f"c{i}", "python", "alpha beta " + "x" * (4000 if i == 0 else 10))
