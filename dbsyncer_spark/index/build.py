@@ -76,7 +76,7 @@ from dbsyncer_spark.functions.tokenizer import (
     _STOP_SETS,
     _TOKEN_RE,
 )
-from dbsyncer_spark.index.codec import BLOCK_SIZE, pack_postings
+from dbsyncer_spark.index.codec import BLOCK_SIZE, MAX_DOC_POSITIONS, pack_postings
 from dbsyncer_spark.index.docids import assign_doc_ids
 from dbsyncer_spark.index.lineage import commit_stage, params_hash, stage_committed
 
@@ -238,6 +238,18 @@ def _tokenize_count(use_stopwords: bool, store_positions: bool = False):
                     }
                 )
                 continue
+            # positional build rejects over-long docs UP FRONT: the
+            # phrase matcher packs (doc, pos) as doc*POS_CAP+pos, and a
+            # doc accepted here would instead fail EVERY phrase query
+            # touching its range at query time. Use max_content_bytes to
+            # quarantine such docs instead of failing the build.
+            if dls.size and int(dls.max()) > MAX_DOC_POSITIONS:
+                raise ValueError(
+                    f"store_positions build: doc {int(pdf['doc_id'].iloc[int(np.argmax(dls))])} "
+                    f"has {int(dls.max())} tokens > MAX_DOC_POSITIONS "
+                    f"({MAX_DOC_POSITIONS}); set max_content_bytes to "
+                    "quarantine oversized docs"
+                )
             # positions: doc_idx is ascending (tokens in doc order), so
             # the in-doc token index is global index minus the doc's
             # first index; a STABLE sort by (doc, term) then keeps each

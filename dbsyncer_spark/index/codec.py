@@ -25,6 +25,13 @@ read them (column pruning) — only phrase queries pay the extra I/O. The
 per-posting value counts are the tf stream, so no extra length table is
 needed.
 
+``POS_CAP`` bounds in-doc token positions for positional builds: the
+phrase matcher packs (doc, position) into a single int64 key as
+``doc * POS_CAP + pos``, so the build REJECTS docs with more tokens than
+``MAX_DOC_POSITIONS`` (cap minus a phrase-length margin) up front —
+otherwise every phrase query touching that doc's range would fail at
+query time instead (r2 review).
+
 Block-max bounds are stored as (max tf, min dl) rather than a
 precomputed tfnorm so the bound stays valid under *any* global avgdl —
 BM25's tfnorm is monotone increasing in tf and decreasing in dl, so
@@ -41,6 +48,8 @@ import numpy as np
 
 BLOCK_SIZE = 128
 _MAX_VBYTE_LEN = 10  # 64 bits / 7
+POS_CAP = 1 << 22  # phrase-matcher (doc, pos) packing base
+MAX_DOC_POSITIONS = POS_CAP - 1024  # margin covers the phrase length
 
 
 def vbyte_encode(values: np.ndarray) -> bytes:
@@ -48,16 +57,13 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # byte length per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # bit_length via repeated shift counting (vectorized, <=10 iters)
+    # byte length per value = number of 7-bit groups, min 1
+    # (vectorized shift counting, <=10 iters)
     lengths = np.ones(v.shape, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
         lengths += (tmp > 0).astype(np.int64)
         tmp >>= np.uint64(7)
-    del nbits
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)

@@ -188,6 +188,7 @@ class SearchIndex:
         self.avgdl = sum_dl / self.n_docs if self.n_docs else 0.0
         self._seg_dirs = [os.path.join(index_dir, "segments", name) for name in sorted(segs)]
         self._term_cache: dict[str, int] = {}
+        self._TERM_CACHE_MAX = 200_000  # ~a few MB of driver memory
         self._df_cache: dict[str, DataFrame] = {}
         self._driver_dict: dict[int, int] | None = None
 
@@ -241,7 +242,19 @@ class SearchIndex:
             # whole p50 was scheduling floor, measured r2). ClusteredDist
             # is satisfied by any hash partitioning on range_id, so fewer
             # partitions than ranges stays correct (ranges co-group).
-            n_ranges = max(1, -(-self.n_docs // self.range_size))
+            # live ranges from segment id-spans, NOT n_docs/range_size:
+            # append_segment aligns each segment to a fresh range
+            # boundary, so a 10-segment index can hold 10 live ranges
+            # while n_docs/range_size says 1 (which would serialize the
+            # whole serving path into one task — r2 review)
+            n_ranges = max(
+                1,
+                sum(
+                    (s["max_doc_id"] - s["doc_id_offset"]) // self.range_size + 1
+                    for s in self.meta["segments"].values()
+                    if s["max_doc_id"] >= s["doc_id_offset"]
+                ),
+            )
             default_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             n_parts = min(n_ranges, default_parts)
             p = self._postings().repartition(n_parts, "range_id").persist()
@@ -256,7 +269,7 @@ class SearchIndex:
         lookups then cost zero Spark jobs. Serving-session option for
         indexes whose dictionary fits the driver (refuses above
         ``max_terms``); the at-scale default stays the shard-pruned
-        per-query lookup with the LRU term cache."""
+        per-query lookup with the bounded driver term cache."""
         d = self._dictionary().groupBy("tid").agg(F.sum("df").alias("df"))
         n = d.count()
         if n > max_terms:
@@ -295,6 +308,13 @@ class SearchIndex:
             found = {tids[r.tid]: int(r.df) for r in rows}
             for t in missing:
                 self._term_cache[t] = found.get(t, 0)
+            # bounded: a long-lived serving session streaming diverse
+            # queries (incl. zero-df misses, cached as 0) must not grow
+            # the driver dict forever — evict the oldest half on overflow
+            # (insertion order approximates recency well enough here)
+            if len(self._term_cache) > self._TERM_CACHE_MAX:
+                for old in list(self._term_cache)[: self._TERM_CACHE_MAX // 2]:
+                    del self._term_cache[old]
         return {t: self._term_cache[t] for t in terms if self._term_cache[t] > 0}
 
     # -- search ----------------------------------------------------------
@@ -379,6 +399,8 @@ class SearchIndex:
         after: tuple[float, int],
         k: int = 10,
         doc_filter=None,
+        allowed_docs: DataFrame | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Next ``k`` results strictly after cursor ``after=(score,
         doc_id)`` — the reference's searchAfter deep paging
@@ -387,9 +409,15 @@ class SearchIndex:
         the scorer discards everything at-or-before the cursor BEFORE
         the top-k cut, so page N costs the same as page 1 (no offset
         materialization). Union of cursor pages is row-identical to one
-        big top-K (pytest-gated)."""
+        big top-K (pytest-gated).
+
+        ``boosts`` / ``allowed_docs`` must match the page-1 call exactly
+        (the cursor's float-equality test assumes the SAME ranking —
+        paging a boosted or parsed query with different knobs would skip
+        or duplicate rows at the page boundary)."""
         return self.search(
-            query, k=k, mode="exhaustive", doc_filter=doc_filter, after=after
+            query, k=k, mode="exhaustive", doc_filter=doc_filter, after=after,
+            allowed_docs=allowed_docs, boosts=boosts,
         )
 
     def _docs_with_term(self, term: str) -> DataFrame:
@@ -418,9 +446,10 @@ class SearchIndex:
         terms/phrases exclude. Row-identical to the DataFrame twin
         ``dbsyncer_spark.query.parser.parsed_topk_wide`` (pytest-gated).
         Phrase clauses need a positional index."""
-        from dbsyncer_spark.query.parser import parse_query
+        from dbsyncer_spark.query.parser import check_fields, parse_query
 
         pq = parse_query(query)
+        check_fields(pq, self.docstats().columns)
         scored = pq.scored_terms
         if not scored:
             return empty_df(self.spark, _SCORE_SCHEMA)
@@ -444,6 +473,9 @@ class SearchIndex:
         doc_filter = None
         for f, v in pq.fields.items():
             cond = F.col(f) == v
+            doc_filter = cond if doc_filter is None else (doc_filter & cond)
+        for f, v in pq.not_fields.items():
+            cond = ~F.col(f).eqNullSafe(v)
             doc_filter = cond if doc_filter is None else (doc_filter & cond)
 
         return self.search(
@@ -503,7 +535,7 @@ class SearchIndex:
         tids = sorted({tid for tid, _ in instances})
         shards = sorted({py_shard(t, self.num_shards) for t in uniq})
         range_size, m = self.range_size, len(terms)
-        POS_CAP = 1 << 22  # > max in-doc token position + phrase length
+        from dbsyncer_spark.index.codec import POS_CAP  # build enforces the cap
         tomb = self._tombstones()
         use_allowed = doc_filter is not None or tomb is not None
 
@@ -824,6 +856,29 @@ class SearchIndex:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
 
+    def _matching_doc_ids(self, dfs: dict) -> DataFrame:
+        """Distinct LIVE doc_ids containing ANY of the looked-up terms:
+        shard/tid-pruned postings scan, docId streams decoded (blob
+        column only, never scores), tombstones anti-joined. The single
+        source of match semantics for count / facet_counts /
+        search_sorted (three prior copies had already diverged on
+        tombstone handling — r2 review)."""
+        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin([term_id(t) for t in dfs])
+        )
+        ids = postings.select(
+            F.explode(
+                _decode_ids_udf()(
+                    F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off")
+                )
+            ).alias("doc_id")
+        ).distinct()
+        tomb = self._tombstones()
+        if tomb is not None:
+            ids = ids.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        return ids
+
     def facet_counts(self, query: str, by: str = "lang", doc_filter=None) -> DataFrame:
         """Matching-document counts grouped by a docstats column — the
         terms-facet the reference serves through its ES capability
@@ -847,22 +902,9 @@ class SearchIndex:
                 stats.select(by).where(F.lit(False))
                 .groupBy(by).agg(F.count(F.lit(1)).alias("cnt"))
             )
-        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
-        postings = self._postings().filter(
-            F.col("shard").isin(shards) & F.col("tid").isin([term_id(t) for t in dfs])
-        )
-        ids = postings.select(
-            F.explode(
-                _decode_ids_udf()(
-                    F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off")
-                )
-            ).alias("doc_id")
-        ).distinct()
-        tomb = self._tombstones()
-        if tomb is not None:
-            ids = ids.join(tomb.select("doc_id"), "doc_id", "left_anti")
         return (
-            ids.join(stats.select("doc_id", by), "doc_id")
+            self._matching_doc_ids(dfs)
+            .join(stats.select("doc_id", by), "doc_id")
             .groupBy(by)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(by)
@@ -895,43 +937,22 @@ class SearchIndex:
         ] + [F.col("doc_id").asc()]
         if not dfs:
             return stats.where(F.lit(False)).orderBy(*order).limit(k)
-        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
-        postings = self._postings().filter(
-            F.col("shard").isin(shards) & F.col("tid").isin([term_id(t) for t in dfs])
-        )
-        ids = postings.select(
-            F.explode(
-                _decode_ids_udf()(
-                    F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off")
-                )
-            ).alias("doc_id")
-        ).distinct()
-        tomb = self._tombstones()
-        if tomb is not None:
-            ids = ids.join(tomb.select("doc_id"), "doc_id", "left_anti")
-        return ids.join(stats, "doc_id").orderBy(*order).limit(k)
+        return self._matching_doc_ids(dfs).join(stats, "doc_id").orderBy(*order).limit(k)
 
     def count(self, query: str) -> int:
         """Count-only query (reference count short-circuit,
-        ``Shard.java:196-201``) — reads only posting metadata columns."""
+        ``Shard.java:196-201``). The decode-free dictionary-df shortcut
+        applies only to single-term queries on a tombstone-free index —
+        with deletes pending, counts decode the docId streams and
+        anti-join tombstones like every other query surface (r2: the
+        shortcut previously counted deleted docs)."""
         terms = sorted(set(tokenize_py(query)))
         dfs = self.lookup(terms)
         if not dfs:
             return 0
-        shards = sorted({py_shard(t, self.num_shards) for t in dfs})
-        # distinct docs containing ANY term: decode-free upper layer needs
-        # per-doc distinct; use postings decode-free df sum only for
-        # single-term queries, else count distinct via decoded doc ids.
-        if len(dfs) == 1:
+        if len(dfs) == 1 and self._tombstones() is None:
             return sum(dfs.values())
-        postings = self._postings().filter(
-            F.col("shard").isin(shards) & F.col("tid").isin([term_id(t) for t in dfs])
-        )
-        return (
-            postings.select(F.explode(_decode_ids_udf()(F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off"))).alias("doc_id"))
-            .distinct()
-            .count()
-        )
+        return self._matching_doc_ids(dfs).count()
 
 
 def _decode_ids_udf():

@@ -8,7 +8,14 @@ Syntax (whitespace-separated units, quotes group):
 - ``term``          SHOULD clause: scores, not required
 - ``+term``         MUST clause: required AND scores (Lucene semantics)
 - ``-term``         MUST_NOT clause: excludes docs containing the term
-- ``field:value``   metadata equality filter (repo/path/lang/... columns)
+- ``field:value``   metadata equality filter (repo/path/lang/... columns);
+                    ``+field:value`` is the same (filters are MUST),
+                    ``-field:value`` excludes matching docs (docs where
+                    the field is NULL are kept, Lucene MUST_NOT
+                    semantics). A field name that is not a column of the
+                    target raises ValueError naming the known columns —
+                    quote colon-bearing text (URLs, times) to search it
+                    as a phrase instead.
 - ``"a phrase"``    exact-phrase MUST clause (filter; scored by the
                     phrase-capable paths only — documented simplification
                     vs Lucene, which also scores sloppy phrases)
@@ -53,6 +60,7 @@ class ParsedQuery:
     phrases: list[str] = field(default_factory=list)   # required phrases
     not_phrases: list[str] = field(default_factory=list)
     fields: dict[str, str] = field(default_factory=dict)
+    not_fields: dict[str, str] = field(default_factory=dict)  # -field:value
     boosts: dict[str, float] = field(default_factory=dict)  # term -> ^boost
 
     @property
@@ -63,13 +71,14 @@ class ParsedQuery:
     def is_empty(self) -> bool:
         return not (
             self.should or self.must or self.must_not
-            or self.phrases or self.not_phrases or self.fields
+            or self.phrases or self.not_phrases or self.fields or self.not_fields
         )
 
 
 def parse_query(q: str) -> ParsedQuery:
     """Parse a query string into clause lists (see module docstring)."""
     out = ParsedQuery()
+    plain: set[str] = set()  # terms that appear unboosted in a scoring clause
     for mod, unit, quoted in _UNIT_RE.findall(q or ""):
         if quoted or unit.startswith('"'):
             phrase = quoted
@@ -77,8 +86,12 @@ def parse_query(q: str) -> ParsedQuery:
                 (out.not_phrases if mod == "-" else out.phrases).append(phrase)
             continue
         fm = _FIELD_RE.match(unit)
-        if fm and mod == "":
-            out.fields[fm.group(1)] = fm.group(2)
+        if fm:
+            # +field:value == field:value (filters are MUST);
+            # -field:value excludes (r2: previously fell through and the
+            # field name itself was tokenized as content terms)
+            dest = out.not_fields if mod == "-" else out.fields
+            dest[fm.group(1)] = fm.group(2)
             continue
         boost = 1.0
         bm = _BOOST_RE.match(unit)
@@ -89,9 +102,17 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         dest = {"": out.should, "+": out.must, "-": out.must_not}[mod]
         dest.extend(terms)
-        if boost != 1.0 and mod != "-":
-            for t in terms:
-                out.boosts[t] = max(out.boosts.get(t, 0.0), boost)
+        if mod != "-":
+            if boost != 1.0:
+                for t in terms:
+                    out.boosts[t] = max(out.boosts.get(t, 0.0), boost)
+            else:
+                plain.update(terms)
+    # largest boost wins INCLUDING the implicit 1.0 of an unboosted clause
+    # (r2: 'error error^0.5' previously scored error at 0.5x)
+    for t in out.boosts:
+        if t in plain:
+            out.boosts[t] = max(out.boosts[t], 1.0)
     return out
 
 
@@ -126,6 +147,19 @@ def phrase_contains_col(text_col, phrase: str):
     return (F.size(toks) >= m) & F.exists(starts, window_is_match)
 
 
+def check_fields(pq: ParsedQuery, columns) -> None:
+    """Reject field clauses naming unknown columns with a clear error —
+    otherwise F.col('<unknown>') surfaces as an AnalysisException deep in
+    plan analysis (e.g. an unquoted URL parsing as ``http://...``)."""
+    cols = set(columns)
+    bad = [f for f in (*pq.fields, *pq.not_fields) if f not in cols]
+    if bad:
+        raise ValueError(
+            f"unknown field(s) {bad}; known columns: {sorted(cols)} — "
+            "quote colon-bearing text to search it as a phrase"
+        )
+
+
 def parsed_doc_filter(pq: ParsedQuery, text_col: str):
     """Column predicate for the non-scoring clauses (must / must_not /
     fields / phrases). Returns None when there are none."""
@@ -143,6 +177,10 @@ def parsed_doc_filter(pq: ParsedQuery, text_col: str):
         conds.append(~F.array_contains(toks, t))
     for f, v in pq.fields.items():
         conds.append(F.col(f) == v)
+    for f, v in pq.not_fields.items():
+        # eqNullSafe: docs where the field is NULL are KEPT (Lucene
+        # MUST_NOT excludes only actual matches)
+        conds.append(~F.col(f).eqNullSafe(v))
     for p in pq.phrases:
         conds.append(phrase_contains_col(text_col, p))
     for p in pq.not_phrases:
@@ -162,6 +200,7 @@ def parsed_topk_wide(spark, docs, query: str, k: int = 10,
     from dbsyncer_spark.query.bm25 import bm25_topk_wide
 
     pq = parse_query(query)
+    check_fields(pq, docs.columns)
     scored = pq.scored_terms
     if not scored:
         return empty_df(spark, f"{id_col} long, score double")

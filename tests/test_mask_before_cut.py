@@ -120,6 +120,10 @@ def test_facet_counts_respects_tombstones_and_filter(spark, pidx):
     # miss query: empty result, right schema, no job needed
     miss = idx.facet_counts("zz_absent_zz", by="lang")
     assert miss.columns == ["lang", "cnt"] and miss.collect() == []
+    # count() must skip tombstoned docs too (r2: the single-term
+    # dictionary-df shortcut counted deleted docs)
+    assert idx.count("alpha") == sum(want.values())
+    assert idx.count("alpha beta") == sum(want.values())
 
 
 def test_search_sorted_field_order_and_tombstones(spark, pidx):

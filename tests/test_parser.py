@@ -31,9 +31,14 @@ def test_parse_corners():
     # punctuation-only / empty units are dropped; empty query parses empty
     assert parse_query("+++ --- ... ").is_empty()
     assert parse_query("").is_empty()
-    # field syntax requires bare (unsigned) unit: +x:y is a term, not a field
+    # +field:value is the same filter (filters are MUST); -field:value
+    # excludes — NOT content terms (r2: '-lang:py error' previously
+    # excluded every doc containing the tokens 'lang' or 'py')
     pq = parse_query("+lang:python")
-    assert pq.fields == {} and pq.must == ["lang", "python"]
+    assert pq.fields == {"lang": "python"} and pq.must == []
+    pq = parse_query("-lang:py error")
+    assert pq.not_fields == {"lang": "py"}
+    assert pq.should == ["error"] and pq.must_not == []
     # multiple fields accumulate; later value wins per field
     pq = parse_query("lang:go lang:java repo:r1")
     assert pq.fields == {"lang": "java", "repo": "r1"}
@@ -56,6 +61,43 @@ def test_parse_boosts():
     # boosted quoted phrase parses as a phrase; boost is gated (documented)
     pq = parse_query('ok "exact pair"^2')
     assert pq.phrases == ["exact pair"] and pq.boosts == {}
+    # an unboosted occurrence carries an implicit 1.0 into the max
+    # (r2: 'error error^0.5' previously scored error at 0.5x)
+    pq = parse_query("error error^0.5")
+    assert pq.boosts == {"error": 1.0}
+    pq = parse_query("error error^2.5")
+    assert pq.boosts == {"error": 2.5}
+
+
+def test_unknown_field_raises_cleanly(spark, corpus, parsed_idx):
+    """A colon-bearing unit (e.g. unquoted URL) parses as a field clause;
+    unknown fields must raise a clear ValueError naming known columns,
+    not an AnalysisException deep in plan analysis (r2)."""
+    from dbsyncer_spark.index.docids import assign_doc_ids
+
+    with pytest.raises(ValueError, match="unknown field"):
+        parsed_idx.search_parsed("http://example.com handler", k=5)
+    docs = assign_doc_ids(corpus, num_buckets=32).withColumnRenamed("content", "text")
+    with pytest.raises(ValueError, match="unknown field"):
+        parsed_topk_wide(spark, docs, "nosuchcol:x merge", k=5,
+                         id_col="doc_id", text_col="text")
+
+
+def test_negated_field_filter(spark, corpus, parsed_idx):
+    """-lang:python excludes python docs (and ONLY them) while 'merge'
+    scores — both execution paths, identical rows."""
+    from dbsyncer_spark.index.docids import assign_doc_ids
+
+    got = parsed_idx.search_parsed("-lang:python merge", k=10)
+    fetched = parsed_idx.fetch(got).collect()
+    assert fetched and all(r.lang != "python" for r in fetched)
+    docs = assign_doc_ids(corpus, num_buckets=32).withColumnRenamed("content", "text")
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in parsed_topk_wide(spark, docs, "-lang:python merge", k=10,
+                                  id_col="doc_id", text_col="text").collect()
+    ]
+    assert [(r.doc_id, round(r.score, 6)) for r in got.collect()] == want
 
 
 def test_boost_changes_ranking(spark):

@@ -91,7 +91,11 @@ def test_warm_cache_partition_count_matches_ranges(spark, pindex):
     index never pays empty Python-worker round trips per query (r2)."""
     pindex.warm(cache_postings=True)
     try:
-        n_ranges = max(1, -(-pindex.n_docs // pindex.range_size))
+        n_ranges = max(1, sum(
+            (s["max_doc_id"] - s["doc_id_offset"]) // pindex.range_size + 1
+            for s in pindex.meta["segments"].values()
+            if s["max_doc_id"] >= s["doc_id_offset"]
+        ))
         expect = min(n_ranges, int(spark.conf.get("spark.sql.shuffle.partitions")))
         assert pindex._df_cache["postings"].rdd.getNumPartitions() == expect
     finally:
