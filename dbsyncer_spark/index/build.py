@@ -723,7 +723,11 @@ def replay_quarantine(
     q = os.path.join(index_dir, "segments", segment, "quarantine")
     if not os.path.exists(q):
         return None
-    rows = spark.read.parquet(q).drop("reason")
+    # recursive: a tiered merge relocates its inputs' pending quarantines
+    # under the output segment as quarantine/<old segment name>/
+    rows = (
+        spark.read.option("recursiveFileLookup", "true").parquet(q).drop("reason")
+    )
     if not rows.head(1):
         return None
     meta = append_segment(spark, rows, index_dir, **kwargs)
@@ -731,22 +735,46 @@ def replay_quarantine(
     return meta
 
 
-def append_segment(spark: SparkSession, docs: DataFrame, index_dir: str, **kwargs) -> dict:
+def next_segment_name(names) -> str:
+    """Next auto segment name: max NUMERIC seg_NNNNNN suffix + 1 (non-
+    numeric names — e.g. batchId-derived streaming segments — are skipped,
+    never collided with). NOT len(names): after a partial (tiered) merge
+    the count shrinks while high-numbered segments survive."""
+    import re as _re
+
+    nums = [
+        int(m.group(1)) for n in names if (m := _re.match(r"^seg_(\d+)$", n))
+    ]
+    return f"seg_{1 + max(nums, default=-1):06d}"
+
+
+def append_segment(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    segment: str | None = None,
+    **kwargs,
+) -> dict:
     """Incremental append (CDC-analog): new docs become a new segment with
     doc_ids offset to the next range boundary so ranges never straddle
     segments (visibility = atomic root-meta swap, the Spark analog of the
-    reference's commit-interval snapshot, ``DiskStorageService.java:62-95``)."""
+    reference's commit-interval snapshot, ``DiskStorageService.java:62-95``).
+
+    ``segment``: explicit name (e.g. a batchId-derived name for
+    exactly-once streaming appends); auto-numbered when omitted. If the
+    name already exists the append is a NO-OP returning the existing
+    segment's meta — the idempotence hook ``stream_to_index`` relies on."""
     root = os.path.join(index_dir, "meta.json")
     with open(root) as f:
         meta = json.load(f)
     range_size = meta["params"]["range_size"]
     max_doc = max(s["max_doc_id"] for s in meta["segments"].values())
     offset = ((max_doc // range_size) + 1) * range_size
-    # next name = max numeric suffix + 1, NOT len(segments): after a
-    # partial (tiered) merge the count shrinks while high-numbered
-    # segments survive, and len() would collide with a live segment.
-    next_n = 1 + max(int(name.split("_")[1]) for name in meta["segments"])
-    seg_name = f"seg_{next_n:06d}"
+    if segment is not None and segment in meta["segments"]:
+        seg_dir = os.path.join(index_dir, "segments", segment)
+        with open(os.path.join(seg_dir, "seg_meta.json")) as f:
+            return json.load(f)
+    seg_name = segment if segment is not None else next_segment_name(meta["segments"])
     for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size",
               "store_positions"):
         if k not in meta["params"]:  # index built before this param existed

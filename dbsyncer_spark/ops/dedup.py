@@ -306,7 +306,10 @@ def simhash_df(
     """SimHash per doc as a signed int64 (exact Column-math form).
 
     vote(b) = sum over distinct terms of tf * (2*bit_b(md5(term)) - 1);
-    simhash bit b set iff vote(b) > 0. Emits (doc_id, simhash).
+    simhash bit b set iff vote(b) > 0. Emits (doc_id, simhash); zero-token
+    docs (empty/NULL/punctuation-only text) emit simhash 0, exactly like
+    the ``simhash_pandas_udf`` twin (r2: the explode used to drop them,
+    so the two forms disagreed on degenerate docs).
     """
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
@@ -323,8 +326,13 @@ def simhash_df(
     # shiftleft needs a literal shift; 2^b is exact in a double for any b,
     # so pow+cast is a bit-exact stand-in for (1L << b)
     bitval = F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")
-    return votes.groupBy("doc_id").agg(
+    per_doc = votes.groupBy("doc_id").agg(
         F.sum(F.when(F.col("v") > 0, bitval).otherwise(F.lit(0).cast("long"))).alias("simhash")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
     )
 
 

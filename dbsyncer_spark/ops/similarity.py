@@ -303,6 +303,8 @@ def ivf_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_centroids: empty corpus — nothing to train on")
     mat, _ = _norm_stack([np.asarray(r.v, dtype=np.float64) for r in rows])
     # init: first n_centroids distinct-enough rows (skip exact dupes)
     cents: list[np.ndarray] = []
@@ -367,6 +369,10 @@ def ivf_ann_topk(
     is an ``isin`` over the assignment column — partition pruning when
     the corpus is stored partitioned by list."""
     if centroids is None:
+        if emb.head(1) == []:
+            # empty corpus: exact path returns the same empty top-k
+            # (ivf_centroids would raise — there is nothing to train on)
+            return cosine_topk(emb, query, k, id_col, vec_col)
         centroids = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     qv = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(qv)

@@ -176,6 +176,9 @@ class DDLConfig:
     # picking up the type; dropping it would silently keep casting to the
     # pre-CHANGE type)
     changed_types: dict[str, str] = field(default_factory=dict)
+    # log entries in STATEMENT order — 'DROP COLUMN a, ADD COLUMN a ...'
+    # is valid MySQL and must replay drop-then-add, not grouped-by-op
+    ops: list[dict] = field(default_factory=list)
 
 
 def parse_alter(sql: str) -> DDLConfig:
@@ -193,21 +196,29 @@ def parse_alter(sql: str) -> DDLConfig:
         if _ADD_NONCOLUMN_RE.match(clause):
             continue  # index/constraint add: schema no-op (reference parity)
         if a := _ADD_RE.match(clause):
-            cfg.added.append((_unquote(a.group("col")), to_spark_type(a.group("type"))))
+            name, typ = _unquote(a.group("col")), to_spark_type(a.group("type"))
+            cfg.added.append((name, typ))
+            cfg.ops.append({"op": "add", "name": name, "type": typ})
             cfg.operation = "ADD"
         elif d := _DROP_RE.match(clause):
-            cfg.dropped.append(_unquote(d.group("col")))
+            name = _unquote(d.group("col"))
+            cfg.dropped.append(name)
+            cfg.ops.append({"op": "drop", "name": name})
             cfg.operation = "DROP"
         elif mo := _MODIFY_RE.match(clause):
-            cfg.modified.append(
-                (_unquote(mo.group("col")), to_spark_type(mo.group("type")))
-            )
+            name, typ = _unquote(mo.group("col")), to_spark_type(mo.group("type"))
+            cfg.modified.append((name, typ))
+            cfg.ops.append({"op": "modify", "name": name, "type": typ})
             cfg.operation = "MODIFY"
         elif c := _CHANGE_RE.match(clause):
             new = _unquote(c.group("new"))
-            cfg.changed[_unquote(c.group("old"))] = new
+            old = _unquote(c.group("old"))
+            cfg.changed[old] = new
+            cfg.ops.append({"op": "change", "old": old, "new": new})
             if c.group("type"):
-                cfg.changed_types[new] = to_spark_type(c.group("type"))
+                typ = to_spark_type(c.group("type"))
+                cfg.changed_types[new] = typ
+                cfg.ops.append({"op": "modify", "name": new, "type": typ})
             cfg.operation = "CHANGE"
         else:
             raise ValueError(f"unsupported ALTER clause: {clause!r}")
@@ -286,24 +297,46 @@ class _LogicalColumn:
 
 def _replay(entries: list[dict]) -> list[_LogicalColumn]:
     cols: list[_LogicalColumn] = []
+    # every physical name EVER used (incl. dropped/renamed-away): a
+    # re-added or rename-target name that collides with retired file data
+    # gets a fresh mangled physical identity, otherwise mergeSchema would
+    # resurrect the old column's values instead of NULL (r2 review) —
+    # the poor man's Iceberg field-id
+    used_physical: set[str] = set()
+
+    def fresh_physical(name: str) -> str:
+        if name not in used_physical:
+            used_physical.add(name)
+            return name
+        k = 2
+        while f"{name}__v{k}" in used_physical:
+            k += 1
+        used_physical.add(f"{name}__v{k}")
+        return f"{name}__v{k}"
+
     for e in entries:
         op = e["op"]
         if op == "create":
             cols = [_LogicalColumn(n, [n], t) for n, t in e["schema"]]
+            used_physical = {n for n, _ in e["schema"]}
         elif op == "add":
             if any(c.name == e["name"] for c in cols):
                 raise ValueError(f"ADD: column exists: {e['name']}")
-            cols.append(_LogicalColumn(e["name"], [e["name"]], e["type"]))
+            cols.append(
+                _LogicalColumn(e["name"], [fresh_physical(e["name"])], e["type"])
+            )
         elif op == "drop":
             before = len(cols)
             cols = [c for c in cols if c.name != e["name"]]
             if len(cols) == before:
                 raise ValueError(f"DROP: no such column: {e['name']}")
         elif op == "change":
+            if any(c.name == e["new"] for c in cols):
+                raise ValueError(f"CHANGE: target name exists: {e['new']}")
             for c in cols:
                 if c.name == e["old"]:
                     c.name = e["new"]
-                    c.physical.append(e["new"])
+                    c.physical.append(fresh_physical(e["new"]))
                     break
             else:
                 raise ValueError(f"CHANGE: no such column: {e['old']}")
@@ -335,16 +368,9 @@ def apply_ddl(table_dir: str, sql: str) -> DDLConfig:
     no data rewrite). Returns the parsed config for mapping refresh."""
     cfg = parse_alter(sql)
     entries = _read_log(table_dir)
-    for name, typ in cfg.added:
-        entries.append({"op": "add", "name": name, "type": typ})
-    for name in cfg.dropped:
-        entries.append({"op": "drop", "name": name})
-    for name, typ in cfg.modified:
-        entries.append({"op": "modify", "name": name, "type": typ})
-    for old, new in cfg.changed.items():
-        entries.append({"op": "change", "old": old, "new": new})
-        if new in cfg.changed_types:
-            entries.append({"op": "modify", "name": new, "type": cfg.changed_types[new]})
+    # STATEMENT order: 'DROP COLUMN a, ADD COLUMN a ...' must replay
+    # drop-then-add (grouping by op kind rejected valid MySQL — r2)
+    entries.extend(cfg.ops)
     _replay(entries)  # validate before publishing
     _write_log(table_dir, entries)
     return cfg
@@ -352,12 +378,17 @@ def apply_ddl(table_dir: str, sql: str) -> DDLConfig:
 
 def append_rows(spark: SparkSession, table_dir: str, df: DataFrame) -> None:
     """Append a batch under the CURRENT logical schema (post-rename names;
-    added columns may be present or absent — absent reads as NULL)."""
-    logical = {n: t for n, t in logical_schema(table_dir)}
-    unknown = [c for c in df.columns if c not in logical]
+    added columns may be present or absent — absent reads as NULL).
+    Rows are written under each column's current PHYSICAL name (mangled
+    when a name was dropped and re-added), so old file data never bleeds
+    into the re-added column."""
+    cols = {c.name: c for c in _replay(_read_log(table_dir))}
+    unknown = [c for c in df.columns if c not in cols]
     if unknown:
         raise ValueError(f"append: columns not in logical schema: {unknown}")
-    cast = df.select(*[F.col(c).cast(logical[c]).alias(c) for c in df.columns])
+    cast = df.select(
+        *[F.col(c).cast(cols[c].type).alias(cols[c].physical[-1]) for c in df.columns]
+    )
     cast.write.mode("append").parquet(os.path.join(table_dir, DATA_DIR))
 
 

@@ -40,6 +40,12 @@ def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
         raise ValueError("delete requires at least one key column")
     idx = SearchIndex(spark, index_dir)
     doomed = idx.docstats().join(keys, on=list(keys.columns), how="left_semi").select("doc_id")
+    tomb = idx._tombstones()
+    if tomb is not None:
+        # idempotent: re-deleting already-tombstoned docs reports 0 and
+        # never appends duplicate rows (repeated CDC delete events would
+        # otherwise grow the tombstone set unboundedly)
+        doomed = doomed.join(tomb.select("doc_id"), "doc_id", "left_anti")
     tomb_dir = os.path.join(index_dir, "tombstones")
     n = doomed.count()
     if n:
@@ -56,6 +62,7 @@ def _pack_segment(
     *,
     segment: str,
     doc_id_offset: int,
+    max_doc_id_floor: int | None = None,
 ) -> dict:
     """Write one segment (postings + docstats + dictionary + seg_meta)
     from already-decoded (tid, doc_id, tf, dl[, pos]) rows. Shared by
@@ -91,13 +98,16 @@ def _pack_segment(
     agg = spark.read.parquet(os.path.join(seg_dir, "docstats")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"), F.max("doc_id").alias("mx")
     ).collect()[0]
+    mx = int(agg.mx if agg.mx is not None else -1)
+    if max_doc_id_floor is not None:
+        mx = max(mx, max_doc_id_floor)
     seg_meta = {
         **params,
         "segment": segment,
         "doc_id_offset": doc_id_offset,
         "n_docs": int(agg.n),
         "sum_dl": int(agg.sum_dl or 0),
-        "max_doc_id": int(agg.mx if agg.mx is not None else -1),
+        "max_doc_id": mx,
     }
     with open(os.path.join(seg_dir, "seg_meta.json"), "w") as f:
         json.dump(seg_meta, f, indent=2)
@@ -130,14 +140,21 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     shutil.rmtree(new_dir, ignore_errors=True)
     seg_dir = os.path.join(new_dir, "seg_000000")
     seg_meta = _pack_segment(
-        spark, decoded, stats, seg_dir, params, segment="seg_000000", doc_id_offset=0
+        spark, decoded, stats, seg_dir, params, segment="seg_000000", doc_id_offset=0,
+        # HWM survives even when the highest-id docs were tombstoned:
+        # append_segment must never reuse a dropped doc id
+        max_doc_id_floor=max(s["max_doc_id"] for s in idx.meta["segments"].values()),
     )
-
     # atomic-ish swap: move old segments away, promote compacted set
     old = os.path.join(index_dir, "segments_old")
     shutil.rmtree(old, ignore_errors=True)
     os.replace(os.path.join(index_dir, "segments"), old)
     os.replace(new_dir, os.path.join(index_dir, "segments"))
+    _preserve_quarantines(
+        [os.path.join(old, n) for n in idx.meta["segments"]],
+        list(idx.meta["segments"]),
+        os.path.join(index_dir, "segments", "seg_000000"),
+    )
     meta = {
         "params": params,
         "segments": {
@@ -153,9 +170,26 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
     os.replace(tmp, os.path.join(index_dir, "meta.json"))
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    if tomb is not None:
+        # GC only tombstones visible when the filter above was planned;
+        # a delete landing DURING compaction targets a doc that was
+        # re-packed live, so its tombstone must survive to keep masking
+        _gc_covered_tombstones(spark, index_dir, [(0, 1 << 62)], tomb)
     shutil.rmtree(old, ignore_errors=True)
     return seg_meta
+
+
+def _preserve_quarantines(old_dirs: list, old_names: list, new_seg_dir: str) -> None:
+    """Move PENDING dead-letter rows out of segments about to be deleted
+    into the merge output's quarantine (one subdir per input segment —
+    ``replay_quarantine`` reads recursively). Without this a merge would
+    silently destroy unreplayed capture-and-replay rows (r2 review)."""
+    for name, d in zip(old_names, old_dirs):
+        q = os.path.join(d, "quarantine")
+        if os.path.isdir(q):
+            dest = os.path.join(new_seg_dir, "quarantine", name)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(q, dest)
 
 
 def select_merge(
@@ -341,24 +375,26 @@ def maybe_merge(
         with open(tmp, "w") as f:
             json.dump(new_meta, f, indent=2)
         os.replace(tmp, os.path.join(index_dir, "meta.json"))
+        _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, top))
         for d in sel_dirs:
             shutil.rmtree(d, ignore_errors=True)
         _gc_covered_tombstones(spark, index_dir, [
             (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
-        ])
+        ], tomb)
         return {"segment": None, "n_docs": 0, "merged": merged}
 
-    next_n = 1 + max(int(n.split("_")[1]) for n in segments)
-    new_name = f"seg_{next_n:06d}"
+    from dbsyncer_spark.index.build import next_segment_name
+
+    new_name = next_segment_name(segments)
     seg_meta = _pack_segment(
         spark, decoded, stats, os.path.join(seg_root, new_name), params,
         segment=new_name,
         doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
-    )
-    # keep the doc-id high-water mark of the inputs even if their tail
-    # docs were all tombstoned — append_segment must never reuse ids
-    seg_meta["max_doc_id"] = max(
-        seg_meta["max_doc_id"], *(segments[n]["max_doc_id"] for n in merged)
+        # inputs' doc-id high-water mark survives even if their tail docs
+        # were all tombstoned — append_segment must never reuse ids (and
+        # the floor goes into seg_meta.json too, so rebuilding root meta
+        # from per-segment files can never shrink the HWM)
+        max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
     )
 
     new_meta = {
@@ -377,6 +413,7 @@ def maybe_merge(
     with open(tmp, "w") as f:
         json.dump(new_meta, f, indent=2)
     os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, new_name))
     for d in sel_dirs:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -385,14 +422,20 @@ def maybe_merge(
     if tomb is not None:
         _gc_covered_tombstones(spark, index_dir, [
             (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
-        ])
+        ], tomb)
     return {**seg_meta, "merged": merged}
 
 
-def _gc_covered_tombstones(spark: SparkSession, index_dir: str, intervals: list) -> None:
+def _gc_covered_tombstones(
+    spark: SparkSession, index_dir: str, intervals: list, pinned: DataFrame
+) -> None:
     """Drop tombstones whose doc id falls in the given (lo, hi) intervals
-    (their docs were physically removed by a merge). Write-then-swap —
-    never collects the tombstone set to the driver."""
+    AND were visible in ``pinned`` — the tombstone DataFrame whose file
+    listing the merge's anti-join actually used. A delete landing DURING
+    the merge targets a doc that was re-packed live, so its (fresh)
+    tombstone row must survive to keep masking it (r2 review: GC'ing by
+    interval over a fresh listing silently lost such deletes).
+    Write-then-swap — never collects the tombstone set to the driver."""
     cond = None
     for lo, hi in intervals:
         c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
@@ -404,7 +447,8 @@ def _gc_covered_tombstones(spark: SparkSession, index_dir: str, intervals: list)
     tomb_old = tomb_dir + ".old"
     shutil.rmtree(tomb_tmp, ignore_errors=True)
     shutil.rmtree(tomb_old, ignore_errors=True)
-    keep = spark.read.parquet(tomb_dir).filter(~cond)
+    removed = pinned.select("doc_id").filter(cond).distinct()
+    keep = spark.read.parquet(tomb_dir).join(removed, "doc_id", "left_anti")
     if keep.isEmpty():
         shutil.rmtree(tomb_dir, ignore_errors=True)
         return
@@ -484,10 +528,15 @@ def stream_to_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # batchId names the segment: foreachBatch is at-least-once (a
+        # crash between the root-meta swap and the checkpoint commit
+        # re-delivers the batch), and the name-exists no-op in
+        # append_segment turns the redelivery into exactly-once
+        seg_name = f"seg_b{batch_id:09d}"
         if os.path.exists(os.path.join(index_dir, "meta.json")):
-            append_segment(spark, batch_df, index_dir, **build_kwargs)
+            append_segment(spark, batch_df, index_dir, segment=seg_name, **build_kwargs)
         else:
-            build_index(spark, batch_df, index_dir, **build_kwargs)
+            build_index(spark, batch_df, index_dir, segment=seg_name, **build_kwargs)
         if auto_merge:
             maybe_merge(spark, index_dir)
 

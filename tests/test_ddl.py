@@ -67,6 +67,32 @@ def test_parse_add_index_constraint_are_schema_noops():
     assert cfg.added == [("c", "int")] and cfg.operation == "ADD"
 
 
+def test_drop_then_readd_does_not_resurrect_old_data(spark, tmp_path):
+    """Re-using a dropped column's name must read NULL from files written
+    before the re-add — not the retired column's values (r2: mergeSchema
+    resurrected them; the re-added column now gets a fresh mangled
+    physical name, the poor man's Iceberg field id)."""
+    tdir = str(tmp_path / "readd")
+    D.create_table(spark, tdir, spark.range(3).selectExpr("id", "CAST(id * 10 AS int) AS a"))
+    D.apply_ddl(tdir, "ALTER TABLE t DROP COLUMN a")
+    D.apply_ddl(tdir, "ALTER TABLE t ADD COLUMN a int")
+    rows = {r.id: r.a for r in D.read_evolved(spark, tdir).collect()}
+    assert rows == {0: None, 1: None, 2: None}
+    # appends under the new identity round-trip
+    D.append_rows(spark, tdir, spark.createDataFrame([(9, 99)], "id long, a int"))
+    rows = {r.id: r.a for r in D.read_evolved(spark, tdir).collect()}
+    assert rows[9] == 99 and rows[0] is None
+
+    # mixed-op single statement replays in STATEMENT order
+    D.apply_ddl(tdir, "ALTER TABLE t DROP COLUMN a, ADD COLUMN a varchar(10)")
+    assert dict(D.logical_schema(tdir))["a"] == "string"
+
+    # rename onto an existing logical name is rejected before publishing
+    with pytest.raises(ValueError, match="target name exists"):
+        D.apply_ddl(tdir, "ALTER TABLE t CHANGE COLUMN a id int")
+    assert [n for n, _ in D.logical_schema(tdir)] == ["id", "a"]
+
+
 def test_change_applies_mandatory_type(spark, tmp_path):
     """MySQL CHANGE always carries the column type; dropping it kept
     casting to the pre-CHANGE type (silent truncation on widening)."""

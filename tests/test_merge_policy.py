@@ -178,6 +178,54 @@ def test_reclaim_merge_drops_deletes_physically(spark, merged_env):
     assert idx3.n_docs == 395
 
 
+def test_delete_docs_is_idempotent(spark, tmp_path_factory):
+    """Re-deleting the same keys reports 0 and never appends duplicate
+    tombstone rows (repeated CDC delete events, r2 review)."""
+    pdf = gen_corpus_pdf(n_docs=50, seed=3)
+    d = str(tmp_path_factory.mktemp("deldup_idx"))
+    build_index(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, **PARAMS)
+    idx = SearchIndex(spark, d)
+    vic = idx.docstats().select("repo", "path", "commit").limit(5)
+    assert delete_docs(spark, d, vic) == 5
+    assert delete_docs(spark, d, vic) == 0
+    assert spark.read.parquet(os.path.join(d, "tombstones")).count() == 5
+
+
+def test_merge_preserves_pending_quarantine(spark, tmp_path_factory):
+    """A tiered merge must not destroy unreplayed dead-letter rows held
+    by its input segments: they move under the output segment and replay
+    still recovers them (r2 review: rmtree silently lost them)."""
+    from dbsyncer_spark.index.build import replay_quarantine
+
+    pdf = gen_corpus_pdf(n_docs=130, seed=13)
+    d = str(tmp_path_factory.mktemp("qmerge_idx"))
+    big = pdf.copy()
+    # base 100 docs = tier 2 (log8), the 10-doc appends = tier 1: only
+    # the three small segments merge
+    build_index(spark, spark.createDataFrame(big.iloc[:100], schema=SCHEMA), d, **PARAMS)
+    # three small appends; the first one quarantines an oversized doc
+    bad = big.iloc[100:110].copy()
+    bad["content"] = [f"alpha beta tok{i} merge" for i in range(10)]
+    bad.loc[bad.index[0], "content"] = "x" * 5000
+    append_segment(spark, spark.createDataFrame(bad, schema=SCHEMA), d,
+                   num_id_buckets=8, max_content_bytes=2000)
+    for lo, hi in [(110, 120), (120, 130)]:
+        append_segment(spark, spark.createDataFrame(big.iloc[lo:hi], schema=SCHEMA),
+                       d, num_id_buckets=8)
+    assert SearchIndex(spark, d).n_docs == 129  # one doc dead-lettered
+
+    meta = maybe_merge(spark, d, merge_at=3, tier_factor=8)
+    assert meta is not None and len(meta["merged"]) == 3
+    new_seg = meta["segment"]
+    q_root = os.path.join(d, "segments", new_seg, "quarantine")
+    assert os.path.isdir(q_root), "pending quarantine must survive the merge"
+
+    replayed = replay_quarantine(spark, d, segment=new_seg, max_content_bytes=10_000)
+    assert replayed is not None and replayed["n_docs"] == 1
+    assert SearchIndex(spark, d).n_docs == 130
+    assert replay_quarantine(spark, d, segment=new_seg, max_content_bytes=10_000) is None
+
+
 def test_fully_deleted_run_drops_segment_without_writing(spark, merged_env):
     """Reclaim of a 100%-tombstoned segment must not try to write an empty
     parquet segment: the run is dropped from meta and its doc-id

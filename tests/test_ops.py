@@ -31,9 +31,11 @@ def test_exact_dedup_groups(docs):
     assert out[3].group_size == 1
 
 
-def test_simhash_udf_matches_column_form(docs):
+def test_simhash_udf_matches_column_form(spark, docs):
     from dbsyncer_spark.ops.dedup import simhash_df, simhash_pandas_udf
 
+    docs = docs.union(spark.createDataFrame(
+        [(901, None), (902, ""), (903, "...")], "doc_id long, text string"))
     a = {r.doc_id: r.simhash for r in simhash_df(docs).collect()}
     b = {
         r.doc_id: r.sh

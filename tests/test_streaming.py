@@ -62,3 +62,18 @@ def test_stream_builds_index_and_restart_is_idempotent(spark, tmp_path, corpus_f
     assert idx3.n_docs == 120
     assert len(idx3.meta["segments"]) == 2
     assert idx3.search("merge offset", k=5).count() == 5
+
+    # exactly-once under redelivery: foreachBatch is at-least-once (crash
+    # between the meta swap and the checkpoint commit re-delivers the
+    # batch); the batchId-derived segment name makes the replay a no-op
+    from dbsyncer_spark.index.build import append_segment
+
+    seg = sorted(idx3.meta["segments"])[-1]
+    batch1 = spark.read.parquet(os.path.join(src, "batch1"))
+    replay_meta = append_segment(
+        spark, batch1, idx_dir, segment=seg,
+        num_shards=4, range_size=256, num_id_buckets=8,
+    )
+    assert replay_meta["segment"] == seg
+    idx4 = SearchIndex(spark, idx_dir)
+    assert idx4.n_docs == 120 and len(idx4.meta["segments"]) == 2
