@@ -24,6 +24,14 @@ def main() -> None:
     ap.add_argument("--num-shards", type=int, default=512)
     ap.add_argument("--use-stopwords", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--store-positions", action="store_true",
+                    help="positional index (enables search_phrase)")
+    ap.add_argument("--max-content-bytes", type=int, default=None,
+                    help="dead-letter rows with NULL/oversized content instead of failing")
+    ap.add_argument("--append", action="store_true",
+                    help="append to an existing index as a new segment (CDC batch)")
+    ap.add_argument("--maintain", action="store_true",
+                    help="run one tiered-policy merge (maybe_merge) after the build/append")
     ap.add_argument("--query", default=None, help="optional BM25 query to run after the build")
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
@@ -39,19 +47,30 @@ def main() -> None:
         .getOrCreate()
     )
 
-    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.build import append_segment, build_index
     from dbsyncer_spark.index.search import SearchIndex
+    from dbsyncer_spark.streaming.incremental import maybe_merge
 
     docs = spark.read.parquet(args.corpus)
-    meta = build_index(
-        spark,
-        docs,
-        args.index,
-        num_shards=args.num_shards,
-        use_stopwords=args.use_stopwords,
-        resume=not args.no_resume,
-    )
+    if args.append:
+        meta = append_segment(
+            spark, docs, args.index, max_content_bytes=args.max_content_bytes
+        )
+    else:
+        meta = build_index(
+            spark,
+            docs,
+            args.index,
+            num_shards=args.num_shards,
+            use_stopwords=args.use_stopwords,
+            resume=not args.no_resume,
+            store_positions=args.store_positions,
+            max_content_bytes=args.max_content_bytes,
+        )
     print(json.dumps({"built": meta}, default=str))
+    if args.maintain:
+        merged = maybe_merge(spark, args.index)
+        print(json.dumps({"maintenance": merged}, default=str))
 
     if args.query:
         idx = SearchIndex(spark, args.index)
