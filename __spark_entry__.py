@@ -155,9 +155,23 @@ def _shingle_sql(n: int) -> str:
 # fulltext / BM25
 # ---------------------------------------------------------------------------
 
+def _rounded_rerank(df: DataFrame, k: int) -> DataFrame:
+    """Re-cut at k under the ORACLE's order: rounded-6dp score desc,
+    doc_id asc. ``bm25_topk_wide`` ROUNDS its output but CUTS on the
+    full-precision score, so a rounded tie straddling k could pick
+    different members than the oracle (the same hazard
+    ``_docid_from_path`` handles for the index queries). Callers fetch
+    ``k + _TIE_SLACK`` rows and re-rank here."""
+    return df.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=20, id_col="doc_id", text_col="text")
+    return _rounded_rerank(
+        bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=20 + _TIE_SLACK,
+                       id_col="doc_id", text_col="text"),
+        20,
+    )
 
 
 def _entry_index(spark: SparkSession, sf_dir: str, positional: bool = False):
@@ -227,8 +241,15 @@ def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), proving the cursor loses/duplicates nothing at the
     boundary."""
     idx = _entry_index(spark, sf_dir)
-    p1 = idx.search(FLAGSHIP_QUERY, k=20, mode="wand")
-    last = p1.collect()[-1]
+    p1_rows = idx.search(FLAGSHIP_QUERY, k=20, mode="wand").collect()
+    last = p1_rows[-1]
+    # rebuild page 1 from the COLLECTED rows rather than re-executing the
+    # query inside the union: the cursor's float-equality test assumes
+    # page 1's exact scores, and a re-execution may sum per-term partials
+    # in a different order (1-ulp shift -> boundary doc dropped/duplicated)
+    p1 = spark.createDataFrame(
+        [(r.doc_id, r.score) for r in p1_rows], "doc_id long, score double"
+    )
     p2 = idx.search_after(FLAGSHIP_QUERY, after=(last.score, last.doc_id),
                           k=20 + _TIE_SLACK)
     return _docid_from_path(idx.fetch(p1.unionByName(p2)), k=40)
@@ -250,9 +271,13 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search — the reference's MUST clauses: candidates
     restricted by a predicate, corpus stats stay global."""
     docs = _t(spark, sf_dir, "documents")
-    return bm25_topk_wide(
-        spark, docs, FLAGSHIP_QUERY, k=20, id_col="doc_id", text_col="text",
-        doc_filter=(F.col("lang") == "en"),
+    return _rounded_rerank(
+        bm25_topk_wide(
+            spark, docs, FLAGSHIP_QUERY, k=20 + _TIE_SLACK,
+            id_col="doc_id", text_col="text",
+            doc_filter=(F.col("lang") == "en"),
+        ),
+        20,
     )
 
 
@@ -315,7 +340,11 @@ def q_boosted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsyncer_spark.query.parser import parsed_topk_wide
 
     docs = _t(spark, sf_dir, "documents")
-    return parsed_topk_wide(spark, docs, BOOSTED_QUERY, k=20, id_col="doc_id", text_col="text")
+    return _rounded_rerank(
+        parsed_topk_wide(spark, docs, BOOSTED_QUERY, k=20 + _TIE_SLACK,
+                         id_col="doc_id", text_col="text"),
+        20,
+    )
 
 
 
@@ -326,8 +355,11 @@ def q_parsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsyncer_spark.query.parser import parsed_topk_wide
 
     docs = _t(spark, sf_dir, "documents")
-    return parsed_topk_wide(spark, docs, PARSED_QUERY, k=20,
-                            id_col="doc_id", text_col="text")
+    return _rounded_rerank(
+        parsed_topk_wide(spark, docs, PARSED_QUERY, k=20 + _TIE_SLACK,
+                         id_col="doc_id", text_col="text"),
+        20,
+    )
 
 
 def _parsed_oracle(q: str, k: int) -> str:
@@ -357,7 +389,11 @@ def q_bm25_topk_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.translate(F.lower("text"), _ASCII26, _CJK26).alias("text")
     )
-    return bm25_topk_wide(spark, docs, _ZH_QUERY, k=20, id_col="doc_id", text_col="text")
+    return _rounded_rerank(
+        bm25_topk_wide(spark, docs, _ZH_QUERY, k=20 + _TIE_SLACK,
+                       id_col="doc_id", text_col="text"),
+        20,
+    )
 
 
 def q_term_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,9 +607,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact baseline; LSH-blocked scale
     variant in ops.similarity.embedding_dup_pairs)."""
-    from dbsyncer_spark.ops.similarity import embedding_dup_pairs
-
-    from dbsyncer_spark.ops.similarity import embedding_dup_pairs_gemm  # noqa: F401
+    from dbsyncer_spark.ops.similarity import embedding_dup_pairs_gemm
 
     emb = _t(spark, sf_dir, "embeddings")
     # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51
@@ -740,12 +774,19 @@ def q_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars to int, DROP text — then read the evolved table. Every ALTER
     is a metadata-only log append (no data rewrite), the property that
     keeps DDL O(1) on a 100 TB table."""
+    import shutil
     import tempfile
 
     from dbsyncer_spark.sources import ddl as D
 
     docs = _t(spark, sf_dir, "documents")
-    tdir = tempfile.mkdtemp(prefix="dbss_ddl_")
+    # fixed per-sf dir, recreated per run: mkdtemp leaked a full copy of
+    # the documents table into /tmp on EVERY bench/contract invocation
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"dbss_ddl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
     D.create_table(
         spark, tdir, docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang", "n_chars")
     )

@@ -64,7 +64,18 @@ def main() -> None:
     # corpus synthesis is off the clock: generated distributed, written to
     # parquet once, and the timed build READS it (file-scan input, like the
     # real Iceberg source)
-    corpus_path = os.path.join(tempfile.gettempdir(), f"bench_corpus_{N_BENCH_DOCS}")
+    # cache key includes a hash of the generator source: editing the
+    # corpus model must invalidate the cached parquet, or the bench would
+    # silently measure stale data
+    import hashlib
+
+    import dbsyncer_spark.fixtures.corpus as _corpus_mod
+
+    with open(_corpus_mod.__file__, "rb") as _f:
+        _gen_tag = hashlib.md5(_f.read()).hexdigest()[:8]
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"bench_corpus_{N_BENCH_DOCS}_{_gen_tag}"
+    )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         corpus_df_distributed(spark, N_BENCH_DOCS, seed=42).write.mode(
             "overwrite"
@@ -81,13 +92,12 @@ def main() -> None:
     from dbsyncer_spark.session import warm_python_workers
 
     warm_python_workers(spark)  # executor-provisioning analog, off the clock
-    # JIT/codegen warmup: a throwaway 200-doc build (~19 s of first-build
-    # JVM warmup otherwise lands on the measurement; the metric of
-    # interest is steady-state docs/sec — a real build amortizes this)
-    # same shard count/code paths as the measured build so its whole-stage
-    # codegen + JIT is actually compiled before the clock starts (a
-    # 200-doc/4-shard warmup left ~3 s of first-build JIT on the
-    # measurement, observed r2)
+    # JIT/codegen warmup: a throwaway 2000-doc/32-shard build — the same
+    # shard count/code paths as the measured build, so whole-stage codegen
+    # + JIT is compiled before the clock starts. (First-build JVM warmup
+    # is ~19 s; a smaller 200-doc/4-shard warmup still left ~3 s of JIT on
+    # the measurement, observed r2. The metric of interest is steady-state
+    # docs/sec — a real build amortizes this.)
     scratch = os.path.join(scratch_base, "bench_warmup_idx")
     shutil.rmtree(scratch, ignore_errors=True)
     build_index(spark, corpus_df(spark, n_docs=2000, seed=1), scratch, num_shards=32, resume=False)
@@ -140,6 +150,15 @@ def main() -> None:
     idx.search_many(batch, k=10).collect()
     batch_s = time.perf_counter() - t0
     timings["query_batch"] = round(batch_s, 3)
+
+    # bench index is done: free the pinned caches and the tmpfs dir
+    # (leaving it would pin RAM-backed storage until reboot)
+    for cached in idx._df_cache.values():
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- phase 3: contract queries at the sf dir ---------------------
     import __spark_entry__ as entry

@@ -53,8 +53,17 @@ def main() -> None:
 
     docs = spark.read.parquet(args.corpus)
     if args.append:
+        # forward explicitly-requested params so append_segment's
+        # params-conflict check can fire (silently ignoring
+        # --store-positions against a non-positional index would produce
+        # a phrase-blind segment with no error)
+        fwd = {}
+        if args.store_positions:
+            fwd["store_positions"] = True
+        if args.use_stopwords:
+            fwd["use_stopwords"] = True
         meta = append_segment(
-            spark, docs, args.index, max_content_bytes=args.max_content_bytes
+            spark, docs, args.index, max_content_bytes=args.max_content_bytes, **fwd
         )
     else:
         meta = build_index(

@@ -71,9 +71,11 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     fails = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
@@ -105,7 +107,9 @@ def main() -> None:
             fails.append(name)
         else:
             print(f"ok   {name}: {len(rows)} rows match")
-    print(f"\n{len(qs) - len(fails)}/{len(qs)} pass" + (f"; FAILURES: {fails}" if fails else ""))
+    # tally counts only ATTEMPTED queries — with an only-filter, skipped
+    # queries must not read as passes
+    print(f"\n{attempted - len(fails)}/{attempted} pass" + (f"; FAILURES: {fails}" if fails else ""))
     sys.exit(1 if fails else 0)
 
 
