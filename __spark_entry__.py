@@ -143,6 +143,44 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _phrase_slop_oracle(phrase: str, k: int, slop: int) -> str:
+    """DuckDB twin of SearchIndex.search_phrase(slop>0) — Lucene
+    move-distance slop: anchor = occurrence p of term_0; the doc matches
+    at p iff every later instance i has an occurrence q with
+    |q - i - p| <= slop (out-of-order within the budget — the reversed
+    adjacent pair matches at slop=2, LuceneFactoryTest.java:351-367).
+    freq = distinct matching anchors; score = idf_sum * tfnorm(freq, dl),
+    same formula as the exact-phrase oracle."""
+    terms = tokenize_py(phrase)
+    uniq = sorted(set(terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    exists = "\n  AND ".join(
+        f"EXISTS (SELECT 1 FROM pos b{i} WHERE b{i}.doc_id = a.doc_id "
+        f"AND b{i}.term = '{t}' AND abs(b{i}.p - {i} - a.p) <= {slop})"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    idf_sum = " + ".join(
+        f"(SELECT ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfreq, stats WHERE term = '{t}')"
+        for t in terms
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+pos AS (SELECT doc_id, dl, unnest(t) AS term, unnest(range(len(t))) AS p FROM base),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos
+          WHERE term IN ({inlist}) GROUP BY term),
+m AS (SELECT DISTINCT a.doc_id, a.p FROM pos a WHERE a.term = '{terms[0]}'
+  AND {exists}),
+freq AS (SELECT doc_id, count(*) AS f FROM m GROUP BY doc_id)
+SELECT doc_id,
+       round(({idf_sum})
+             * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * base.dl / stats.avgdl)), 6) AS score
+FROM freq JOIN base USING (doc_id) CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _shingle_sql(n: int) -> str:
     """DuckDB distinct word-n-gram shingles from token list ``t``."""
     return (
@@ -244,9 +282,10 @@ def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1_rows = idx.search(FLAGSHIP_QUERY, k=20, mode="wand").collect()
     last = p1_rows[-1]
     # rebuild page 1 from the COLLECTED rows rather than re-executing the
-    # query inside the union: the cursor's float-equality test assumes
-    # page 1's exact scores, and a re-execution may sum per-term partials
-    # in a different order (1-ulp shift -> boundary doc dropped/duplicated)
+    # query inside the union — avoids paying the scoring job twice. (Since
+    # r3 the scorer pins per-term summation order, so a re-execution WOULD
+    # reproduce the scores bit-for-bit; reusing the collected page is now
+    # purely a cost choice, not a correctness workaround.)
     p1 = spark.createDataFrame(
         [(r.doc_id, r.score) for r in p1_rows], "doc_id long, score double"
     )
@@ -265,6 +304,38 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _entry_index(spark, sf_dir, positional=True)
     topk = idx.search_phrase(PHRASE_QUERY, k=20 + _TIE_SLACK, slop=0)
     return _docid_from_path(idx.fetch(topk), k=20)
+
+
+PHRASE_SLOP_QUERY = "merge fast"  # REVERSED adjacent pair: only matches via slop
+
+
+def q_bm25_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase (Lucene move-distance slop): 'merge fast' at slop=2
+    matches docs containing the adjacent REVERSED pair 'fast merge' —
+    the reference's sloppy PhraseQuery (LuceneFactoryTest.java:351-367
+    asserts the reversed bigram matches at slop=2)."""
+    idx = _entry_index(spark, sf_dir, positional=True)
+    topk = idx.search_phrase(PHRASE_SLOP_QUERY, k=20 + _TIE_SLACK, slop=2)
+    return _docid_from_path(idx.fetch(topk), k=20)
+
+
+def q_match_all_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-only (match-all) corpus paging through the index — the
+    reference UI's default query (MatchAllDocsQuery + default field
+    sort, DiskStorageService.java:176-179, 420-436): no keyword clause,
+    lang filter, ordered by (doc length desc, original doc id asc). The
+    plan is a docstats-only TakeOrdered — postings are never read."""
+    idx = _entry_index(spark, sf_dir)
+    rows = idx.match_all(
+        doc_filter=(F.col("lang") == "en"),
+        sort_cols=[("dl", False), ("path", True)],
+        k=20,
+    )
+    return rows.select(
+        F.substring("path", 2, 12).cast("long").alias("doc_id"),
+        "lang",
+        F.col("dl").alias("n_tokens"),
+    )
 
 
 def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_index_wand": q_bm25_index_wand,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_phrase_slop": q_bm25_phrase_slop,
+        "match_all_sorted": q_match_all_sorted,
         "search_after_page": q_search_after_page,
         "bm25_filtered": q_bm25_filtered,
         "bm25_topk_zh": q_bm25_topk_zh,
@@ -875,6 +948,12 @@ ORDER BY t.score DESC, t.doc_id ASC LIMIT 10
     sql["bm25_topk"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_index_wand"] = _bm25_oracle(FLAGSHIP_QUERY, 20)
     sql["bm25_phrase"] = _phrase_oracle(PHRASE_QUERY, 20)
+    sql["bm25_phrase_slop"] = _phrase_slop_oracle(PHRASE_SLOP_QUERY, 20, slop=2)
+    sql["match_all_sorted"] = f"""
+SELECT doc_id, lang, len({_TOK}) AS n_tokens FROM documents
+WHERE lang = 'en'
+ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
+"""
     sql["search_after_page"] = _bm25_oracle(FLAGSHIP_QUERY, 40)
     sql["parsed_query"] = _parsed_oracle(PARSED_QUERY, 20)
     sql["boosted_query"] = _bm25_oracle(

@@ -366,12 +366,27 @@ def simhash_pandas_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out, index=text.index)
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash_near_pairs(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Block by (max_hamming+1) bit-bands (pigeonhole: any pair within
     distance d agrees on >=1 of d+1 bands), join per band, verify exact
-    hamming via bit_count(xor). Input: (doc_id, simhash)."""
+    hamming via bit_count(xor). Input: (doc_id, simhash).
+
+    ``max_bucket_size`` is the skew guard the other dedup families
+    already have (VERDICT r2): a degenerate band key shared by f docs
+    makes the self-join emit f^2/2 rows BEFORE the hamming filter — and
+    degenerate keys are common (every empty/punctuation-only doc hashes
+    to simhash 0, colliding on EVERY band). The cap is enforced by a
+    pre-count + semi-join on (band, key) before the join, with the
+    pre-count's exchange reused by the probe side (single shuffle of the
+    blocked stream). Dropped buckets are exact-duplicate swarms — route
+    those through ``exact_dedup``. ``None`` disables (small-corpus use)."""
     nb = max_hamming + 1
     width = bits // nb
     bandc = [
@@ -386,6 +401,15 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = SIMHASH
     blocked = sim.select("doc_id", "simhash", F.explode(F.array(*bandc)).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket_size is not None:
+        bp = blocked.repartition("band", "key")
+        ok = (
+            bp.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter((F.col("f") >= 2) & (F.col("f") <= max_bucket_size))
+            .select("band", "key")
+        )
+        blocked = bp.join(ok, ["band", "key"])
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(

@@ -155,7 +155,9 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
         list(idx.meta["segments"]),
         os.path.join(index_dir, "segments", "seg_000000"),
     )
+    # {**idx.meta, ...}: extra root keys (e.g. streaming_hwm) survive
     meta = {
+        **idx.meta,
         "params": params,
         "segments": {
             "seg_000000": {
@@ -370,7 +372,7 @@ def maybe_merge(
         hwm = max(s["max_doc_id"] for s in segments.values())
         top = max(survivors, key=lambda n: survivors[n]["max_doc_id"])
         survivors[top]["max_doc_id"] = max(survivors[top]["max_doc_id"], hwm)
-        new_meta = {"params": params, "segments": survivors}
+        new_meta = {**meta, "params": params, "segments": survivors}
         tmp = os.path.join(index_dir, "meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(new_meta, f, indent=2)
@@ -398,6 +400,7 @@ def maybe_merge(
     )
 
     new_meta = {
+        **meta,
         "params": params,
         "segments": {
             **{n: s for n, s in segments.items() if n not in merged},
@@ -509,6 +512,73 @@ def decode_postings(postings: DataFrame, with_positions: bool = False) -> DataFr
     return postings.mapInPandas(gen, schema)
 
 
+def _read_root_meta(index_dir: str) -> dict | None:
+    root = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(root):
+        return None
+    with open(root) as f:
+        return json.load(f)
+
+
+def _record_stream_hwm(index_dir: str, ck_key: str, batch_id: int) -> None:
+    """Record in root meta that ``batch_id`` of the stream identified by
+    ``ck_key`` is fully ingested. Atomic write-then-rename, same as every
+    other meta.json update; merges preserve the key (their rewrites copy
+    the loaded meta instead of rebuilding {params, segments} from
+    scratch)."""
+    root = os.path.join(index_dir, "meta.json")
+    with open(root) as f:
+        meta = json.load(f)
+    hwm = meta.setdefault("streaming_hwm", {})
+    hwm[ck_key] = max(int(batch_id), int(hwm.get(ck_key, -1)))
+    tmp = root + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, root)
+
+
+def make_batch_handler(
+    index_dir: str,
+    checkpoint_dir: str,
+    auto_merge: bool = False,
+    **build_kwargs,
+):
+    """The foreachBatch callable behind ``stream_to_index`` — exposed so
+    redelivery semantics are directly unit-testable (call it twice with
+    the same batch_id)."""
+    ck_key = os.path.abspath(checkpoint_dir)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # Exactly-once under at-least-once foreachBatch redelivery needs
+        # TWO guards, because auto_merge can rename the just-appended
+        # batchId-named segment into seg_NNNNNN BEFORE the streaming
+        # checkpoint commits (ADVICE r2 — the name-exists no-op alone
+        # re-ingested such a batch as duplicate docs):
+        #   1. the per-checkpoint batch high-water mark in root meta,
+        #      written AFTER the append's root-meta swap and BEFORE any
+        #      merge — a redelivered batch_id <= hwm is a no-op even when
+        #      its segment name no longer exists;
+        #   2. append_segment's name-exists no-op, covering the window
+        #      between the append's meta swap and the hwm write.
+        # Every window of a crash timeline lands in one of the two.
+        seg_name = f"seg_b{batch_id:09d}"
+        meta = _read_root_meta(index_dir)
+        if meta is not None:
+            if batch_id <= int(meta.get("streaming_hwm", {}).get(ck_key, -1)):
+                return
+            append_segment(spark, batch_df, index_dir, segment=seg_name, **build_kwargs)
+        else:
+            build_index(spark, batch_df, index_dir, segment=seg_name, **build_kwargs)
+        _record_stream_hwm(index_dir, ck_key, batch_id)
+        if auto_merge:
+            maybe_merge(spark, index_dir)
+
+    return handle_batch
+
+
 def stream_to_index(
     docs_stream: DataFrame,
     index_dir: str,
@@ -517,31 +587,18 @@ def stream_to_index(
     **build_kwargs,
 ):
     """Structured Streaming sink: each micro-batch of new docs becomes a
-    segment (idempotent by batchId-derived segment name).
+    segment — exactly-once by batchId idempotence (see
+    ``make_batch_handler``; one stream per index, identified by its
+    checkpoint dir).
 
     ``auto_merge=True`` runs one tiered-policy merge after each batch
     lands — the analog of Lucene's merge-on-commit
     (``ConcurrentMergeScheduler``, reference ``Shard.java:60-64``), so a
     long-running ingest keeps segment count O(log N) instead of O(batches)."""
-
-    def handle_batch(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        # batchId names the segment: foreachBatch is at-least-once (a
-        # crash between the root-meta swap and the checkpoint commit
-        # re-delivers the batch), and the name-exists no-op in
-        # append_segment turns the redelivery into exactly-once
-        seg_name = f"seg_b{batch_id:09d}"
-        if os.path.exists(os.path.join(index_dir, "meta.json")):
-            append_segment(spark, batch_df, index_dir, segment=seg_name, **build_kwargs)
-        else:
-            build_index(spark, batch_df, index_dir, segment=seg_name, **build_kwargs)
-        if auto_merge:
-            maybe_merge(spark, index_dir)
-
     return (
-        docs_stream.writeStream.foreachBatch(handle_batch)
+        docs_stream.writeStream.foreachBatch(
+            make_batch_handler(index_dir, checkpoint_dir, auto_merge, **build_kwargs)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

@@ -161,3 +161,15 @@ def test_search_after_filtered(index, oracle_side):
     p2 = index.search_after(q, after=(p1[-1].score, p1[-1].doc_id), k=3, doc_filter=flt).collect()
     assert [(r.doc_id, r.score) for r in p2] == [(r.doc_id, r.score) for r in full[3:6]]
     assert all(langs[r.doc_id] == "python" for r in p2)
+
+
+def test_term_cache_eviction_spares_current_query(spark, index):
+    """Eviction on overflow must never remove terms of the CURRENT query:
+    a cache-hit term + enough new misses used to KeyError at the return
+    (ADVICE r2)."""
+    idx = SearchIndex(spark, index.index_dir)
+    idx._TERM_CACHE_MAX = 4
+    idx.lookup(["merge"])  # cache hit-to-be
+    # 5 misses overflow the cache while 'merge' is the oldest entry
+    got = idx.lookup(["merge", "zzqa", "zzqb", "zzqc", "zzqd", "zzqe"])
+    assert "merge" in got and got["merge"] > 0

@@ -134,6 +134,42 @@ def test_phrase_requires_positions(spark, corpus, tmp_path):
         SearchIndex(spark, d).search_phrase("merge scan")
 
 
+def test_phrase_gate_ids_match_and_no_global_sort(spark, pidx):
+    """The parsed-query phrase gate (_phrase_match_ids) returns exactly
+    the phrase match set, with NO top-k cut and NO global sort in the
+    plan — search_phrase(k=2**30) used to full-sort the entire match set
+    just to throw the order away (VERDICT r2)."""
+    idx, docs = _doc_map(spark, pidx)
+    ids = {r.doc_id for r in idx._phrase_match_ids("big car").collect()}
+    want = {d for d, _ in phrase_oracle(docs, "big car", k=100)}
+    assert ids == want
+    gate = idx._phrase_match_ids("big car")
+    p = gate._jdf.queryExecution().executedPlan().toString()
+    for line in p.splitlines():
+        if "Sort [" in line:
+            assert ", false, 0" in line, f"global sort in phrase-gate plan: {line}"
+    # and through search_parsed: a phrase-gated parsed query plans no
+    # global sort either (the TakeOrdered of the final top-k is fine)
+    parsed = idx.search_parsed('big +"big car"', k=5)
+    pp = parsed._jdf.queryExecution().executedPlan().toString()
+    for line in pp.splitlines():
+        if "Sort [" in line:
+            assert ", false, 0" in line, f"global sort in parsed plan: {line}"
+    assert "TakeOrderedAndProject" in pp
+
+
+def test_reversed_pair_needs_slop_2_like_lucene(spark, pidx):
+    """Lucene move-distance slop: 'car big' (reversed adjacent pair)
+    matches phrase 'big car' at slop=2 and NOT at slop<=1
+    (LuceneFactoryTest.java:351-367 asserts exactly this)."""
+    idx, docs = _doc_map(spark, pidx)
+    inv = {v: k for k, v in docs.items()}
+    rev = inv[DOCS[2]]  # "car big"
+    assert rev not in {r.doc_id for r in idx.search_phrase("big car", k=10, slop=0).collect()}
+    assert rev not in {r.doc_id for r in idx.search_phrase("big car", k=10, slop=1).collect()}
+    assert rev in {r.doc_id for r in idx.search_phrase("big car", k=10, slop=2).collect()}
+
+
 def test_phrase_tombstones_and_compaction(spark, pidx):
     from dbsyncer_spark.streaming.incremental import compact_segments, delete_docs
 

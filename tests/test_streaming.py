@@ -77,3 +77,36 @@ def test_stream_builds_index_and_restart_is_idempotent(spark, tmp_path, corpus_f
     assert replay_meta["segment"] == seg
     idx4 = SearchIndex(spark, idx_dir)
     assert idx4.n_docs == 120 and len(idx4.meta["segments"]) == 2
+
+
+def test_automerge_redelivery_is_exactly_once(spark, tmp_path):
+    """auto_merge can rename the just-appended batchId-named segment into
+    seg_NNNNNN BEFORE the streaming checkpoint commits; a redelivered
+    batch must STILL be a no-op (ADVICE r2 — the name-exists check alone
+    re-ingested it as duplicate docs). The per-checkpoint batch HWM in
+    root meta closes that window."""
+    from dbsyncer_spark.streaming.incremental import make_batch_handler
+
+    pdf = gen_corpus_pdf(n_docs=80, seed=11)
+    idx_dir = str(tmp_path / "midx")
+    handler = make_batch_handler(
+        idx_dir, str(tmp_path / "mckpt"), auto_merge=True,
+        num_shards=4, range_size=256, num_id_buckets=8,
+    )
+    batches = [
+        spark.createDataFrame(pdf.iloc[i * 20:(i + 1) * 20], SCHEMA) for i in range(4)
+    ]
+    for bid, b in enumerate(batches):
+        handler(b, bid)
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.n_docs == 80
+    # the 4th batch triggered a tier merge: batchId-named segments are gone
+    assert all(not s.startswith("seg_b") for s in idx.meta["segments"]), idx.meta["segments"]
+
+    # redeliver the LAST batch (the crash-between-swap-and-commit case)
+    handler(batches[3], 3)
+    idx2 = SearchIndex(spark, idx_dir)
+    assert idx2.n_docs == 80, "redelivered batch was re-ingested as duplicates"
+    # and an out-of-order stale redelivery is equally a no-op
+    handler(batches[1], 1)
+    assert SearchIndex(spark, idx_dir).n_docs == 80
