@@ -710,9 +710,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbsyncer_spark.ops.dedup import simhash_df
+    """SimHash via the vectorized Arrow kernel — the 100 TB path (one
+    md5 per distinct term per worker, numpy bit votes). Byte-identical
+    to the Column-math twin `simhash_df` (pytest parity gate), so it
+    shares the same SQL oracle; r2 ran the Column form here and it was
+    the 2nd-slowest contract query (3.4 s — token × 64-bit-position
+    explode)."""
+    from dbsyncer_spark.ops.dedup import _spread, simhash_pandas_udf
 
-    return simhash_df(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", simhash_pandas_udf("text").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -826,17 +826,33 @@ class SearchIndex:
         """FuzzyQuery analog: BM25 over terms within edit distance."""
         return self._search_expanded(self.expand_fuzzy(term, max_edits, limit), k)
 
-    def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+    def search_many(self, queries: dict[str, str], k: int = 10,
+                    mode: str = "wand") -> DataFrame:
         """Batched top-k for many queries in ONE Spark job — the high-
         throughput serving shape (per-query jobs waste scheduler overhead;
         at cluster scale a query front-end batches by arrival window).
 
         Postings for the union of all query terms are read once; each
-        term's blocks are decoded once per docId-range and accumulated
-        into every query that contains the term (shared-decode TAAT).
+        term's blocks are decoded at most once per docId-range and
+        accumulated into every query that contains the term
+        (shared-decode TAAT). ``mode="wand"`` (default) adds PER-QUERY
+        block-max pruning over the shared decode: a block is decoded iff
+        at least one query still needs it, and accumulated into query q
+        iff q's own WAND bound keeps it —
+
+            segmax_q(block span) + U_term(block) + R_rest_q >= theta_q
+
+        with theta_q = q's current k-th best partial and R_rest_q = the
+        sum of q's UNPROCESSED terms' upper bounds. Each query therefore
+        sees exactly the blocks a single-query WAND run (with the same
+        global term order) would keep, so pruning never changes any
+        query's top-k set, order, or reported scores (rank-identity to
+        per-query ``search()`` is pytest-gated). Terms process in global
+        (-max UB, tid) order — a total order, so float summation stays
+        execution-independent.
+
         Returns DataFrame(query_id string, doc_id long, score double),
-        per query ordered (score desc, doc_id asc), <= k rows each —
-        identical rows to calling ``search(mode="exhaustive")`` per query.
+        per query ordered (score desc, doc_id asc), <= k rows each.
         """
         from pyspark.sql import Window as W
 
@@ -862,6 +878,7 @@ class SearchIndex:
                 by_tid.setdefault(t, []).append(qid)
         shards = sorted({py_shard(t, self.num_shards) for t in dfs})
         range_size = self.range_size
+        prune = mode == "wand"
 
         def score_impl(key, pdf, dead_pdf):
             _limit_arrow_threads()
@@ -878,30 +895,87 @@ class SearchIndex:
                 qid: (np.zeros(range_size), np.zeros(range_size, dtype=bool))
                 for qid in qterms
             }
-            # tid sort pins float-summation order (scores reproduce
-            # bit-for-bit across executions — same discipline as
-            # _make_scorer's (-ub, tid) ordering)
-            pdf = pdf.sort_values("tid", kind="stable")
+            # per-term block upper bounds; global processing order
+            # (-max UB, tid) is a total order — heaviest terms first
+            # raises thetas early, and the fixed order pins float
+            # summation (scores reproduce bit-for-bit across executions)
+            rows = []
             for r in pdf.itertuples(index=False):
                 idf = idfs[r.tid]
+                ub_blocks = idf * _tfnorm_bound(
+                    np.asarray(r.block_max_tf), np.asarray(r.block_min_dl),
+                    k1, b, avgdl,
+                )
+                rows.append((float(ub_blocks.max()), r.tid, r, ub_blocks))
+            rows.sort(key=lambda x: (-x[0], x[1]))
+            # per-query sum of its terms' UBs present in THIS range (terms
+            # of q absent here contribute nothing to docs of this range)
+            ub_of = {tid: u for u, tid, _, _ in rows}
+            remaining = {
+                qid: sum(ub_of.get(t, 0.0) for t in ts) for qid, ts in qterms.items()
+            }
+            theta: dict[str, float | None] = {qid: None for qid in qterms}
+
+            for ub_max, tid_v, r, ub_blocks in rows:
+                idf = idfs[tid_v]
+                qids = by_tid[tid_v]
+                nb = ub_blocks.size
+                block_first = np.asarray(r.block_first, dtype=np.int64)
+                keep_by_q: dict[str, np.ndarray] = {}
+                union_keep = np.zeros(nb, dtype=bool)
+                for qid in qids:
+                    remaining[qid] -= ub_of.get(tid_v, 0.0)
+                    th = theta[qid]
+                    if not prune or th is None:
+                        kq = np.ones(nb, dtype=bool)
+                    else:
+                        S, _ = acc[qid]
+                        starts = block_first - base
+                        segmax = np.maximum.reduceat(S, starts)
+                        kq = (segmax + ub_blocks + remaining[qid]) >= th
+                    keep_by_q[qid] = kq
+                    union_keep |= kq
+                if not union_keep.any():
+                    continue
+                kept_idx = np.flatnonzero(union_keep)
                 d, tf, dl = unpack_blocks(
-                    r.blob, r.block_off, r.block_n, r.block_first
+                    r.blob, r.block_off, r.block_n, r.block_first,
+                    keep=None if union_keep.all() else kept_idx,
                 )
                 tf = tf.astype(np.float64)
                 dl = dl.astype(np.float64)
                 tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
                 idx = (d - np.uint64(base)).astype(np.int64)
                 contrib = idf * tfn
+                live = None
                 if dead_mask is not None:
                     # mask BEFORE the per-query top-k cut: dropping deleted
                     # docs after the cut would lose live docs ranked behind
                     # them within this range (found r2)
                     live = ~dead_mask[idx]
-                    idx, contrib = idx[live], contrib[live]
-                for qid in by_tid[r.tid]:
+                # decoded-row -> kept-block membership, for per-query
+                # sub-selection of the shared decode
+                sizes = np.asarray(r.block_n, dtype=np.int64)[kept_idx]
+                row_block = np.repeat(kept_idx, sizes)
+                for qid in qids:
+                    kq = keep_by_q[qid]
+                    if not kq.any():
+                        continue
+                    if kq[kept_idx].all():
+                        qsel = slice(None)
+                    else:
+                        qsel = kq[row_block]
+                    qidx, qcontrib = idx[qsel], contrib[qsel]
+                    if live is not None:
+                        ql = live[qsel]
+                        qidx, qcontrib = qidx[ql], qcontrib[ql]
                     S, seen = acc[qid]
-                    S[idx] += contrib
-                    seen[idx] = True
+                    S[qidx] += qcontrib
+                    seen[qidx] = True
+                    if prune:
+                        cnt = int(seen.sum())
+                        if cnt >= k:
+                            theta[qid] = np.partition(S[seen], cnt - k)[cnt - k]
             frames = []
             for qid, (S, seen) in acc.items():
                 idx = np.flatnonzero(seen)

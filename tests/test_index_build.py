@@ -173,3 +173,26 @@ def test_term_cache_eviction_spares_current_query(spark, index):
     # 5 misses overflow the cache while 'merge' is the oldest entry
     got = idx.lookup(["merge", "zzqa", "zzqb", "zzqc", "zzqd", "zzqe"])
     assert "merge" in got and got["merge"] > 0
+
+
+def test_search_many_wand_rank_identical(spark, index):
+    """Batched WAND (per-query theta cuts over the shared decode) must be
+    row-identical to both batched exhaustive and per-query search on
+    every reference query (VERDICT r2 stretch item)."""
+    from dbsyncer_spark.fixtures.corpus import reference_queries
+
+    batch = {
+        f"q{q['queryId']}": q["text"]
+        for q in reference_queries() if not q["filterLang"]
+    }
+    wand = index.search_many(batch, k=10, mode="wand").collect()
+    exh = index.search_many(batch, k=10, mode="exhaustive").collect()
+    assert [(r.query_id, r.doc_id, r.score) for r in wand] == [
+        (r.query_id, r.doc_id, r.score) for r in exh
+    ]
+    by_q: dict[str, list] = {}
+    for r in wand:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 12)))
+    for qid, q in batch.items():
+        want = index.search(q, k=10, mode="exhaustive").collect()
+        assert by_q.get(qid, []) == [(r.doc_id, round(r.score, 12)) for r in want], qid
