@@ -146,19 +146,23 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 def _phrase_slop_oracle(phrase: str, k: int, slop: int) -> str:
     """DuckDB twin of SearchIndex.search_phrase(slop>0) — Lucene
     move-distance slop: anchor = occurrence p of term_0; the doc matches
-    at p iff every later instance i has an occurrence q with
-    |q - i - p| <= slop (out-of-order within the budget — the reversed
-    adjacent pair matches at slop=2, LuceneFactoryTest.java:351-367).
-    freq = distinct matching anchors; score = idf_sum * tfnorm(freq, dl),
-    same formula as the exact-phrase oracle."""
+    at p iff the SUM over instances i of min over occurrences q of
+    |q - i - p| fits the shared slop budget (out-of-order within the
+    budget — the reversed adjacent pair matches at slop=2,
+    LuceneFactoryTest.java:351-367). freq = distinct matching anchors;
+    score = idf_sum * tfnorm(freq, dl), same formula as the exact-phrase
+    oracle."""
     terms = tokenize_py(phrase)
     uniq = sorted(set(terms))
     inlist = ", ".join(f"'{t}'" for t in uniq)
-    exists = "\n  AND ".join(
-        f"EXISTS (SELECT 1 FROM pos b{i} WHERE b{i}.doc_id = a.doc_id "
-        f"AND b{i}.term = '{t}' AND abs(b{i}.p - {i} - a.p) <= {slop})"
+    # per-instance scalar-subquery min distance; a doc missing a term
+    # yields NULL -> total NULL -> no match (engine requires all terms)
+    dist_sum = " + ".join(
+        f"(SELECT min(abs(b{i}.p - {i} - a.p)) FROM pos b{i} "
+        f"WHERE b{i}.doc_id = a.doc_id AND b{i}.term = '{t}')"
         for i, t in enumerate(terms[1:], start=1)
     )
+    exists = f"({dist_sum}) <= {slop}"
     idf_sum = " + ".join(
         f"(SELECT ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfreq, stats WHERE term = '{t}')"
         for t in terms

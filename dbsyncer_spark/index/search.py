@@ -572,22 +572,24 @@ class SearchIndex:
         (``LuceneFactoryTest.java:351-367``).
 
         Match semantics: tokenize the phrase in order (duplicates kept);
-        a doc matches at anchor position p (an occurrence of term_0) iff
-        every later phrase instance i has an occurrence of term_i whose
-        slop-adjusted position (pos - i) lies within ``slop`` of p —
-        i.e. |pos_i - (p + i)| <= slop per instance. This is Lucene's
-        move-distance slop, INCLUDING out-of-order matches within the
-        budget: for a two-term phrase the condition reduces to
+        anchor at each occurrence p of term_0. The anchor matches iff
+
+            sum over instances i of min_q |q - i - p| <= slop
+
+        where q ranges over term_i's occurrences — i.e. the total
+        move-distance to align every instance against the anchor, which
+        is Lucene's sloppy-phrase budget (one SHARED slop across all
+        terms, not a per-term window), INCLUDING out-of-order matches:
+        for a two-term phrase the condition reduces to
         |pos_b - pos_a - 1| <= slop, so ``slop=2`` matches the reversed
         adjacent pair exactly as Lucene does
         (``LuceneFactoryTest.java:351-367`` asserts that case).
-        Documented divergences for phrases of 3+ terms: the slop budget
-        here is per-instance (Lucene charges the SUM of move distances
-        against one budget, so Lucene is stricter), and repeated phrase
-        terms may map to the same occurrence (Lucene requires distinct
-        positions). ``slop=0`` is the exact consecutive phrase (separate
-        vectorized fast path). ``phrase_freq`` = number of matching
-        anchors.
+        Documented divergences: repeated phrase terms may map to the
+        same occurrence (Lucene requires distinct positions), and each
+        instance independently picks its nearest occurrence (for
+        non-repeated terms that IS the minimal total alignment cost).
+        ``slop=0`` is the exact consecutive phrase (separate vectorized
+        fast path). ``phrase_freq`` = number of matching anchors.
 
         Scoring mirrors Lucene's PhraseQuery: score = (sum of the phrase
         terms' idfs, duplicates counted, in phrase order) *
@@ -691,18 +693,31 @@ class SearchIndex:
                 hit_l, freq_l = [], []
                 for doc in cand:
                     anchors = None
-                    ok_all = None
+                    total = None
                     for tid_v, i in instances:
                         _, _, tdocs, tpos = per_tid[tid_v]
                         adj = np.sort(tpos[tdocs == doc]) - i
                         if i == 0 and anchors is None:
                             anchors = adj
-                            ok_all = np.ones(adj.size, dtype=bool)
+                            total = np.zeros(adj.size)
                             continue
-                        lo = np.searchsorted(adj, anchors - slop, side="left")
-                        ok = (lo < adj.size) & (adj[np.minimum(lo, adj.size - 1)] <= anchors + slop)
-                        ok_all &= ok
-                    f = int(ok_all.sum())
+                        # nearest adjusted occurrence to each anchor (both
+                        # searchsorted neighbors) -> this instance's
+                        # minimal move distance; the SHARED slop budget is
+                        # the sum across instances (Lucene semantics)
+                        lo = np.searchsorted(adj, anchors, side="left")
+                        d_hi = np.where(
+                            lo < adj.size,
+                            np.abs(adj[np.minimum(lo, adj.size - 1)] - anchors),
+                            np.inf,
+                        )
+                        d_lo = np.where(
+                            lo > 0,
+                            np.abs(anchors - adj[np.maximum(lo - 1, 0)]),
+                            np.inf,
+                        )
+                        total += np.minimum(d_hi, d_lo)
+                    f = int((total <= slop).sum())
                     if f:
                         hit_l.append(doc)
                         freq_l.append(f)

@@ -33,10 +33,12 @@ DOCS = [
 def phrase_oracle(docs: dict[int, str], phrase: str, slop: int = 0, k: int = 10,
                   exclude: set[int] | None = None):
     """Independent implementation of the documented semantics: anchor at
-    each term_0 position p; match iff every later instance i has an
-    occurrence with (pos - i) within slop of p. score = idf_sum(phrase
-    instances) * tfnorm(freq, dl); stats over the FULL doc set (tombstones
-    mask results, not stats — Lucene pre-merge behavior)."""
+    each term_0 position p; match iff the SUM over instances i of the
+    minimal |pos - i - p| (each instance's nearest occurrence) is within
+    the shared slop budget — Lucene's sloppy-phrase total move distance.
+    score = idf_sum(phrase instances) * tfnorm(freq, dl); stats over the
+    FULL doc set (tombstones mask results, not stats — Lucene pre-merge
+    behavior)."""
     terms = tokenize_py(phrase)
     toks = {d: tokenize_py(c) for d, c in docs.items()}
     n = len(docs)
@@ -52,12 +54,15 @@ def phrase_oracle(docs: dict[int, str], phrase: str, slop: int = 0, k: int = 10,
         if exclude and d in exclude:
             continue
         pos = {t: [i for i, x in enumerate(tk) if x == t] for t in set(terms)}
+        if any(not pos[t] for t in terms):
+            continue
         freq = 0
         for p in pos[terms[0]]:
-            if all(
-                any(abs((q - i) - p) <= slop for q in pos[t])
+            total = sum(
+                min(abs((q - i) - p) for q in pos[t])
                 for i, t in enumerate(terms)
-            ):
+            )
+            if total <= slop:
                 freq += 1
         if freq:
             tfn = freq * 2.2 / (freq + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
@@ -102,6 +107,8 @@ def _doc_map(spark, d):
     ("big big", 0),      # duplicate term in phrase
     ("car", 0),          # single-term phrase == term query
     ("big zzznothere", 0),
+    ("big drives fast", 1),  # 3-term: two 1-distance moves -> total 2
+    ("big drives fast", 2),
 ])
 def test_phrase_matches_oracle(spark, pidx, phrase, slop):
     idx, docs = _doc_map(spark, pidx)
@@ -132,6 +139,18 @@ def test_phrase_requires_positions(spark, corpus, tmp_path):
     build_index(spark, corpus.limit(20), d, num_shards=4, range_size=64, num_id_buckets=4)
     with pytest.raises(ValueError, match="store_positions"):
         SearchIndex(spark, d).search_phrase("merge scan")
+
+
+def test_slop_budget_is_shared_across_instances(spark, pidx):
+    """Lucene charges ONE slop budget for the whole phrase: in
+    'big car drives fast', the phrase 'big drives fast' needs drives and
+    fast each moved 1 (total 2) — a per-instance window would accept
+    slop=1, the shared budget requires slop>=2."""
+    idx, docs = _doc_map(spark, pidx)
+    inv = {v: k for k, v in docs.items()}
+    d0 = inv[DOCS[0]]  # "big car drives fast"
+    assert d0 not in {r.doc_id for r in idx.search_phrase("big drives fast", k=10, slop=1).collect()}
+    assert d0 in {r.doc_id for r in idx.search_phrase("big drives fast", k=10, slop=2).collect()}
 
 
 def test_phrase_gate_ids_match_and_no_global_sort(spark, pidx):
