@@ -162,7 +162,9 @@ def _phrase_slop_oracle(phrase: str, k: int, slop: int) -> str:
         f"WHERE b{i}.doc_id = a.doc_id AND b{i}.term = '{t}')"
         for i, t in enumerate(terms[1:], start=1)
     )
-    exists = f"({dist_sum}) <= {slop}"
+    # single-term phrase: no later instances, every anchor matches at
+    # total distance 0 (an empty join would otherwise emit "() <= slop")
+    exists = f"({dist_sum}) <= {slop}" if dist_sum else "TRUE"
     idf_sum = " + ".join(
         f"(SELECT ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) FROM dfreq, stats WHERE term = '{t}')"
         for t in terms

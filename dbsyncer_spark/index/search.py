@@ -485,9 +485,13 @@ class SearchIndex:
 
         SHOULD ∪ MUST terms score (BM25, global stats); MUST terms,
         phrases and ``field:value`` clauses gate candidates; MUST_NOT
-        terms/phrases exclude. Row-identical to the DataFrame twin
-        ``dbsyncer_spark.query.parser.parsed_topk_wide`` (pytest-gated).
-        Phrase clauses need a positional index.
+        terms/phrases exclude. For queries with at least one scored term,
+        row-identical to the DataFrame twin
+        ``dbsyncer_spark.query.parser.parsed_topk_wide`` (pytest-gated);
+        filter-only queries diverge by design — the twin returns empty
+        (pinned by ``tests/test_parser.py``) while the index path routes
+        to ``match_all`` as described below. Phrase clauses need a
+        positional index.
 
         A query with NO scored terms (filter-only: just field clauses,
         phrases, and/or exclusions — or fully empty) routes to

@@ -385,8 +385,12 @@ def simhash_near_pairs(
     to simhash 0, colliding on EVERY band). The cap is enforced by a
     pre-count + semi-join on (band, key) before the join, with the
     pre-count's exchange reused by the probe side (single shuffle of the
-    blocked stream). Dropped buckets are exact-duplicate swarms — route
-    those through ``exact_dedup``. ``None`` disables (small-corpus use)."""
+    blocked stream). Recall caveat (same trade as ``minhash_lsh_pairs``):
+    a pair whose ONLY agreeing band lands in a capped bucket is not
+    emitted — capped buckets are overwhelmingly exact-duplicate swarms
+    (route those through ``exact_dedup``), but a genuine near-dup hiding
+    in one is lost. ``None`` disables the cap and restores exhaustive
+    recall (small corpora, or after exact-dedup has removed the swarms)."""
     nb = max_hamming + 1
     width = bits // nb
     bandc = [

@@ -68,17 +68,45 @@ def update_docs(
 
     ``key_cols``: the identity columns (the update Term); every row of
     ``new_docs`` replaces any existing doc with the same key values.
-    Delete runs FIRST against the current docstats, so the fresh segment
-    is never self-tombstoned. Keys with no existing doc are plain
-    inserts (delete is a no-op for them — same as Lucene's updateDocument
-    on an absent term). Returns the new segment meta plus ``"deleted"``:
-    the number of old docs tombstoned."""
+    ``new_docs`` must carry ONE row per key — Lucene's updateDocument
+    takes one doc per term, and "which duplicate wins" has no defined
+    answer in an unordered DataFrame, so duplicates raise (pre-reduce the
+    batch to the latest version per key first). Keys with no existing doc
+    are plain inserts (the delete is a no-op for them — same as Lucene's
+    updateDocument on an absent term). Returns the new segment meta plus
+    ``"deleted"``: the number of old docs tombstoned.
+
+    Ordering: the doomed doc_ids are resolved against the PRE-append
+    docstats, the new segment is appended, and only then are the
+    tombstones written. A crash between the two steps leaves both
+    versions briefly visible — re-running the same update converges to
+    one live doc (the rerun tombstones both) — never a window where the
+    key resolves to nothing, which is what delete-first would produce
+    and is worse than a transient duplicate (the reference keeps the old
+    doc readable until the update lands, ``Shard.java:102-120``)."""
     missing = [c for c in key_cols if c not in new_docs.columns]
     if missing:
         raise ValueError(f"update_docs: new_docs lacks key column(s) {missing}")
+    dup = (new_docs.groupBy(*key_cols).count()
+           .filter(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            "update_docs: new_docs has multiple rows for key "
+            f"{tuple(dup[0][c] for c in key_cols)!r}; update-by-key needs "
+            "exactly one row per key — pre-reduce the batch (e.g. keep the "
+            "latest version per key) before calling")
     keys = new_docs.select(*key_cols).distinct()
-    n_del = delete_docs(spark, index_dir, keys)
+    idx = SearchIndex(spark, index_dir)
+    # lazy plan over pre-append segment files only, so evaluating it
+    # after the append cannot see (or self-tombstone) the new segment
+    doomed = idx.docstats().join(keys, on=list(key_cols), how="left_semi").select("doc_id")
+    tomb = idx._tombstones()
+    if tomb is not None:
+        doomed = doomed.join(tomb.select("doc_id"), "doc_id", "left_anti")
     meta = append_segment(spark, new_docs, index_dir, **build_kwargs)
+    n_del = doomed.count()
+    if n_del:
+        doomed.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
     return {**meta, "deleted": n_del}
 
 
@@ -549,6 +577,21 @@ def _read_root_meta(index_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _stream_instance_id(checkpoint_dir: str) -> str | None:
+    """Spark's per-checkpoint streaming query id, from the ``metadata``
+    file Structured Streaming writes at query start. Deleting and
+    recreating the checkpoint dir (the standard "reprocess from scratch"
+    move) regenerates this id — which is exactly the signal that old
+    batch numbering no longer applies. Returns None when the file is
+    absent (e.g. the handler is driven directly in unit tests)."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            v = json.load(f).get("id")
+        return str(v) if v else None
+    except (OSError, ValueError):
+        return None
+
+
 def _record_stream_hwm(index_dir: str, ck_key: str, batch_id: int) -> None:
     """Record in root meta that ``batch_id`` of the stream identified by
     ``ck_key`` is fully ingested. Atomic write-then-rename, same as every
@@ -575,11 +618,26 @@ def make_batch_handler(
     """The foreachBatch callable behind ``stream_to_index`` — exposed so
     redelivery semantics are directly unit-testable (call it twice with
     the same batch_id)."""
-    ck_key = os.path.abspath(checkpoint_dir)
+    ck_path = os.path.abspath(checkpoint_dir)
+    # Resolved lazily at first batch (the query id file exists by then):
+    # the HWM key and segment names are scoped to the stream INSTANCE,
+    # not just the checkpoint path. If the user deletes the checkpoint
+    # dir to reprocess, Spark restarts batch ids at 0 under a fresh query
+    # id — a path-only key would drop those batches as stale redeliveries
+    # (silent data loss), and instance-less seg_b names would collide
+    # with the old run's segments and no-op. With the id in both, a
+    # reprocess re-ingests visibly (duplicates are the caller's stated
+    # intent); redelivery within one instance stays exactly-once.
+    state: dict = {"key": None, "qid": None}
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
+        if state["key"] is None:
+            qid = _stream_instance_id(checkpoint_dir)
+            state["qid"] = qid
+            state["key"] = f"{ck_path}#{qid}" if qid else ck_path
+        ck_key = state["key"]
         spark = batch_df.sparkSession
         # Exactly-once under at-least-once foreachBatch redelivery needs
         # TWO guards, because auto_merge can rename the just-appended
@@ -593,7 +651,9 @@ def make_batch_handler(
         #   2. append_segment's name-exists no-op, covering the window
         #      between the append's meta swap and the hwm write.
         # Every window of a crash timeline lands in one of the two.
-        seg_name = f"seg_b{batch_id:09d}"
+        qid = state["qid"]
+        seg_name = (f"seg_b{qid[:8]}_{batch_id:09d}" if qid
+                    else f"seg_b{batch_id:09d}")
         meta = _read_root_meta(index_dir)
         if meta is not None:
             if batch_id <= int(meta.get("streaming_hwm", {}).get(ck_key, -1)):

@@ -4,6 +4,8 @@ live document set."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -157,3 +159,51 @@ def test_update_docs_replaces_by_key(spark, tmp_path):
     ) == 61  # 60 - 1 deleted + 2 appended
     with pytest.raises(ValueError, match="lacks key column"):
         update_docs(spark, d, spark.createDataFrame(new_rows, SCHEMA).drop("path"))
+
+
+def test_update_docs_rejects_duplicate_keys(spark, tmp_path):
+    """Two rows for one key in a single update batch is ambiguous (no
+    'last write' in an unordered DataFrame) — update_docs raises instead
+    of silently leaving two live docs per key (code-review r3)."""
+    from dbsyncer_spark.streaming.incremental import update_docs
+
+    pdf = gen_corpus_pdf(n_docs=20, seed=6)
+    d = str(tmp_path / "dup_idx")
+    build_index(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, **PARAMS)
+    rows = [
+        ("r", "same/key.py", "c1", "python", "first version text"),
+        ("r", "same/key.py", "c2", "python", "second version text"),
+    ]
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        update_docs(spark, d, spark.createDataFrame(rows, SCHEMA), num_id_buckets=8)
+    # nothing was ingested or tombstoned by the failed call
+    idx = SearchIndex(spark, d)
+    assert idx.n_docs == 20 and len(idx.meta["segments"]) == 1
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+
+
+def test_update_docs_append_failure_keeps_old_version(spark, tmp_path):
+    """Tombstones are written AFTER the new segment lands: if the append
+    fails, the old doc stays live and searchable — never a window where
+    the key resolves to nothing (code-review r3; Shard.java:102-120
+    keeps the old doc visible until the update commits)."""
+    from dbsyncer_spark.streaming.incremental import update_docs
+
+    pdf = gen_corpus_pdf(n_docs=20, seed=6)
+    d = str(tmp_path / "fail_idx")
+    build_index(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, **PARAMS)
+    idx = SearchIndex(spark, d)
+    victim = idx.docstats().orderBy("doc_id").limit(1).collect()[0]
+    bad = spark.createDataFrame(
+        [(victim.repo, victim.path, "c9", "python", None)], SCHEMA
+    )  # null content -> append_segment fails during tokenize/build
+    with pytest.raises(Exception):
+        update_docs(spark, d, bad, num_id_buckets=8)
+    assert not os.path.exists(os.path.join(d, "tombstones")), \
+        "old version was tombstoned before the append committed"
+    idx2 = SearchIndex(spark, d)
+    assert idx2.n_docs == 20
+    live = idx2.match_all(
+        doc_filter=(F.col("repo") == victim.repo) & (F.col("path") == victim.path), k=5
+    ).collect()
+    assert len(live) == 1 and live[0].commit == victim.commit

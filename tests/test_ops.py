@@ -217,9 +217,14 @@ def test_simhash_pairs_bucket_cap_degenerate_corpus(spark):
     assert (100, 101) in pairs
     assert not any(a < 100 and b < 100 for a, b in pairs), \
         "degenerate simhash-0 bucket leaked pairs past the cap"
-    # plan shape: the cap filter exists upstream of the self-join
+    # plan shape: the bucket-cap count aggregate + range filter gates the
+    # self-join ("20" alone would match expression ids like #20 and prove
+    # nothing) — Catalyst plans the gate as Filter (f >= 2 AND f <= 20)
+    # over the count aggregate, joined back into the blocked stream
+    import re
+
     opt = simhash_near_pairs(sim, max_bucket_size=20)._jdf.queryExecution().optimizedPlan().toString()
-    assert "20" in opt
+    assert re.search(r"Filter \(\(f#\d+L? >= 2\) AND \(f#\d+L? <= 20\)\)", opt), opt
     # uncapped (None) keeps the old exhaustive behavior
     full = {(r.doc_a, r.doc_b) for r in
             simhash_near_pairs(sim, max_hamming=3, max_bucket_size=None).collect()}

@@ -110,3 +110,40 @@ def test_automerge_redelivery_is_exactly_once(spark, tmp_path):
     # and an out-of-order stale redelivery is equally a no-op
     handler(batches[1], 1)
     assert SearchIndex(spark, idx_dir).n_docs == 80
+
+
+def test_checkpoint_recreation_reingests_instead_of_silent_drop(spark, tmp_path):
+    """Deleting the checkpoint dir to reprocess from scratch restarts
+    batch ids at 0 under a FRESH Spark query id; a path-only HWM key
+    would drop those batches as stale redeliveries (silent data loss —
+    code-review r3). The HWM key and seg_b names carry the query id, so
+    the new instance re-ingests (visible duplicates, the caller's stated
+    intent) while redelivery WITHIN one instance stays exactly-once."""
+    import json
+
+    from dbsyncer_spark.streaming.incremental import make_batch_handler
+
+    pdf = gen_corpus_pdf(n_docs=40, seed=13)
+    idx_dir = str(tmp_path / "ridx")
+    ck = tmp_path / "rckpt"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "aaaa1111-0000-0000-0000-000000000001"}))
+    batch = spark.createDataFrame(pdf.iloc[:20], SCHEMA)
+
+    h1 = make_batch_handler(idx_dir, str(ck), num_shards=4, range_size=256, num_id_buckets=8)
+    h1(batch, 0)
+    assert SearchIndex(spark, idx_dir).n_docs == 20
+    # same-instance redelivery: no-op
+    h1(batch, 0)
+    assert SearchIndex(spark, idx_dir).n_docs == 20
+
+    # "reprocess": recreate the checkpoint -> new query id, batch ids restart
+    (ck / "metadata").write_text(json.dumps({"id": "bbbb2222-0000-0000-0000-000000000002"}))
+    h2 = make_batch_handler(idx_dir, str(ck), num_shards=4, range_size=256, num_id_buckets=8)
+    h2(batch, 0)
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.n_docs == 40, "new stream instance's batch 0 was silently dropped"
+    assert len([s for s in idx.meta["segments"] if s.startswith("seg_b")]) == 2
+    # and the new instance's own redelivery is still a no-op
+    h2(batch, 0)
+    assert SearchIndex(spark, idx_dir).n_docs == 40
