@@ -17,9 +17,37 @@ import argparse
 import json
 
 
+def _read_corpus(spark, corpus: str, fmt: str):
+    """Resolve --corpus: the index build is source-agnostic (any DataFrame
+    with the input_hint columns), so the only job-level concern is which
+    reader to use. Iceberg reads go through DataSourceV2, so column
+    pruning and partition pruning are the catalog's responsibility and
+    arrive for free in the build's scan."""
+    if fmt == "parquet":
+        return spark.read.parquet(corpus)
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(corpus)
+    if fmt == "table":
+        return spark.read.table(corpus)
+    looks_path = "/" in corpus or ":" in corpus
+    return spark.read.parquet(corpus) if looks_path else spark.read.table(corpus)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", required=True, help="parquet/Iceberg path of (repo,path,commit,lang,content)")
+    ap.add_argument("--corpus", required=True,
+                    help="corpus of (repo,path,commit,lang,content): a parquet "
+                         "path, an Iceberg table path, or a catalog table name")
+    ap.add_argument("--corpus-format", default="auto",
+                    choices=["auto", "parquet", "iceberg", "table"],
+                    help="how to read --corpus. 'iceberg' needs the Iceberg "
+                         "runtime on the cluster (spark-submit --packages "
+                         "org.apache.iceberg:iceberg-spark-runtime-...); "
+                         "'table' = spark.read.table (any configured catalog, "
+                         "incl. Iceberg catalogs — scan pushdown/partition "
+                         "pruning come from the catalog's DataSourceV2). "
+                         "'auto': path-looking values read as parquet, bare "
+                         "names as catalog tables")
     ap.add_argument("--index", required=True, help="output index directory")
     ap.add_argument("--num-shards", type=int, default=512)
     ap.add_argument("--use-stopwords", action="store_true")
@@ -51,7 +79,7 @@ def main() -> None:
     from dbsyncer_spark.index.search import SearchIndex
     from dbsyncer_spark.streaming.incremental import maybe_merge
 
-    docs = spark.read.parquet(args.corpus)
+    docs = _read_corpus(spark, args.corpus, args.corpus_format)
     if args.append:
         # forward explicitly-requested params so append_segment's
         # params-conflict check can fire (silently ignoring
