@@ -673,7 +673,39 @@ def build_index(
     return seg_meta
 
 
+def meta_lock(index_dir: str):
+    """Advisory inter-process lock serializing root ``meta.json``
+    read-modify-writes. Every writer (append's root-meta update, the
+    streaming batch HWM, tiered merge, compaction) re-reads meta INSIDE
+    the lock before writing, so an out-of-band merge process running
+    next to a streaming ingester can't clobber the other's update — the
+    lost-segment / lost-HWM interleave found in the r3 review. flock is
+    same-host (maintenance and the streaming driver share the driver
+    host; on NFS/object stores it degrades to the previous documented
+    single-writer assumption). Readers stay lock-free: they see either
+    the old or the new meta via the atomic rename."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lock():
+        os.makedirs(index_dir, exist_ok=True)
+        with open(os.path.join(index_dir, "meta.lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+    return _lock()
+
+
 def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:
+    with meta_lock(index_dir):
+        _update_root_meta_locked(index_dir, segment, seg_meta)
+
+
+def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> None:
     root = os.path.join(index_dir, "meta.json")
     meta = {"segments": {}, "params": {}}
     if os.path.exists(root):
@@ -774,7 +806,10 @@ def append_segment(
         seg_dir = os.path.join(index_dir, "segments", segment)
         with open(os.path.join(seg_dir, "seg_meta.json")) as f:
             return json.load(f)
-    seg_name = segment if segment is not None else next_segment_name(meta["segments"])
+    # retired-but-not-yet-purged dirs still occupy their names on disk —
+    # reusing one would let a later purge rmtree the live segment
+    seg_name = segment if segment is not None else next_segment_name(
+        set(meta["segments"]) | set(meta.get("retired", {})))
     for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size",
               "store_positions"):
         if k not in meta["params"]:  # index built before this param existed

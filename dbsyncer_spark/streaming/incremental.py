@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 from dbsyncer_spark.index.build import append_segment, build_index
 from dbsyncer_spark.index.search import SearchIndex
 
+#: how long a merged-away segment dir stays on disk after it is
+#: unreferenced from meta — long enough for any warm reader / mid-flight
+#: query planned against the pre-merge meta to finish.
+DEFAULT_RETIRE_GRACE_S = 600.0
+
 
 def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
     """Tombstone docs matching ``keys`` (columns subset of repo/path/commit).
@@ -47,9 +52,24 @@ def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
         # otherwise grow the tombstone set unboundedly)
         doomed = doomed.join(tomb.select("doc_id"), "doc_id", "left_anti")
     tomb_dir = os.path.join(index_dir, "tombstones")
-    n = doomed.count()
-    if n:
-        doomed.write.mode("append").parquet(tomb_dir)
+    return _append_tombstones(index_dir, doomed, tomb_dir)
+
+
+def _append_tombstones(index_dir: str, doomed: DataFrame, tomb_dir: str) -> int:
+    """Materialize the doomed-docs plan ONCE (persist → count → write,
+    r3 review: count-then-write ran the docstats⋉keys join twice per CDC
+    op), and append under the meta lock so a concurrent tombstone GC's
+    listing/swap can't destroy the new file (r3 review)."""
+    from dbsyncer_spark.index.build import meta_lock
+
+    doomed = doomed.persist()
+    try:
+        n = doomed.count()
+        if n:
+            with meta_lock(index_dir):
+                doomed.write.mode("append").parquet(tomb_dir)
+    finally:
+        doomed.unpersist()
     return n
 
 
@@ -104,9 +124,7 @@ def update_docs(
     if tomb is not None:
         doomed = doomed.join(tomb.select("doc_id"), "doc_id", "left_anti")
     meta = append_segment(spark, new_docs, index_dir, **build_kwargs)
-    n_del = doomed.count()
-    if n_del:
-        doomed.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    n_del = _append_tombstones(index_dir, doomed, os.path.join(index_dir, "tombstones"))
     return {**meta, "deleted": n_del}
 
 
@@ -172,7 +190,12 @@ def _pack_segment(
     return seg_meta
 
 
-def compact_segments(spark: SparkSession, index_dir: str) -> dict:
+def compact_segments(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    retire_grace_s: float | None = None,
+) -> dict:
     """Merge all segments into one, dropping tombstones (the forceMerge /
     optimize analog). Doc ids and content are preserved; stats recomputed.
 
@@ -181,10 +204,22 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
     job, no Python-per-row, no re-analysis. For routine maintenance at
     scale use ``maybe_merge`` (tiered policy) instead: full compaction
     rewrites the entire index in one job.
+
+    Visibility follows ``maybe_merge``'s discipline (r3 review — the old
+    whole-directory swap left a window where meta referenced segment
+    dirs that no longer existed, failing every reader): the compacted
+    segment is written under ``segments/`` with a fresh name (invisible
+    until referenced), the root-meta swap under the meta lock retires
+    the inputs, and the input dirs stay on disk for ``retire_grace_s``
+    seconds for warm readers pinned to the pre-compaction meta.
     """
+    if retire_grace_s is None:
+        retire_grace_s = DEFAULT_RETIRE_GRACE_S
+    _purge_retired(index_dir, retire_grace_s)
     idx = SearchIndex(spark, index_dir)
     params = idx.params
     tomb = idx._tombstones()
+    inputs = dict(idx.meta["segments"])
 
     decoded = decode_postings(idx._postings(), with_positions=bool(params.get("store_positions")))
     stats = idx.docstats()
@@ -193,48 +228,54 @@ def compact_segments(spark: SparkSession, index_dir: str) -> dict:
         decoded = decoded.join(tomb_ids, "doc_id", "left_anti")
         stats = stats.join(tomb_ids, "doc_id", "left_anti")
 
-    new_dir = os.path.join(index_dir, "segments_compacting")
-    shutil.rmtree(new_dir, ignore_errors=True)
-    seg_dir = os.path.join(new_dir, "seg_000000")
+    from dbsyncer_spark.index.build import next_segment_name
+
+    seg_root = os.path.join(index_dir, "segments")
+    # include retired names: their dirs are still on disk until purged
+    new_name = next_segment_name(set(inputs) | set(idx.meta.get("retired", {})))
+    seg_dir = os.path.join(seg_root, new_name)
     seg_meta = _pack_segment(
-        spark, decoded, stats, seg_dir, params, segment="seg_000000", doc_id_offset=0,
+        spark, decoded, stats, seg_dir, params, segment=new_name,
+        doc_id_offset=min(s["doc_id_offset"] for s in inputs.values()),
         # HWM survives even when the highest-id docs were tombstoned:
         # append_segment must never reuse a dropped doc id
-        max_doc_id_floor=max(s["max_doc_id"] for s in idx.meta["segments"].values()),
+        max_doc_id_floor=max(s["max_doc_id"] for s in inputs.values()),
     )
-    # atomic-ish swap: move old segments away, promote compacted set
-    old = os.path.join(index_dir, "segments_old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(os.path.join(index_dir, "segments"), old)
-    os.replace(new_dir, os.path.join(index_dir, "segments"))
+    import time as _time
+
+    now = _time.time()
+
+    def mut(fresh):
+        # segments appended since our snapshot (not compacted here) and
+        # extra root keys (e.g. streaming_hwm) survive the rewrite
+        retired = dict(fresh.get("retired", {}))
+        for n in inputs:
+            retired[n] = now
+        return {
+            **fresh,
+            "params": params,
+            "segments": {
+                **{n: s for n, s in fresh["segments"].items() if n not in inputs},
+                new_name: {
+                    "n_docs": seg_meta["n_docs"],
+                    "sum_dl": seg_meta["sum_dl"],
+                    "doc_id_offset": seg_meta["doc_id_offset"],
+                    "max_doc_id": seg_meta["max_doc_id"],
+                },
+            },
+            "retired": retired,
+        }
+
+    _write_meta_locked(index_dir, mut)
     _preserve_quarantines(
-        [os.path.join(old, n) for n in idx.meta["segments"]],
-        list(idx.meta["segments"]),
-        os.path.join(index_dir, "segments", "seg_000000"),
+        [os.path.join(seg_root, n) for n in inputs], list(inputs), seg_dir,
     )
-    # {**idx.meta, ...}: extra root keys (e.g. streaming_hwm) survive
-    meta = {
-        **idx.meta,
-        "params": params,
-        "segments": {
-            "seg_000000": {
-                "n_docs": seg_meta["n_docs"],
-                "sum_dl": seg_meta["sum_dl"],
-                "doc_id_offset": 0,
-                "max_doc_id": seg_meta["max_doc_id"],
-            }
-        },
-    }
-    tmp = os.path.join(index_dir, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-    os.replace(tmp, os.path.join(index_dir, "meta.json"))
     if tomb is not None:
         # GC only tombstones visible when the filter above was planned;
         # a delete landing DURING compaction targets a doc that was
         # re-packed live, so its tombstone must survive to keep masking
         _gc_covered_tombstones(spark, index_dir, [(0, 1 << 62)], tomb)
-    shutil.rmtree(old, ignore_errors=True)
+    _purge_retired(index_dir, retire_grace_s)
     return seg_meta
 
 
@@ -355,6 +396,7 @@ def maybe_merge(
     max_merge: int = 10,
     reclaim_ratio: float = 0.2,
     max_merged_docs: int | None = None,
+    retire_grace_s: float = DEFAULT_RETIRE_GRACE_S,
 ) -> dict | None:
     """Run ONE tiered merge if the policy finds a candidate set; returns
     the new segment meta (plus ``"merged"``: the replaced segment names)
@@ -363,11 +405,16 @@ def maybe_merge(
     Unlike ``compact_segments`` this rewrites only the selected segments
     — the steady-state maintenance path for a continuously-appending
     index. Readers are never disturbed: the merged segment is written
-    under ``segments/`` (invisible until referenced), then the root
-    ``meta.json`` swap atomically retires the inputs. Doc ids are global
-    and range-aligned per segment, so merging preserves them verbatim and
-    untouched segments' postings are never read.
+    under ``segments/`` (invisible until referenced), the root
+    ``meta.json`` swap atomically retires the inputs (re-reading fresh
+    meta under the meta lock, so concurrent appends/HWM updates
+    survive), and the input dirs stay on disk for ``retire_grace_s``
+    seconds so warm readers pinned to the pre-merge meta finish
+    unharmed (purged on a later maintenance call). Doc ids are global
+    and range-aligned per segment, so merging preserves them verbatim
+    and untouched segments' postings are never read.
     """
+    _purge_retired(index_dir, retire_grace_s)
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     params = meta["params"]
@@ -423,28 +470,39 @@ def maybe_merge(
         # largest remaining segment so append_segment never reuses ids
         # (safe: the covered tombstones are GC'd below, and deletes can
         # only target ids present in docstats, never the dropped range).
-        survivors = {n: dict(s) for n, s in segments.items() if n not in merged}
-        if not survivors:
+        if all(n in merged for n in segments):
             return None  # fully-deleted index: leave tombstone masking in place
         hwm = max(s["max_doc_id"] for s in segments.values())
-        top = max(survivors, key=lambda n: survivors[n]["max_doc_id"])
-        survivors[top]["max_doc_id"] = max(survivors[top]["max_doc_id"], hwm)
-        new_meta = {**meta, "params": params, "segments": survivors}
-        tmp = os.path.join(index_dir, "meta.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(new_meta, f, indent=2)
-        os.replace(tmp, os.path.join(index_dir, "meta.json"))
-        _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, top))
-        for d in sel_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+        import time as _time
+
+        now = _time.time()
+        picked: dict = {}
+
+        def mut(fresh):
+            survivors = {n: dict(s) for n, s in fresh["segments"].items() if n not in merged}
+            if not survivors:
+                return None
+            top = max(survivors, key=lambda n: survivors[n]["max_doc_id"])
+            survivors[top]["max_doc_id"] = max(survivors[top]["max_doc_id"], hwm)
+            picked["top"] = top
+            retired = dict(fresh.get("retired", {}))
+            for n in merged:
+                retired[n] = now
+            return {**fresh, "params": params, "segments": survivors, "retired": retired}
+
+        if _write_meta_locked(index_dir, mut) is None:
+            return None
+        _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, picked["top"]))
         _gc_covered_tombstones(spark, index_dir, [
             (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
         ], tomb)
+        _purge_retired(index_dir, retire_grace_s)
         return {"segment": None, "n_docs": 0, "merged": merged}
 
     from dbsyncer_spark.index.build import next_segment_name
 
-    new_name = next_segment_name(segments)
+    # include retired names: their dirs are still on disk until purged
+    new_name = next_segment_name(set(segments) | set(meta.get("retired", {})))
     seg_meta = _pack_segment(
         spark, decoded, stats, os.path.join(seg_root, new_name), params,
         segment=new_name,
@@ -456,26 +514,33 @@ def maybe_merge(
         max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
     )
 
-    new_meta = {
-        **meta,
-        "params": params,
-        "segments": {
-            **{n: s for n, s in segments.items() if n not in merged},
-            new_name: {
-                "n_docs": seg_meta["n_docs"],
-                "sum_dl": seg_meta["sum_dl"],
-                "doc_id_offset": seg_meta["doc_id_offset"],
-                "max_doc_id": seg_meta["max_doc_id"],
+    import time as _time
+
+    now = _time.time()
+
+    def mut(fresh):
+        # fold the swap into FRESH meta: segments appended (and HWMs
+        # recorded) since our snapshot survive the rewrite
+        retired = dict(fresh.get("retired", {}))
+        for n in merged:
+            retired[n] = now
+        return {
+            **fresh,
+            "params": params,
+            "segments": {
+                **{n: s for n, s in fresh["segments"].items() if n not in merged},
+                new_name: {
+                    "n_docs": seg_meta["n_docs"],
+                    "sum_dl": seg_meta["sum_dl"],
+                    "doc_id_offset": seg_meta["doc_id_offset"],
+                    "max_doc_id": seg_meta["max_doc_id"],
+                },
             },
-        },
-    }
-    tmp = os.path.join(index_dir, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(new_meta, f, indent=2)
-    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+            "retired": retired,
+        }
+
+    _write_meta_locked(index_dir, mut)
     _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, new_name))
-    for d in sel_dirs:
-        shutil.rmtree(d, ignore_errors=True)
 
     # garbage-collect tombstones covered by the merge (their docs are now
     # physically gone; doc ids are globally unique so this is pure hygiene)
@@ -483,6 +548,7 @@ def maybe_merge(
         _gc_covered_tombstones(spark, index_dir, [
             (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
         ], tomb)
+    _purge_retired(index_dir, retire_grace_s)
     return {**seg_meta, "merged": merged}
 
 
@@ -495,7 +561,16 @@ def _gc_covered_tombstones(
     the merge targets a doc that was re-packed live, so its (fresh)
     tombstone row must survive to keep masking it (r2 review: GC'ing by
     interval over a fresh listing silently lost such deletes).
-    Write-then-swap — never collects the tombstone set to the driver."""
+    Write-then-swap — never collects the tombstone set to the driver.
+
+    The fresh listing, rewrite, and swap all run under the meta lock,
+    and the tombstone APPEND in ``delete_docs``/``update_docs`` takes
+    the same lock — so a delete can't slip a new tombstone file into
+    ``tomb_dir`` between our listing and the directory swap, where the
+    rewrite (computed from the earlier listing) would silently destroy
+    it and resurrect the deleted doc (r3 review)."""
+    from dbsyncer_spark.index.build import meta_lock
+
     cond = None
     for lo, hi in intervals:
         c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
@@ -508,16 +583,18 @@ def _gc_covered_tombstones(
     shutil.rmtree(tomb_tmp, ignore_errors=True)
     shutil.rmtree(tomb_old, ignore_errors=True)
     removed = pinned.select("doc_id").filter(cond).distinct()
-    keep = spark.read.parquet(tomb_dir).join(removed, "doc_id", "left_anti")
-    if keep.isEmpty():
-        shutil.rmtree(tomb_dir, ignore_errors=True)
-        return
-    keep.write.mode("overwrite").parquet(tomb_tmp)
-    # two renames, not rmtree-then-rename: a concurrent reader's window of
-    # seeing NO tombstones (deleted docs in unmerged segments reappearing)
-    # shrinks from a recursive delete to two atomic renames
-    os.replace(tomb_dir, tomb_old)
-    os.replace(tomb_tmp, tomb_dir)
+    with meta_lock(index_dir):
+        keep = spark.read.parquet(tomb_dir).join(removed, "doc_id", "left_anti")
+        if keep.isEmpty():
+            shutil.rmtree(tomb_dir, ignore_errors=True)
+            return
+        keep.write.mode("overwrite").parquet(tomb_tmp)
+        # two renames, not rmtree-then-rename: a concurrent reader's
+        # window of seeing NO tombstones (deleted docs in unmerged
+        # segments reappearing) shrinks from a recursive delete to two
+        # atomic renames
+        os.replace(tomb_dir, tomb_old)
+        os.replace(tomb_tmp, tomb_dir)
     shutil.rmtree(tomb_old, ignore_errors=True)
 
 
@@ -577,6 +654,69 @@ def _read_root_meta(index_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _write_meta_locked(index_dir: str, mutate) -> dict | None:
+    """Re-read root meta INSIDE the meta lock, apply ``mutate`` (fresh
+    meta dict -> new meta dict, or None to abort without writing), then
+    atomic-rename write. Re-reading under the lock is what makes
+    concurrent writers compose: a merge that started from a stale
+    snapshot folds its segment swap into whatever appends / streaming
+    HWM updates landed meanwhile, instead of clobbering them with its
+    stale copy (r3 review — the lost-segment interleave)."""
+    from dbsyncer_spark.index.build import meta_lock
+
+    root = os.path.join(index_dir, "meta.json")
+    with meta_lock(index_dir):
+        with open(root) as f:
+            fresh = json.load(f)
+        meta = mutate(fresh)
+        if meta is None:
+            return None
+        tmp = root + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, root)
+        return meta
+
+
+def _purge_retired(index_dir: str, grace_s: float) -> list:
+    """Delete segment dirs retired at least ``grace_s`` seconds ago.
+
+    Merges/compactions unreference their input dirs in meta but leave
+    them on disk (``meta["retired"]``: name -> retire walltime), so a
+    warm reader pinned to the pre-merge meta — or a query already
+    executing over those files — finishes unharmed: the Lucene
+    keep-files-until-readers-close discipline, time-based instead of
+    refcounted (r3 review — immediate rmtree broke live readers).
+    Every maintenance entry point purges expired entries. Dirs are
+    rmtree'd FIRST and unregistered after, so a crash between the two
+    re-purges harmlessly on the next call."""
+    import time
+
+    meta = _read_root_meta(index_dir)
+    if not meta:
+        return []
+    now = time.time()
+    doomed = [
+        n for n, ts in meta.get("retired", {}).items()
+        if now - ts >= grace_s and n not in meta["segments"]  # never a live name
+    ]
+    if not doomed:
+        return []
+    seg_root = os.path.join(index_dir, "segments")
+    for n in doomed:
+        shutil.rmtree(os.path.join(seg_root, n), ignore_errors=True)
+    gone = set(doomed)
+
+    def mut(fresh):
+        return {
+            **fresh,
+            "retired": {k: v for k, v in fresh.get("retired", {}).items() if k not in gone},
+        }
+
+    _write_meta_locked(index_dir, mut)
+    return doomed
+
+
 def _stream_instance_id(checkpoint_dir: str) -> str | None:
     """Spark's per-checkpoint streaming query id, from the ``metadata``
     file Structured Streaming writes at query start. Deleting and
@@ -594,19 +734,16 @@ def _stream_instance_id(checkpoint_dir: str) -> str | None:
 
 def _record_stream_hwm(index_dir: str, ck_key: str, batch_id: int) -> None:
     """Record in root meta that ``batch_id`` of the stream identified by
-    ``ck_key`` is fully ingested. Atomic write-then-rename, same as every
-    other meta.json update; merges preserve the key (their rewrites copy
-    the loaded meta instead of rebuilding {params, segments} from
-    scratch)."""
-    root = os.path.join(index_dir, "meta.json")
-    with open(root) as f:
-        meta = json.load(f)
-    hwm = meta.setdefault("streaming_hwm", {})
-    hwm[ck_key] = max(int(batch_id), int(hwm.get(ck_key, -1)))
-    tmp = root + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-    os.replace(tmp, root)
+    ``ck_key`` is fully ingested. Locked read-modify-write + atomic
+    rename, same as every other meta.json writer; merges preserve the
+    key (their rewrites re-read fresh meta under the same lock)."""
+
+    def mut(meta):
+        hwm = meta.setdefault("streaming_hwm", {})
+        hwm[ck_key] = max(int(batch_id), int(hwm.get(ck_key, -1)))
+        return meta
+
+    _write_meta_locked(index_dir, mut)
 
 
 def make_batch_handler(

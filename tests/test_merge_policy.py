@@ -111,7 +111,7 @@ def test_tiered_merge_small_segments_only(spark, merged_env):
     d, by_key = merged_env
     docs_before = _docs_of(spark, SearchIndex(spark, d), by_key)
 
-    meta = maybe_merge(spark, d, merge_at=3, tier_factor=8)
+    meta = maybe_merge(spark, d, merge_at=3, tier_factor=8, retire_grace_s=0)
     assert meta is not None
     assert sorted(meta["merged"]) == ["seg_000001", "seg_000002", "seg_000003"]
     assert meta["n_docs"] == 100
@@ -134,7 +134,7 @@ def test_tiered_merge_small_segments_only(spark, merged_env):
             assert r.score == pytest.approx(s, abs=1e-9)
 
     # well-shaped now: policy finds nothing further to do
-    assert maybe_merge(spark, d, merge_at=3, tier_factor=8) is None
+    assert maybe_merge(spark, d, merge_at=3, tier_factor=8, retire_grace_s=0) is None
 
 
 def test_reclaim_merge_drops_deletes_physically(spark, merged_env):
@@ -148,7 +148,7 @@ def test_reclaim_merge_drops_deletes_physically(spark, merged_env):
     n = delete_docs(spark, d, victims)
     assert n == 25
 
-    meta = maybe_merge(spark, d, merge_at=3, reclaim_ratio=0.2)
+    meta = maybe_merge(spark, d, merge_at=3, reclaim_ratio=0.2, retire_grace_s=0)
     assert meta is not None and meta["merged"] == [merged_name]
     assert meta["n_docs"] == 75
     # all tombstones were covered by the rewritten segment -> dir removed
@@ -214,7 +214,7 @@ def test_merge_preserves_pending_quarantine(spark, tmp_path_factory):
                        d, num_id_buckets=8)
     assert SearchIndex(spark, d).n_docs == 129  # one doc dead-lettered
 
-    meta = maybe_merge(spark, d, merge_at=3, tier_factor=8)
+    meta = maybe_merge(spark, d, merge_at=3, tier_factor=8, retire_grace_s=0)
     assert meta is not None and len(meta["merged"]) == 3
     new_seg = meta["segment"]
     q_root = os.path.join(d, "segments", new_seg, "quarantine")
@@ -247,7 +247,7 @@ def test_fully_deleted_run_drops_segment_without_writing(spark, merged_env):
     n_dropped = idx.meta["segments"][small]["n_docs"]
     assert delete_docs(spark, d, victims) == n_dropped
 
-    meta = maybe_merge(spark, d, reclaim_ratio=0.2)
+    meta = maybe_merge(spark, d, reclaim_ratio=0.2, retire_grace_s=0)
     assert meta is not None and meta["merged"] == [small] and meta["segment"] is None
 
     idx2 = SearchIndex(spark, d)
@@ -258,3 +258,45 @@ def test_fully_deleted_run_drops_segment_without_writing(spark, merged_env):
     assert idx2.n_docs == idx.n_docs - n_dropped
     # index still queryable with the survivors only
     assert idx2.search("import", k=5).count() == 5
+
+
+def test_retire_grace_keeps_warm_readers_alive(spark, tmp_path):
+    """A merge must not pull segment dirs out from under a reader opened
+    against the pre-merge meta (r3 review: immediate rmtree broke live
+    readers). With the default grace the input dirs stay on disk (only
+    unreferenced from meta), the warm reader's queries keep working, and
+    a later maintenance call past the grace window purges them."""
+    from dbsyncer_spark.streaming.incremental import _purge_retired
+
+    pdf = gen_corpus_pdf(n_docs=160, seed=21)
+    d = str(tmp_path / "grace_idx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:100], SCHEMA), d, **PARAMS)
+    for lo, hi in [(100, 120), (120, 140), (140, 160)]:
+        append_segment(spark, spark.createDataFrame(pdf.iloc[lo:hi], SCHEMA),
+                       d, num_id_buckets=8)
+    warm = SearchIndex(spark, d)  # pinned to the pre-merge meta
+    before = [(r.doc_id, r.score) for r in warm.search("import", k=10).collect()]
+
+    meta = maybe_merge(spark, d, merge_at=3, tier_factor=8)  # default grace
+    assert meta is not None and len(meta["merged"]) == 3
+    # inputs unreferenced from meta but still on disk for the warm reader
+    root = json.load(open(os.path.join(d, "meta.json")))
+    assert sorted(root["retired"]) == sorted(meta["merged"])
+    for n in meta["merged"]:
+        assert os.path.isdir(os.path.join(d, "segments", n))
+        assert n not in root["segments"]
+    # the warm reader (old meta, old dirs) still answers identically
+    again = [(r.doc_id, r.score) for r in warm.search("import", k=10).collect()]
+    assert again == before
+    # a fresh append must not reuse a retired name (purge would nuke it)
+    append_segment(spark, spark.createDataFrame(pdf.iloc[:10], SCHEMA), d,
+                   num_id_buckets=8)
+    root2 = json.load(open(os.path.join(d, "meta.json")))
+    assert not (set(root2["segments"]) & set(root2["retired"]))
+
+    # past the grace window, maintenance purges dirs and registry entries
+    purged = _purge_retired(d, 0)
+    assert sorted(purged) == sorted(meta["merged"])
+    for n in meta["merged"]:
+        assert not os.path.exists(os.path.join(d, "segments", n))
+    assert json.load(open(os.path.join(d, "meta.json")))["retired"] == {}
