@@ -626,21 +626,7 @@ def build_index(
     # ---- stage: dictionary (from postings metadata columns only —
     # column-pruned scan, the blob column is never read) ----------------
     if not (resume and stage_committed(seg_dir, "dictionary", phash)):
-        (
-            spark.read.parquet(postings_path)
-            .groupBy("shard", "tid")
-            .agg(
-                F.sum("n_docs").cast("long").alias("df"),
-                F.sum("sum_tf").cast("long").alias("cf"),
-                F.max(F.array_max("block_max_tf")).alias("max_tf"),
-                F.min(F.array_min("block_min_dl")).alias("min_dl"),
-            )
-            .repartition(max(4, pack_parallelism // 4), "shard")
-            .sortWithinPartitions("tid")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(dict_path)
-        )
+        write_dictionary(spark, postings_path, dict_path, pack_parallelism)
         commit_stage(seg_dir, "dictionary", phash)
 
     # ---- stage: terms (optional audit table: tid -> term) --------------
@@ -671,6 +657,34 @@ def build_index(
 
     _update_root_meta(index_dir, segment, seg_meta)
     return seg_meta
+
+
+def write_dictionary(
+    spark: SparkSession, postings_path: str, dict_path: str, parallelism: int
+) -> None:
+    """The segment dictionary stage: per-(shard, tid) df/cf and block
+    bounds, aggregated from the postings' METADATA columns only (the
+    blob column is never read), laid out shard-partitioned and
+    tid-sorted. THE single definition of the dictionary schema/layout —
+    fresh builds and merge/compaction re-packs (``_pack_segment``) both
+    call it, so merged segments can never silently diverge from
+    fresh-built ones (r3 review: the two pipelines were verbatim
+    copies)."""
+    (
+        spark.read.parquet(postings_path)
+        .groupBy("shard", "tid")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
+            F.max(F.array_max("block_max_tf")).alias("max_tf"),
+            F.min(F.array_min("block_min_dl")).alias("min_dl"),
+        )
+        .repartition(max(4, parallelism // 4), "shard")
+        .sortWithinPartitions("tid")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(dict_path)
+    )
 
 
 def meta_lock(index_dir: str):

@@ -98,7 +98,8 @@ def _tfnorm_bound(max_tf, min_dl, k1: float, b: float, avgdl: float):
 
 def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
                  range_size: int, prune: bool, use_allowed: bool,
-                 after: tuple[float, int] | None = None):
+                 after: tuple[float, int] | None = None,
+                 mask_is_dead: bool = False):
     """Build the per-range applyInPandas scorer (closure carries the tiny
     query-side state: idf per term, BM25 params, k).
 
@@ -120,10 +121,19 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
         _limit_arrow_threads()
         allowed_mask = None
         if use_allowed:
-            allowed_mask = np.zeros(range_size, dtype=bool)
-            if allow_pdf is not None and len(allow_pdf):
-                base0 = int(key[0]) * range_size
-                allowed_mask[(allow_pdf["doc_id"].to_numpy() - base0)] = True
+            base0 = int(key[0]) * range_size
+            if mask_is_dead:
+                # cogrouped side is the (small) DEAD set — invert. A range
+                # with no tombstones needs no mask at all (r3 review: the
+                # allowed-set shape shipped the ENTIRE live docstats into
+                # every range task once a single tombstone existed).
+                if allow_pdf is not None and len(allow_pdf):
+                    allowed_mask = np.ones(range_size, dtype=bool)
+                    allowed_mask[(allow_pdf["doc_id"].to_numpy() - base0)] = False
+            else:
+                allowed_mask = np.zeros(range_size, dtype=bool)
+                if allow_pdf is not None and len(allow_pdf):
+                    allowed_mask[(allow_pdf["doc_id"].to_numpy() - base0)] = True
         if postings.empty:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -410,12 +420,27 @@ class SearchIndex:
         use_allowed = (
             doc_filter is not None or tomb is not None or allowed_docs is not None
         )
+        # tombstones-only masking cogroups the (small) dead set and
+        # inverts, instead of shipping the entire live docstats into the
+        # Python workers on every query (r3 review; same shape as
+        # search_many). The allowed-set path remains for real filters.
+        dead_only = (
+            tomb is not None and doc_filter is None and allowed_docs is None
+        )
         scorer = _make_scorer(
             idfs, self.k1, self.b, self.avgdl, k, self.range_size,
             prune=(mode == "wand" and after is None), use_allowed=use_allowed,
-            after=after,
+            after=after, mask_is_dead=dead_only,
         )
-        if use_allowed:
+        if dead_only:
+            mask_side = (
+                tomb.select("doc_id").distinct()
+                .withColumn(
+                    "range_id",
+                    (F.col("doc_id") / F.lit(self.range_size)).cast("long"),
+                )
+            )
+        elif use_allowed:
             allowed = self.docstats()
             if doc_filter is not None:
                 allowed = allowed.filter(doc_filter)
@@ -425,10 +450,11 @@ class SearchIndex:
                 )
             if tomb is not None:
                 allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
-            allowed = allowed.select("range_id", "doc_id")
+            mask_side = allowed.select("range_id", "doc_id")
+        if use_allowed:
             scored = (
                 postings.groupBy("range_id")
-                .cogroup(allowed.groupBy("range_id"))
+                .cogroup(mask_side.groupBy("range_id"))
                 .applyInPandas(scorer, _SCORE_SCHEMA)
             )
         else:
@@ -499,7 +525,11 @@ class SearchIndex:
         (Lucene MatchAllDocsQuery) ordered by the default doc_id-desc
         sort — the reference UI's default query
         (``DiskStorageService.java:176-179``). r2 returned empty here,
-        which had no reference analog."""
+        which had no reference analog. Display-fetching such constant-
+        score pages: pass the order explicitly —
+        ``idx.fetch(rows, sort_cols=[("score", False), ("doc_id",
+        False)])`` — the default fetch sort tie-breaks doc_id ASC and
+        would flip the page oldest-first."""
         from dbsyncer_spark.query.parser import check_fields, parse_query
 
         pq = parse_query(query)
@@ -630,6 +660,9 @@ class SearchIndex:
         from dbsyncer_spark.index.codec import POS_CAP  # build enforces the cap
         tomb = None if ids_only else self._tombstones()
         use_allowed = doc_filter is not None or tomb is not None
+        # tombstones-only: cogroup the small dead set and invert (r3
+        # review — same rationale as search())
+        dead_only = tomb is not None and doc_filter is None
 
         def score_impl(key, pdf, allow_pdf):
             _limit_arrow_threads()
@@ -694,13 +727,28 @@ class SearchIndex:
                     cand = d if cand is None else np.intersect1d(cand, np.sort(d))
                     if cand.size == 0:
                         return empty
+                # per tid, ONE (doc, pos) sort + candidate boundary scan —
+                # the old inner loop re-masked the range's whole token
+                # stream per candidate per instance, O(candidates ×
+                # range_tokens) (r3 review); this is O(tokens log tokens
+                # + candidates log tokens) total
+                tok_slices: dict[int, tuple] = {}
+                for tid_v in tids:
+                    _, _, tdocs, tpos = per_tid[tid_v]
+                    order = np.lexsort((tpos, tdocs))
+                    td_s, tp_s = tdocs[order], tpos[order]
+                    tok_slices[tid_v] = (
+                        tp_s,
+                        np.searchsorted(td_s, cand, side="left"),
+                        np.searchsorted(td_s, cand, side="right"),
+                    )
                 hit_l, freq_l = [], []
-                for doc in cand:
+                for j, doc in enumerate(cand):
                     anchors = None
                     total = None
                     for tid_v, i in instances:
-                        _, _, tdocs, tpos = per_tid[tid_v]
-                        adj = np.sort(tpos[tdocs == doc]) - i
+                        tp_s, clo, chi = tok_slices[tid_v]
+                        adj = tp_s[clo[j]:chi[j]] - i  # pos-sorted already
                         if i == 0 and anchors is None:
                             anchors = adj
                             total = np.zeros(adj.size)
@@ -734,13 +782,20 @@ class SearchIndex:
                 # the caller semi-joins it (and applies liveness there)
                 return pd.DataFrame({"doc_id": (base + hit_docs).astype("int64")})
             if use_allowed:
-                amask = np.zeros(range_size, dtype=bool)
-                if allow_pdf is not None and len(allow_pdf):
-                    amask[(allow_pdf["doc_id"].to_numpy() - base)] = True
-                keep = amask[hit_docs]
-                hit_docs, freqs = hit_docs[keep], freqs[keep]
-                if hit_docs.size == 0:
-                    return empty
+                amask = None
+                if dead_only:
+                    if allow_pdf is not None and len(allow_pdf):
+                        amask = np.ones(range_size, dtype=bool)
+                        amask[(allow_pdf["doc_id"].to_numpy() - base)] = False
+                else:
+                    amask = np.zeros(range_size, dtype=bool)
+                    if allow_pdf is not None and len(allow_pdf):
+                        amask[(allow_pdf["doc_id"].to_numpy() - base)] = True
+                if amask is not None:
+                    keep = amask[hit_docs]
+                    hit_docs, freqs = hit_docs[keep], freqs[keep]
+                    if hit_docs.size == 0:
+                        return empty
             # dl lookup from term_0's doc list
             d0, dl0 = per_tid[instances[0][0]][0], per_tid[instances[0][0]][1]
             order0 = np.argsort(d0)
@@ -756,16 +811,25 @@ class SearchIndex:
         postings = self._postings().filter(
             F.col("shard").isin(shards) & F.col("tid").isin(tids)
         )
-        if use_allowed:
+        if dead_only:
+            mask_side = (
+                tomb.select("doc_id").distinct()
+                .withColumn(
+                    "range_id",
+                    (F.col("doc_id") / F.lit(range_size)).cast("long"),
+                )
+            )
+        elif use_allowed:
             allowed = self.docstats()
             if doc_filter is not None:
                 allowed = allowed.filter(doc_filter)
             if tomb is not None:
                 allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
-            allowed = allowed.select("range_id", "doc_id")
+            mask_side = allowed.select("range_id", "doc_id")
+        if use_allowed:
             scored = (
                 postings.groupBy("range_id")
-                .cogroup(allowed.groupBy("range_id"))
+                .cogroup(mask_side.groupBy("range_id"))
                 .applyInPandas(lambda key, l, r: score_impl(key, l, r), out_schema)
             )
         else:
@@ -910,10 +974,13 @@ class SearchIndex:
             if dead_pdf is not None and len(dead_pdf):
                 dead_mask = np.zeros(range_size, dtype=bool)
                 dead_mask[(dead_pdf["doc_id"].to_numpy() - base)] = True
-            acc: dict[str, tuple[np.ndarray, np.ndarray]] = {
-                qid: (np.zeros(range_size), np.zeros(range_size, dtype=bool))
-                for qid in qterms
-            }
+            # per-query (scores, seen) arrays allocate LAZILY on first
+            # contribution: eager allocation cost
+            # n_queries × range_size × 9 bytes per range task even for
+            # queries with no terms in the range (r3 review). theta can
+            # only be set after a query accumulated, so the pruning
+            # branch below never reads a missing entry.
+            acc: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             # per-term block upper bounds; global processing order
             # (-max UB, tid) is a total order — heaviest terms first
             # raises thetas early, and the fixed order pins float
@@ -988,7 +1055,15 @@ class SearchIndex:
                     if live is not None:
                         ql = live[qsel]
                         qidx, qcontrib = qidx[ql], qcontrib[ql]
-                    S, seen = acc[qid]
+                    pair = acc.get(qid)
+                    if pair is None:
+                        if qidx.size == 0:
+                            continue  # nothing to contribute — stay lazy
+                        pair = acc[qid] = (
+                            np.zeros(range_size),
+                            np.zeros(range_size, dtype=bool),
+                        )
+                    S, seen = pair
                     S[qidx] += qcontrib
                     seen[qidx] = True
                     if prune:
@@ -1038,14 +1113,28 @@ class SearchIndex:
             .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
         )
 
-    def fetch(self, topk: DataFrame) -> DataFrame:
+    def fetch(self, topk: DataFrame,
+              sort_cols: list[tuple[str, bool]] | None = None) -> DataFrame:
         """Join top-k back to docstats for display fields + sha256
-        (reference doc-fetch, ``Shard.java:281-303``)."""
+        (reference doc-fetch, ``Shard.java:281-303``).
+
+        ``sort_cols``: [(col, ascending)] display order; default is the
+        relevance order (score desc, doc_id asc). Constant-score results
+        (``match_all`` / filter-only ``search_parsed``, every score 1.0)
+        are ordered newest-first (doc_id desc) — under the DEFAULT sort
+        their tie-break would silently flip the page to oldest-first (r3
+        review), so pass their order explicitly:
+        ``idx.fetch(rows, sort_cols=[("score", False), ("doc_id", False)])``."""
+        if sort_cols is None:
+            sort_cols = [("score", False), ("doc_id", True)]
+        order = [
+            F.col(c).asc() if asc else F.col(c).desc() for c, asc in sort_cols
+        ]
         return (
             self.docstats()
             .join(F.broadcast(topk), "doc_id")
             .select("doc_id", "score", "repo", "path", "commit", "lang", "dl", "sha256")
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .orderBy(*order)
         )
 
     def _matching_doc_ids(self, dfs: dict) -> DataFrame:

@@ -155,20 +155,13 @@ def _pack_segment(
     )
     packed.write.mode("overwrite").partitionBy("shard").parquet(os.path.join(seg_dir, "postings"))
     stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "docstats"))
-    (
-        spark.read.parquet(os.path.join(seg_dir, "postings"))
-        .groupBy("shard", "tid")
-        .agg(
-            F.sum("n_docs").cast("long").alias("df"),
-            F.sum("sum_tf").cast("long").alias("cf"),
-            F.max(F.array_max("block_max_tf")).alias("max_tf"),
-            F.min(F.array_min("block_min_dl")).alias("min_dl"),
-        )
-        .repartition(max(4, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4), "shard")
-        .sortWithinPartitions("tid")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(os.path.join(seg_dir, "dictionary"))
+    # one shared dictionary-stage definition with fresh builds — merged
+    # segments stay byte-compatible by construction (r3 review)
+    from dbsyncer_spark.index.build import write_dictionary
+
+    write_dictionary(
+        spark, os.path.join(seg_dir, "postings"), os.path.join(seg_dir, "dictionary"),
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
     agg = spark.read.parquet(os.path.join(seg_dir, "docstats")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"), F.max("doc_id").alias("mx")

@@ -127,3 +127,24 @@ def test_filter_only_parsed_query_routes_to_match_all(midx, stats_pdf):
     got3 = midx.search_parsed("", k=5).collect()
     want3 = sorted(stats_pdf["doc_id"].tolist(), reverse=True)[:5]
     assert [r.doc_id for r in got3] == want3
+
+
+def test_fetch_preserves_constant_score_order_with_sort_cols(midx, stats_pdf):
+    """Constant-score pages (filter-only parsed / match_all: every score
+    1.0) are newest-first; the default fetch sort would tie-break doc_id
+    ASC and silently flip the page oldest-first (r3 review). The
+    explicit sort_cols pass-through preserves the page order."""
+    rows = midx.search_parsed("lang:python", k=8)
+    want = [r.doc_id for r in rows.collect()]
+    sub = stats_pdf[stats_pdf["lang"] == "python"]
+    assert want == sorted(sub["doc_id"].tolist(), reverse=True)[:8]
+
+    fetched = midx.fetch(rows, sort_cols=[("score", False), ("doc_id", False)])
+    assert [r.doc_id for r in fetched.collect()] == want
+    # display fields ride along
+    assert set(fetched.columns) >= {"doc_id", "score", "repo", "path", "sha256"}
+    # default fetch keeps the relevance contract for scored queries
+    scored = midx.search("merge offset", k=5)
+    assert [r.doc_id for r in midx.fetch(scored).collect()] == [
+        r.doc_id for r in scored.collect()
+    ]

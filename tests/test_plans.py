@@ -153,3 +153,32 @@ def test_ivf_plan_is_map_only(spark):
     p = _plan(ivf_ann_topk(emb, qv, k=5, nprobe=2, centroids=cents))
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p, "IVF probe path must stay map-only"
+
+
+def test_tombstone_only_search_cogroups_dead_set_not_docstats(spark, corpus, tmp_path_factory):
+    """With no doc_filter/allowed_docs, a single tombstone must flip the
+    scorer to the INVERTED dead-set cogroup — not ship the entire live
+    docstats into the Python workers per query (r3 review). Gate: the
+    cogrouped plan reads the tombstones files, never docstats."""
+    from dbsyncer_spark.streaming.incremental import delete_docs
+
+    d = str(tmp_path_factory.mktemp("deadidx"))
+    build_index(spark, corpus, d, num_shards=8, range_size=256, num_id_buckets=32)
+    idx = SearchIndex(spark, d)
+    baseline = [(r.doc_id, r.score) for r in idx.search("merge offset", k=10).collect()]
+    victim = idx.docstats().orderBy("doc_id").limit(1).select("path")
+    assert delete_docs(spark, d, victim) == 1
+
+    idx2 = SearchIndex(spark, d)
+    q = idx2.search("merge offset", k=10)
+    p = _plan(q)
+    assert "tombstones" in p, "masked search must cogroup the dead set"
+    assert "docstats" not in p, "tombstone-only search must not scan docstats"
+    # and the phrase-less exhaustive path too
+    p2 = _plan(idx2.search("merge offset", k=10, mode="exhaustive"))
+    assert "docstats" not in p2
+    # results: same ranking minus any tombstoned doc
+    got = [(r.doc_id, r.score) for r in q.collect()]
+    dead = {r.doc_id for r in spark.read.parquet(f"{d}/tombstones").collect()}
+    want = [x for x in baseline if x[0] not in dead][: len(got)]
+    assert got[: len(want)] == want
