@@ -58,9 +58,11 @@ driver-side (Python) for partition pruning at query time.
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
+from contextlib import contextmanager as _contextmanager
 
 import numpy as np
 import pandas as pd
@@ -687,6 +689,7 @@ def write_dictionary(
     )
 
 
+@_contextmanager
 def meta_lock(index_dir: str):
     """Advisory inter-process lock serializing root ``meta.json``
     read-modify-writes. Every writer (append's root-meta update, the
@@ -697,21 +700,17 @@ def meta_lock(index_dir: str):
     same-host (maintenance and the streaming driver share the driver
     host; on NFS/object stores it degrades to the previous documented
     single-writer assumption). Readers stay lock-free: they see either
-    the old or the new meta via the atomic rename."""
-    import fcntl
-    from contextlib import contextmanager
+    the old or the new meta via the atomic rename.
 
-    @contextmanager
-    def _lock():
-        os.makedirs(index_dir, exist_ok=True)
-        with open(os.path.join(index_dir, "meta.lock"), "w") as fh:
-            fcntl.flock(fh, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(fh, fcntl.LOCK_UN)
-
-    return _lock()
+    NOT reentrant (flock blocks a second acquisition even in-process):
+    never nest, and never call another lock-taking helper while held."""
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "meta.lock"), "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
 
 
 def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:
@@ -820,10 +819,12 @@ def append_segment(
         seg_dir = os.path.join(index_dir, "segments", segment)
         with open(os.path.join(seg_dir, "seg_meta.json")) as f:
             return json.load(f)
-    # retired-but-not-yet-purged dirs still occupy their names on disk —
-    # reusing one would let a later purge rmtree the live segment
+    # retired-but-not-yet-purged dirs still occupy their names on disk
+    # (a later purge would rmtree the live segment), and reserved names
+    # belong to an in-flight merge/compaction writing that dir right now
     seg_name = segment if segment is not None else next_segment_name(
-        set(meta["segments"]) | set(meta.get("retired", {})))
+        set(meta["segments"]) | set(meta.get("retired", {}))
+        | set(meta.get("reserved", {})))
     for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size",
               "store_positions"):
         if k not in meta["params"]:  # index built before this param existed

@@ -72,6 +72,33 @@ def _strictly_after(sort_cols: list[tuple[str, bool]], after) -> "F.Column":
     return pred
 
 
+def _range_mask(allow_pdf, base: int, range_size: int, inverted: bool):
+    """Boolean allowed-mask over one docId-range, or None when no masking
+    is needed. ``inverted``: ``allow_pdf`` is the DEAD set (tombstones-
+    only masking) — a range with no dead docs needs no mask at all;
+    otherwise ``allow_pdf`` is the allowed set (filters/boolean gates)."""
+    if inverted:
+        if allow_pdf is None or not len(allow_pdf):
+            return None
+        m = np.ones(range_size, dtype=bool)
+        m[(allow_pdf["doc_id"].to_numpy() - base)] = False
+        return m
+    m = np.zeros(range_size, dtype=bool)
+    if allow_pdf is not None and len(allow_pdf):
+        m[(allow_pdf["doc_id"].to_numpy() - base)] = True
+    return m
+
+
+def _dead_ranges(tomb: DataFrame, range_size: int) -> DataFrame:
+    """The distinct dead set keyed by docId-range — THE cogroup side for
+    tombstones-only masking (search / search_phrase / search_many all
+    use it; one definition so range_id derivation can never diverge)."""
+    return (
+        tomb.select("doc_id").distinct()
+        .withColumn("range_id", (F.col("doc_id") / F.lit(range_size)).cast("long"))
+    )
+
+
 def _cut_topk(idx: np.ndarray, scores: np.ndarray, k: int):
     """Exact per-range top-k cut under (score desc, doc_id asc).
 
@@ -121,19 +148,13 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
         _limit_arrow_threads()
         allowed_mask = None
         if use_allowed:
-            base0 = int(key[0]) * range_size
-            if mask_is_dead:
-                # cogrouped side is the (small) DEAD set — invert. A range
-                # with no tombstones needs no mask at all (r3 review: the
-                # allowed-set shape shipped the ENTIRE live docstats into
-                # every range task once a single tombstone existed).
-                if allow_pdf is not None and len(allow_pdf):
-                    allowed_mask = np.ones(range_size, dtype=bool)
-                    allowed_mask[(allow_pdf["doc_id"].to_numpy() - base0)] = False
-            else:
-                allowed_mask = np.zeros(range_size, dtype=bool)
-                if allow_pdf is not None and len(allow_pdf):
-                    allowed_mask[(allow_pdf["doc_id"].to_numpy() - base0)] = True
+            # mask_is_dead: cogrouped side is the (small) DEAD set —
+            # inverted (r3 review: the allowed-set shape shipped the
+            # ENTIRE live docstats into every range task once a single
+            # tombstone existed)
+            allowed_mask = _range_mask(
+                allow_pdf, int(key[0]) * range_size, range_size, mask_is_dead
+            )
         if postings.empty:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -433,13 +454,7 @@ class SearchIndex:
             after=after, mask_is_dead=dead_only,
         )
         if dead_only:
-            mask_side = (
-                tomb.select("doc_id").distinct()
-                .withColumn(
-                    "range_id",
-                    (F.col("doc_id") / F.lit(self.range_size)).cast("long"),
-                )
-            )
+            mask_side = _dead_ranges(tomb, self.range_size)
         elif use_allowed:
             allowed = self.docstats()
             if doc_filter is not None:
@@ -782,15 +797,7 @@ class SearchIndex:
                 # the caller semi-joins it (and applies liveness there)
                 return pd.DataFrame({"doc_id": (base + hit_docs).astype("int64")})
             if use_allowed:
-                amask = None
-                if dead_only:
-                    if allow_pdf is not None and len(allow_pdf):
-                        amask = np.ones(range_size, dtype=bool)
-                        amask[(allow_pdf["doc_id"].to_numpy() - base)] = False
-                else:
-                    amask = np.zeros(range_size, dtype=bool)
-                    if allow_pdf is not None and len(allow_pdf):
-                        amask[(allow_pdf["doc_id"].to_numpy() - base)] = True
+                amask = _range_mask(allow_pdf, base, range_size, dead_only)
                 if amask is not None:
                     keep = amask[hit_docs]
                     hit_docs, freqs = hit_docs[keep], freqs[keep]
@@ -812,13 +819,7 @@ class SearchIndex:
             F.col("shard").isin(shards) & F.col("tid").isin(tids)
         )
         if dead_only:
-            mask_side = (
-                tomb.select("doc_id").distinct()
-                .withColumn(
-                    "range_id",
-                    (F.col("doc_id") / F.lit(range_size)).cast("long"),
-                )
-            )
+            mask_side = _dead_ranges(tomb, range_size)
         elif use_allowed:
             allowed = self.docstats()
             if doc_filter is not None:
@@ -1092,10 +1093,7 @@ class SearchIndex:
         )
         tomb = self._tombstones()
         if tomb is not None:
-            dead = (
-                tomb.select("doc_id").distinct()
-                .withColumn("range_id", (F.col("doc_id") / F.lit(range_size)).cast("long"))
-            )
+            dead = _dead_ranges(tomb, range_size)
             scored = (
                 postings.groupBy("range_id")
                 .cogroup(dead.groupBy("range_id"))

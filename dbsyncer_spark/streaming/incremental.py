@@ -58,18 +58,20 @@ def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
 def _append_tombstones(index_dir: str, doomed: DataFrame, tomb_dir: str) -> int:
     """Materialize the doomed-docs plan ONCE (persist → count → write,
     r3 review: count-then-write ran the docstats⋉keys join twice per CDC
-    op), and append under the meta lock so a concurrent tombstone GC's
-    listing/swap can't destroy the new file (r3 review)."""
+    op). The WHOLE materialization runs under the meta lock: the plan's
+    tombstone anti-join pinned tomb_dir's file listing at planning, and
+    a concurrent GC swap would delete those files mid-job (read side),
+    or destroy the newly appended file (write side) — both r3 review."""
     from dbsyncer_spark.index.build import meta_lock
 
-    doomed = doomed.persist()
-    try:
-        n = doomed.count()
-        if n:
-            with meta_lock(index_dir):
+    with meta_lock(index_dir):
+        doomed = doomed.persist()
+        try:
+            n = doomed.count()
+            if n:
                 doomed.write.mode("append").parquet(tomb_dir)
-    finally:
-        doomed.unpersist()
+        finally:
+            doomed.unpersist()
     return n
 
 
@@ -208,7 +210,7 @@ def compact_segments(
     """
     if retire_grace_s is None:
         retire_grace_s = DEFAULT_RETIRE_GRACE_S
-    _purge_retired(index_dir, retire_grace_s)
+    _purge_retired(spark, index_dir, retire_grace_s)
     idx = SearchIndex(spark, index_dir)
     params = idx.params
     tomb = idx._tombstones()
@@ -221,11 +223,9 @@ def compact_segments(
         decoded = decoded.join(tomb_ids, "doc_id", "left_anti")
         stats = stats.join(tomb_ids, "doc_id", "left_anti")
 
-    from dbsyncer_spark.index.build import next_segment_name
-
     seg_root = os.path.join(index_dir, "segments")
-    # include retired names: their dirs are still on disk until purged
-    new_name = next_segment_name(set(inputs) | set(idx.meta.get("retired", {})))
+    # name allocated + reserved under the meta lock (see maybe_merge)
+    new_name = _reserve_segment_name(index_dir)
     seg_dir = os.path.join(seg_root, new_name)
     seg_meta = _pack_segment(
         spark, decoded, stats, seg_dir, params, segment=new_name,
@@ -237,13 +237,27 @@ def compact_segments(
     import time as _time
 
     now = _time.time()
+    # stage covered tombstones for deferred GC: only those visible when
+    # the anti-join above was planned — a delete landing DURING
+    # compaction targets a doc that was re-packed live, so its tombstone
+    # must survive to keep masking
+    staged = tomb is not None and _stage_covered_tombstones(
+        index_dir, [(0, 1 << 62)], tomb, new_name
+    )
 
     def mut(fresh):
+        if any(n not in fresh["segments"] for n in inputs):
+            return None  # inputs taken by a concurrent maintenance run
         # segments appended since our snapshot (not compacted here) and
         # extra root keys (e.g. streaming_hwm) survive the rewrite
         retired = dict(fresh.get("retired", {}))
         for n in inputs:
             retired[n] = now
+        reserved = dict(fresh.get("reserved", {}))
+        reserved.pop(new_name, None)
+        covered_gc = dict(fresh.get("covered_gc", {}))
+        if staged:
+            covered_gc[new_name] = now
         return {
             **fresh,
             "params": params,
@@ -257,18 +271,26 @@ def compact_segments(
                 },
             },
             "retired": retired,
+            "reserved": reserved,
+            "covered_gc": covered_gc,
         }
 
-    _write_meta_locked(index_dir, mut)
+    if _write_meta_locked(index_dir, mut) is None:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        if staged:
+            shutil.rmtree(
+                os.path.join(index_dir, "tombstones_covered", new_name),
+                ignore_errors=True,
+            )
+        _unreserve_segment_name(index_dir, new_name)
+        raise RuntimeError(
+            "compact_segments: input segments changed during compaction "
+            "(concurrent merge/compact took them) — re-run"
+        )
     _preserve_quarantines(
         [os.path.join(seg_root, n) for n in inputs], list(inputs), seg_dir,
     )
-    if tomb is not None:
-        # GC only tombstones visible when the filter above was planned;
-        # a delete landing DURING compaction targets a doc that was
-        # re-packed live, so its tombstone must survive to keep masking
-        _gc_covered_tombstones(spark, index_dir, [(0, 1 << 62)], tomb)
-    _purge_retired(index_dir, retire_grace_s)
+    _purge_retired(spark, index_dir, retire_grace_s)
     return seg_meta
 
 
@@ -407,7 +429,7 @@ def maybe_merge(
     and range-aligned per segment, so merging preserves them verbatim
     and untouched segments' postings are never read.
     """
-    _purge_retired(index_dir, retire_grace_s)
+    _purge_retired(spark, index_dir, retire_grace_s)
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     params = meta["params"]
@@ -469,9 +491,15 @@ def maybe_merge(
         import time as _time
 
         now = _time.time()
+        gc_tag = f"drop_{merged[0]}_{int(now)}"
+        staged = _stage_covered_tombstones(index_dir, [
+            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
+        ], tomb, gc_tag)
         picked: dict = {}
 
         def mut(fresh):
+            if any(n not in fresh["segments"] for n in merged):
+                return None  # inputs taken by a concurrent maintenance run
             survivors = {n: dict(s) for n, s in fresh["segments"].items() if n not in merged}
             if not survivors:
                 return None
@@ -481,21 +509,26 @@ def maybe_merge(
             retired = dict(fresh.get("retired", {}))
             for n in merged:
                 retired[n] = now
-            return {**fresh, "params": params, "segments": survivors, "retired": retired}
+            covered_gc = dict(fresh.get("covered_gc", {}))
+            if staged:
+                covered_gc[gc_tag] = now
+            return {**fresh, "params": params, "segments": survivors,
+                    "retired": retired, "covered_gc": covered_gc}
 
         if _write_meta_locked(index_dir, mut) is None:
+            if staged:
+                shutil.rmtree(
+                    os.path.join(index_dir, "tombstones_covered", gc_tag),
+                    ignore_errors=True,
+                )
             return None
         _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, picked["top"]))
-        _gc_covered_tombstones(spark, index_dir, [
-            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
-        ], tomb)
-        _purge_retired(index_dir, retire_grace_s)
+        _purge_retired(spark, index_dir, retire_grace_s)
         return {"segment": None, "n_docs": 0, "merged": merged}
 
-    from dbsyncer_spark.index.build import next_segment_name
-
-    # include retired names: their dirs are still on disk until purged
-    new_name = next_segment_name(set(segments) | set(meta.get("retired", {})))
+    # name allocated + reserved under the meta lock: a concurrent
+    # auto-named append can never claim the same seg_NNNNNN (r3 review)
+    new_name = _reserve_segment_name(index_dir)
     seg_meta = _pack_segment(
         spark, decoded, stats, os.path.join(seg_root, new_name), params,
         segment=new_name,
@@ -510,13 +543,29 @@ def maybe_merge(
     import time as _time
 
     now = _time.time()
+    # stage covered tombstones for deferred GC (their docs are physically
+    # absent from the merged output; the live rows stay until the retire
+    # grace expires so warm readers keep masking — pure hygiene after)
+    staged = tomb is not None and _stage_covered_tombstones(index_dir, [
+        (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
+    ], tomb, new_name)
 
     def mut(fresh):
+        if any(n not in fresh["segments"] for n in merged):
+            # a concurrent maintenance run already took (some of) our
+            # inputs: publishing would duplicate their docs/doc_ids in
+            # two live segments (r3 review) — abort, caller cleans up
+            return None
         # fold the swap into FRESH meta: segments appended (and HWMs
         # recorded) since our snapshot survive the rewrite
         retired = dict(fresh.get("retired", {}))
         for n in merged:
             retired[n] = now
+        reserved = dict(fresh.get("reserved", {}))
+        reserved.pop(new_name, None)
+        covered_gc = dict(fresh.get("covered_gc", {}))
+        if staged:
+            covered_gc[new_name] = now
         return {
             **fresh,
             "params": params,
@@ -530,65 +579,101 @@ def maybe_merge(
                 },
             },
             "retired": retired,
+            "reserved": reserved,
+            "covered_gc": covered_gc,
         }
 
-    _write_meta_locked(index_dir, mut)
+    if _write_meta_locked(index_dir, mut) is None:
+        shutil.rmtree(os.path.join(seg_root, new_name), ignore_errors=True)
+        if staged:
+            shutil.rmtree(
+                os.path.join(index_dir, "tombstones_covered", new_name),
+                ignore_errors=True,
+            )
+        _unreserve_segment_name(index_dir, new_name)
+        return None
     _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, new_name))
-
-    # garbage-collect tombstones covered by the merge (their docs are now
-    # physically gone; doc ids are globally unique so this is pure hygiene)
-    if tomb is not None:
-        _gc_covered_tombstones(spark, index_dir, [
-            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
-        ], tomb)
-    _purge_retired(index_dir, retire_grace_s)
+    _purge_retired(spark, index_dir, retire_grace_s)
     return {**seg_meta, "merged": merged}
 
 
-def _gc_covered_tombstones(
-    spark: SparkSession, index_dir: str, intervals: list, pinned: DataFrame
-) -> None:
-    """Drop tombstones whose doc id falls in the given (lo, hi) intervals
-    AND were visible in ``pinned`` — the tombstone DataFrame whose file
-    listing the merge's anti-join actually used. A delete landing DURING
-    the merge targets a doc that was re-packed live, so its (fresh)
-    tombstone row must survive to keep masking it (r2 review: GC'ing by
-    interval over a fresh listing silently lost such deletes).
-    Write-then-swap — never collects the tombstone set to the driver.
+def _stage_covered_tombstones(
+    index_dir: str, intervals: list, pinned: DataFrame, tag: str
+) -> bool:
+    """Stage (don't yet drop) tombstones covered by a merge: tombstones
+    whose doc id falls in the given (lo, hi) intervals AND were visible
+    in ``pinned`` — the tombstone DataFrame whose file listing the
+    merge's anti-join actually used. A delete landing DURING the merge
+    targets a doc that was re-packed live, so its (fresh) tombstone row
+    must survive to keep masking it (r2 review: GC'ing by interval over
+    a fresh listing silently lost such deletes).
 
-    The fresh listing, rewrite, and swap all run under the meta lock,
-    and the tombstone APPEND in ``delete_docs``/``update_docs`` takes
-    the same lock — so a delete can't slip a new tombstone file into
-    ``tomb_dir`` between our listing and the directory swap, where the
-    rewrite (computed from the earlier listing) would silently destroy
-    it and resurrect the deleted doc (r3 review)."""
-    from dbsyncer_spark.index.build import meta_lock
+    Staging instead of immediate rewrite (r3 review): the retire-grace
+    window keeps the merged-away segment dirs readable for warm readers
+    pinned to the pre-merge meta — but those readers re-read the
+    tombstone dir fresh on every query, so dropping covered tombstones
+    immediately would resurrect deleted docs in THEIR results for the
+    whole grace window. The covered ids are written to
+    ``tombstones_covered/<tag>/`` here; ``_purge_retired`` performs the
+    actual rewrite when the grace expires, together with the dir purge.
+    Exactness of the deferred anti-join: doc ids are never reused and
+    deletes can only target ids present in docstats, so a covered id
+    (doc physically dropped by the merge) can never reappear as a LIVE
+    doc's tombstone later — anti-joining the fresh listing by the staged
+    ids at purge time removes exactly the hygienic leftovers.
 
+    Returns True when a covered set was staged (caller registers ``tag``
+    in root meta's ``covered_gc``). Never collects to the driver."""
     cond = None
     for lo, hi in intervals:
         c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
         cond = c if cond is None else (cond | c)
     tomb_dir = os.path.join(index_dir, "tombstones")
     if cond is None or not os.path.exists(tomb_dir):
-        return
-    tomb_tmp = tomb_dir + ".rewriting"
-    tomb_old = tomb_dir + ".old"
-    shutil.rmtree(tomb_tmp, ignore_errors=True)
-    shutil.rmtree(tomb_old, ignore_errors=True)
+        return False
+    dest = os.path.join(index_dir, "tombstones_covered", tag)
+    shutil.rmtree(dest, ignore_errors=True)
     removed = pinned.select("doc_id").filter(cond).distinct()
-    with meta_lock(index_dir):
-        keep = spark.read.parquet(tomb_dir).join(removed, "doc_id", "left_anti")
-        if keep.isEmpty():
-            shutil.rmtree(tomb_dir, ignore_errors=True)
-            return
-        keep.write.mode("overwrite").parquet(tomb_tmp)
-        # two renames, not rmtree-then-rename: a concurrent reader's
-        # window of seeing NO tombstones (deleted docs in unmerged
-        # segments reappearing) shrinks from a recursive delete to two
-        # atomic renames
-        os.replace(tomb_dir, tomb_old)
-        os.replace(tomb_tmp, tomb_dir)
-    shutil.rmtree(tomb_old, ignore_errors=True)
+    removed.write.mode("overwrite").parquet(dest)
+    return True
+
+
+def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> None:
+    """The deferred rewrite for expired ``covered_gc`` entries: drop the
+    staged covered ids from the live tombstone dir. Write-then-swap
+    under the meta lock — the tombstone APPEND in
+    ``delete_docs``/``update_docs`` takes the same lock, so a delete
+    can't slip a new tombstone file into ``tomb_dir`` between our
+    listing and the directory swap, where the rewrite (computed from the
+    earlier listing) would silently destroy it and resurrect the deleted
+    doc (r3 review)."""
+    from dbsyncer_spark.index.build import meta_lock
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    cov_root = os.path.join(index_dir, "tombstones_covered")
+    dirs = [os.path.join(cov_root, t) for t in tags]
+    dirs = [d for d in dirs if os.path.exists(d)]
+    if dirs and os.path.exists(tomb_dir):
+        covered = spark.read.parquet(*dirs).select("doc_id").distinct()
+        tomb_tmp = tomb_dir + ".rewriting"
+        tomb_old = tomb_dir + ".old"
+        shutil.rmtree(tomb_tmp, ignore_errors=True)
+        shutil.rmtree(tomb_old, ignore_errors=True)
+        with meta_lock(index_dir):
+            keep = spark.read.parquet(tomb_dir).join(covered, "doc_id", "left_anti")
+            if keep.isEmpty():
+                shutil.rmtree(tomb_dir, ignore_errors=True)
+            else:
+                keep.write.mode("overwrite").parquet(tomb_tmp)
+                # two renames, not rmtree-then-rename: a concurrent
+                # reader's window of seeing NO tombstones (deleted docs
+                # in unmerged segments reappearing) shrinks from a
+                # recursive delete to two atomic renames
+                os.replace(tomb_dir, tomb_old)
+                os.replace(tomb_tmp, tomb_dir)
+        shutil.rmtree(tomb_old, ignore_errors=True)
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def decode_postings(postings: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -671,8 +756,58 @@ def _write_meta_locked(index_dir: str, mutate) -> dict | None:
         return meta
 
 
-def _purge_retired(index_dir: str, grace_s: float) -> list:
-    """Delete segment dirs retired at least ``grace_s`` seconds ago.
+#: a reserved (in-flight merge/compaction output) segment name expires
+#: after this long — long enough for any real pack job, so a crashed
+#: maintenance run can't block its name forever.
+RESERVATION_TTL_S = 24 * 3600.0
+
+
+def _reserve_segment_name(index_dir: str) -> str:
+    """Allocate the next segment name UNDER the meta lock and record it
+    in root meta's ``reserved`` (name -> walltime). Merge/compaction
+    output dirs are written under this name before they are referenced;
+    without the reservation a concurrent auto-named append could pick
+    the same seg_NNNNNN from its own unlocked snapshot and the two
+    writers would clobber each other's dir (r3 review). Appends and
+    later reservations skip live + retired + reserved names. Stale
+    entries (crashed runs) expire after ``RESERVATION_TTL_S``."""
+    import time
+
+    from dbsyncer_spark.index.build import next_segment_name
+
+    out: dict = {}
+
+    def mut(fresh):
+        now = time.time()
+        reserved = {
+            n: ts for n, ts in fresh.get("reserved", {}).items()
+            if now - ts < RESERVATION_TTL_S
+        }
+        name = next_segment_name(
+            set(fresh["segments"]) | set(fresh.get("retired", {})) | set(reserved)
+        )
+        reserved[name] = now
+        out["name"] = name
+        return {**fresh, "reserved": reserved}
+
+    _write_meta_locked(index_dir, mut)
+    return out["name"]
+
+
+def _unreserve_segment_name(index_dir: str, name: str) -> None:
+    """Release a reservation without publishing the segment (abort path)."""
+
+    def mut(fresh):
+        reserved = dict(fresh.get("reserved", {}))
+        reserved.pop(name, None)
+        return {**fresh, "reserved": reserved}
+
+    _write_meta_locked(index_dir, mut)
+
+
+def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
+    """Delete segment dirs retired at least ``grace_s`` seconds ago, and
+    run the deferred covered-tombstone GC for merges equally past grace.
 
     Merges/compactions unreference their input dirs in meta but leave
     them on disk (``meta["retired"]``: name -> retire walltime), so a
@@ -680,9 +815,16 @@ def _purge_retired(index_dir: str, grace_s: float) -> list:
     executing over those files — finishes unharmed: the Lucene
     keep-files-until-readers-close discipline, time-based instead of
     refcounted (r3 review — immediate rmtree broke live readers).
-    Every maintenance entry point purges expired entries. Dirs are
-    rmtree'd FIRST and unregistered after, so a crash between the two
-    re-purges harmlessly on the next call."""
+    Covered tombstones stay live for the same window (see
+    ``_stage_covered_tombstones``) so those warm readers keep masking
+    the docs the merge physically dropped.
+
+    Every maintenance entry point purges expired entries. Before a dir
+    is rmtree'd, any quarantine subdir still inside (a crash between the
+    meta swap and ``_preserve_quarantines`` orphans one, r3 review) is
+    rescued into a live segment so unreplayed dead-letter rows are never
+    destroyed. Dirs are rmtree'd FIRST and unregistered after, so a
+    crash between the two re-purges harmlessly on the next call."""
     import time
 
     meta = _read_root_meta(index_dir)
@@ -693,17 +835,37 @@ def _purge_retired(index_dir: str, grace_s: float) -> list:
         n for n, ts in meta.get("retired", {}).items()
         if now - ts >= grace_s and n not in meta["segments"]  # never a live name
     ]
-    if not doomed:
+    gc_tags = [
+        t for t, ts in meta.get("covered_gc", {}).items() if now - ts >= grace_s
+    ]
+    if not doomed and not gc_tags:
         return []
     seg_root = os.path.join(index_dir, "segments")
+    if doomed and meta["segments"]:
+        # rescue orphaned quarantines into the newest live segment
+        rescue_to = os.path.join(
+            seg_root,
+            max(meta["segments"], key=lambda n: meta["segments"][n]["doc_id_offset"]),
+        )
+        _preserve_quarantines(
+            [os.path.join(seg_root, n) for n in doomed], doomed, rescue_to
+        )
     for n in doomed:
         shutil.rmtree(os.path.join(seg_root, n), ignore_errors=True)
-    gone = set(doomed)
+    if gc_tags:
+        _gc_staged_tombstones(spark, index_dir, gc_tags)
+    gone, gone_tags = set(doomed), set(gc_tags)
 
     def mut(fresh):
         return {
             **fresh,
-            "retired": {k: v for k, v in fresh.get("retired", {}).items() if k not in gone},
+            "retired": {
+                k: v for k, v in fresh.get("retired", {}).items() if k not in gone
+            },
+            "covered_gc": {
+                k: v for k, v in fresh.get("covered_gc", {}).items()
+                if k not in gone_tags
+            },
         }
 
     _write_meta_locked(index_dir, mut)

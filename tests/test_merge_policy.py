@@ -295,8 +295,55 @@ def test_retire_grace_keeps_warm_readers_alive(spark, tmp_path):
     assert not (set(root2["segments"]) & set(root2["retired"]))
 
     # past the grace window, maintenance purges dirs and registry entries
-    purged = _purge_retired(d, 0)
+    purged = _purge_retired(spark, d, 0)
     assert sorted(purged) == sorted(meta["merged"])
     for n in meta["merged"]:
         assert not os.path.exists(os.path.join(d, "segments", n))
     assert json.load(open(os.path.join(d, "meta.json")))["retired"] == {}
+
+
+def test_covered_tombstone_gc_is_deferred_to_purge(spark, tmp_path):
+    """A reclaim merge physically drops tombstoned docs, but a warm
+    reader pinned to the pre-merge meta still reads the OLD segment dirs
+    — and re-reads the tombstone dir fresh per query. GC'ing the covered
+    tombstones at merge time would resurrect the deleted docs in that
+    reader's results for the whole grace window (r3 review); the GC is
+    therefore staged and executed at purge time."""
+    from dbsyncer_spark.streaming.incremental import _purge_retired
+
+    pdf = gen_corpus_pdf(n_docs=120, seed=27)
+    d = str(tmp_path / "gcidx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:100], SCHEMA), d, **PARAMS)
+    append_segment(spark, spark.createDataFrame(pdf.iloc[100:120], SCHEMA),
+                   d, num_id_buckets=8)
+    idx = SearchIndex(spark, d)
+    seg = max(idx.meta["segments"], key=lambda n: idx.meta["segments"][n]["doc_id_offset"])
+    lo = idx.meta["segments"][seg]["doc_id_offset"]
+    victims = idx.docstats().filter(F.col("doc_id") >= lo).select("doc_id").limit(8)
+    assert delete_docs(spark, d, victims) == 8
+    dead = {r.doc_id for r in spark.read.parquet(os.path.join(d, "tombstones")).collect()}
+
+    warm = SearchIndex(spark, d)  # pre-merge meta
+    pre = {r.doc_id for r in warm.search("import", k=200).collect()}
+    assert not (pre & dead)
+
+    meta = maybe_merge(spark, d, merge_at=3, reclaim_ratio=0.2)  # default grace
+    assert meta is not None and meta["merged"] == [seg]
+    # covered tombstones still live (staged, not dropped) for the warm reader
+    assert os.path.exists(os.path.join(d, "tombstones"))
+    root = json.load(open(os.path.join(d, "meta.json")))
+    assert root["covered_gc"], "merge must register its staged covered set"
+    post = {r.doc_id for r in warm.search("import", k=200).collect()}
+    assert not (post & dead), "warm reader resurrected deleted docs"
+
+    # purge past grace: dirs gone, covered tombstones dropped, registries empty
+    _purge_retired(spark, d, 0)
+    assert not os.path.exists(os.path.join(d, "segments", seg))
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+    root2 = json.load(open(os.path.join(d, "meta.json")))
+    assert root2["retired"] == {} and root2["covered_gc"] == {}
+    assert not os.path.exists(os.path.join(d, "tombstones_covered", meta["segment"]))
+    # fresh reader: correct live set, no masking leftovers
+    idx2 = SearchIndex(spark, d)
+    assert idx2.n_docs == 112
+    assert not ({r.doc_id for r in idx2.search("import", k=200).collect()} & dead)
