@@ -58,7 +58,6 @@ driver-side (Python) for partition pruning at query time.
 
 from __future__ import annotations
 
-import fcntl
 import hashlib
 import json
 import os
@@ -704,6 +703,8 @@ def meta_lock(index_dir: str):
 
     NOT reentrant (flock blocks a second acquisition even in-process):
     never nest, and never call another lock-taking helper while held."""
+    import fcntl  # lazy: POSIX-only; keeps the module importable elsewhere
+
     os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "meta.lock"), "w") as fh:
         fcntl.flock(fh, fcntl.LOCK_EX)
@@ -711,6 +712,17 @@ def meta_lock(index_dir: str):
             yield
         finally:
             fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def atomic_write_meta(index_dir: str, meta: dict) -> None:
+    """The ONE way root meta reaches disk: json to a tmp file + atomic
+    rename, so lock-free readers see either the old or the new meta,
+    never a torn write. Callers must hold the meta lock."""
+    root = os.path.join(index_dir, "meta.json")
+    tmp = root + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, root)
 
 
 def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:
@@ -734,6 +746,20 @@ def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> No
     }
     if meta["params"] and meta["params"] != shared:
         raise ValueError(f"segment params mismatch: {shared} vs index {meta['params']}")
+    # doc ids must be globally unique across live segments (F15). Two
+    # concurrent auto-offset appends both compute their offset from the
+    # same pre-append max_doc_id and would silently interleave ids; the
+    # engine's writer contract is ONE ingest writer (maintenance may run
+    # beside it), and this turns a contract violation into a loud error
+    # instead of corrupt ranges.
+    lo, hi = seg_meta["doc_id_offset"], seg_meta["max_doc_id"]
+    for name, s in meta["segments"].items():
+        if name != segment and not (hi < s["doc_id_offset"] or lo > s["max_doc_id"]):
+            raise ValueError(
+                f"segment {segment} doc-id range [{lo},{hi}] overlaps live "
+                f"segment {name} [{s['doc_id_offset']},{s['max_doc_id']}] — "
+                "concurrent appends must be serialized by the caller"
+            )
     meta["params"] = shared
     meta["segments"][segment] = {
         "n_docs": seg_meta["n_docs"],
@@ -741,10 +767,84 @@ def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> No
         "doc_id_offset": seg_meta["doc_id_offset"],
         "max_doc_id": seg_meta["max_doc_id"],
     }
-    tmp = root + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-    os.replace(tmp, root)
+    if segment in meta.get("reserved", {}):  # publish consumes the reservation
+        meta["reserved"] = {n: t for n, t in meta["reserved"].items() if n != segment}
+    atomic_write_meta(index_dir, meta)
+
+
+def write_meta_locked(index_dir: str, mutate) -> dict | None:
+    """Re-read root meta INSIDE the meta lock, apply ``mutate`` (fresh
+    meta dict -> new meta dict, or None to abort without writing), then
+    atomic-rename write. Re-reading under the lock is what makes
+    concurrent writers compose: a merge that started from a stale
+    snapshot folds its segment swap into whatever appends / streaming
+    HWM updates landed meanwhile, instead of clobbering them with its
+    stale copy (r3 review — the lost-segment interleave)."""
+    root = os.path.join(index_dir, "meta.json")
+    with meta_lock(index_dir):
+        with open(root) as f:
+            fresh = json.load(f)
+        meta = mutate(fresh)
+        if meta is None:
+            return None
+        atomic_write_meta(index_dir, meta)
+        return meta
+
+
+#: a reserved (in-flight merge/compaction/append output) segment name
+#: expires after this long — long enough for any real pack job, so a
+#: crashed run can't block its name forever.
+RESERVATION_TTL_S = 24 * 3600.0
+
+
+def reserve_segment_name(index_dir: str) -> str:
+    """Allocate the next auto segment name UNDER the meta lock and record
+    it in root meta's ``reserved`` (name -> walltime). Merge/compaction
+    output dirs AND auto-named appends allocate through here; picking the
+    name from an unlocked meta snapshot lets two concurrent writers (e.g.
+    an auto-named ``append_segment`` racing a ``maybe_merge``) claim the
+    same seg_NNNNNN and clobber each other's dir (r3 review, both
+    directions). Reservations skip live + retired + reserved names; stale
+    entries (crashed runs) expire after ``RESERVATION_TTL_S``."""
+    import time
+
+    out: dict = {}
+
+    def mut(fresh):
+        now = time.time()
+        reserved = {
+            n: ts for n, ts in fresh.get("reserved", {}).items()
+            if now - ts < RESERVATION_TTL_S
+        }
+        taken = set(fresh["segments"]) | set(fresh.get("retired", {})) | set(reserved)
+        while True:
+            name = next_segment_name(taken)
+            # never re-issue a name whose dir exists on disk: a hard-
+            # crashed run's partial dir may hold committed lineage stages
+            # for its OWN batch — re-issuing the name+offset would make
+            # build_index's resume silently publish the stale docs as the
+            # new batch (r3 review). Orphans are swept by _purge_retired
+            # after the reservation TTL, after which the name frees up.
+            if not os.path.exists(os.path.join(index_dir, "segments", name)):
+                break
+            taken.add(name)
+        reserved[name] = now
+        out["name"] = name
+        return {**fresh, "reserved": reserved}
+
+    write_meta_locked(index_dir, mut)
+    return out["name"]
+
+
+def unreserve_segment_name(index_dir: str, name: str) -> None:
+    """Release a reservation without publishing the segment (abort path)."""
+
+    def mut(fresh):
+        reserved = dict(fresh.get("reserved", {}))
+        reserved.pop(name, None)
+        return {**fresh, "reserved": reserved}
+
+    write_meta_locked(index_dir, mut)
 
 
 def replay_quarantine(
@@ -819,12 +919,6 @@ def append_segment(
         seg_dir = os.path.join(index_dir, "segments", segment)
         with open(os.path.join(seg_dir, "seg_meta.json")) as f:
             return json.load(f)
-    # retired-but-not-yet-purged dirs still occupy their names on disk
-    # (a later purge would rmtree the live segment), and reserved names
-    # belong to an in-flight merge/compaction writing that dir right now
-    seg_name = segment if segment is not None else next_segment_name(
-        set(meta["segments"]) | set(meta.get("retired", {}))
-        | set(meta.get("reserved", {})))
     for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size",
               "store_positions"):
         if k not in meta["params"]:  # index built before this param existed
@@ -835,4 +929,24 @@ def append_segment(
                 f"params ({meta['params'][k]}) — segments must share build params"
             )
         kwargs[k] = meta["params"][k]
-    return build_index(spark, docs, index_dir, segment=seg_name, doc_id_offset=offset, **kwargs)
+    if segment is not None:
+        return build_index(spark, docs, index_dir, segment=segment,
+                           doc_id_offset=offset, **kwargs)
+    # auto name: allocated UNDER the meta lock (reservation) — an unlocked
+    # snapshot could pick the same seg_NNNNNN as an in-flight merge/
+    # compaction output (or vice versa) and the two writers would clobber
+    # one dir (r3 review). The reservation is consumed by the publish in
+    # _update_root_meta_locked; on failure the partial dir is removed and
+    # the name released — auto-named appends are therefore NOT resumable
+    # (pass an explicit ``segment`` name to keep resume lineage).
+    seg_name = reserve_segment_name(index_dir)
+    try:
+        return build_index(spark, docs, index_dir, segment=seg_name,
+                           doc_id_offset=offset, **kwargs)
+    except BaseException:
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(index_dir, "segments", seg_name),
+                       ignore_errors=True)
+        unreserve_segment_name(index_dir, seg_name)
+        raise

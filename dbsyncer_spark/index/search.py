@@ -344,10 +344,33 @@ class SearchIndex:
         self._driver_dict = {r.tid: int(r.df) for r in d.collect()}
 
     def _tombstones(self) -> DataFrame | None:
-        p = os.path.join(self.index_dir, "tombstones")
-        if os.path.exists(p):
-            return self.spark.read.parquet(p)
-        return None
+        # resolve the tombstone GENERATION named by this reader's pinned
+        # meta (not a fixed path): the covered-tombstone GC publishes its
+        # rewrite as a new generation dir + atomic pointer flip, so a
+        # warm reader keeps masking from its own generation's files
+        # (kept on disk through the retire-grace window) instead of
+        # racing an in-place rewrite. Reader-snapshot semantics: deletes
+        # landing after a flip become visible on re-open.
+        p = os.path.join(self.index_dir,
+                         self.meta.get("tombstones_dir", "tombstones"))
+        if not os.path.exists(p):
+            # pinned generation purged (reader outlived the grace window)
+            # OR the index simply has no tombstones. Fall back to the
+            # CURRENT generation rather than silently dropping masking
+            # (r3 review): safe in the only survivable stale-reader case
+            # — none of this reader's segments were merged (else its
+            # segment dirs are equally gone and queries fail loudly), so
+            # the covered ids the newer generation dropped never pointed
+            # into its view, and newer deletes only ADD masking.
+            try:
+                with open(os.path.join(self.index_dir, "meta.json")) as f:
+                    cur = json.load(f).get("tombstones_dir", "tombstones")
+            except OSError:
+                return None
+            p = os.path.join(self.index_dir, cur)
+            if not os.path.exists(p):
+                return None
+        return self.spark.read.parquet(p)
 
     # -- dictionary point lookup (shard-pruned, driver-cached) ----------
     def lookup(self, terms: list[str]) -> dict[str, int]:

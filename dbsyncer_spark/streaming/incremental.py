@@ -26,13 +26,43 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbsyncer_spark.index.build import append_segment, build_index
+from dbsyncer_spark.index.build import (
+    append_segment,
+    build_index,
+    reserve_segment_name as _reserve_segment_name,
+    unreserve_segment_name as _unreserve_segment_name,
+    write_meta_locked as _write_meta_locked,
+)
 from dbsyncer_spark.index.search import SearchIndex
 
 #: how long a merged-away segment dir stays on disk after it is
 #: unreferenced from meta — long enough for any warm reader / mid-flight
 #: query planned against the pre-merge meta to finish.
 DEFAULT_RETIRE_GRACE_S = 600.0
+
+
+def _active_tomb_dir(index_dir: str, meta: dict | None = None) -> str:
+    """Resolve the ACTIVE tombstone generation dir. Root meta's
+    ``tombstones_dir`` names the current generation ("tombstones" when
+    absent — the initial layout, and every index built before the pointer
+    existed). The covered-tombstone GC never rewrites a generation's
+    files in place: survivors go to the NEXT generation dir and this
+    pointer flips atomically with the meta write, while the old
+    generation stays on disk for the same retire-grace window as
+    merged-away segment dirs. A reader therefore sees a consistent
+    snapshot — its pinned meta names both the segment set and the
+    tombstone generation that masks it (Lucene reader-snapshot
+    semantics: deletes landing after a generation flip become visible on
+    re-open, not mid-reader)."""
+    if meta is None:
+        meta = _read_root_meta(index_dir) or {}
+    return os.path.join(index_dir, meta.get("tombstones_dir", "tombstones"))
+
+
+def _next_tomb_gen(current_basename: str) -> str:
+    if current_basename == "tombstones":
+        return "tombstones_g000001"
+    return f"tombstones_g{int(current_basename.rsplit('_g', 1)[1]) + 1:06d}"
 
 
 def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
@@ -51,27 +81,52 @@ def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
         # never appends duplicate rows (repeated CDC delete events would
         # otherwise grow the tombstone set unboundedly)
         doomed = doomed.join(tomb.select("doc_id"), "doc_id", "left_anti")
-    tomb_dir = os.path.join(index_dir, "tombstones")
-    return _append_tombstones(index_dir, doomed, tomb_dir)
+    return _append_tombstones(index_dir, doomed)
 
 
-def _append_tombstones(index_dir: str, doomed: DataFrame, tomb_dir: str) -> int:
+def _append_tombstones(index_dir: str, doomed: DataFrame) -> int:
     """Materialize the doomed-docs plan ONCE (persist → count → write,
     r3 review: count-then-write ran the docstats⋉keys join twice per CDC
-    op). The WHOLE materialization runs under the meta lock: the plan's
-    tombstone anti-join pinned tomb_dir's file listing at planning, and
-    a concurrent GC swap would delete those files mid-job (read side),
-    or destroy the newly appended file (write side) — both r3 review."""
+    op), into a staging dir with NO lock held — holding the meta lock
+    across these Spark jobs stalled every other meta writer (streaming
+    HWM, merge publishes) behind each CDC delete (r3 review). The lock
+    is taken only for the final step: re-resolve the ACTIVE tombstone
+    generation and rename the staged part files in (unique Spark part
+    names — concurrent appenders compose). Correctness against the
+    covered-GC flip: the GC's list+rewrite+flip runs entirely under this
+    same lock, so a staged file can never land in a generation after the
+    GC listed it (where the flip would silently drop it); and the plan's
+    own anti-join listing (pinned at planning, possibly the PREVIOUS
+    generation) stays readable because retired generations survive the
+    grace window. A flip between planning and the move can't introduce
+    duplicates either: the new generation's rows are a subset of the old
+    one's (the rewrite only drops covered ids, whose docs left docstats
+    and so can never be re-doomed)."""
+    import uuid
+
     from dbsyncer_spark.index.build import meta_lock
 
-    with meta_lock(index_dir):
-        doomed = doomed.persist()
-        try:
-            n = doomed.count()
-            if n:
-                doomed.write.mode("append").parquet(tomb_dir)
-        finally:
-            doomed.unpersist()
+    doomed = doomed.persist()
+    try:
+        n = doomed.count()
+        if n:
+            staging = os.path.join(index_dir, "tomb_staging", uuid.uuid4().hex[:12])
+            try:
+                doomed.write.mode("overwrite").parquet(staging)
+                with meta_lock(index_dir):
+                    dest = _active_tomb_dir(index_dir)
+                    os.makedirs(dest, exist_ok=True)
+                    for fname in os.listdir(staging):
+                        if fname.endswith(".parquet"):
+                            os.replace(os.path.join(staging, fname),
+                                       os.path.join(dest, fname))
+            finally:
+                # success: only the empty shell + _SUCCESS remain; failure:
+                # never leave a half-moved staging dir to leak (a crash
+                # still can — _purge_retired sweeps those by age)
+                shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        doomed.unpersist()
     return n
 
 
@@ -126,7 +181,7 @@ def update_docs(
     if tomb is not None:
         doomed = doomed.join(tomb.select("doc_id"), "doc_id", "left_anti")
     meta = append_segment(spark, new_docs, index_dir, **build_kwargs)
-    n_del = _append_tombstones(index_dir, doomed, os.path.join(index_dir, "tombstones"))
+    n_del = _append_tombstones(index_dir, doomed)
     return {**meta, "deleted": n_del}
 
 
@@ -227,13 +282,28 @@ def compact_segments(
     # name allocated + reserved under the meta lock (see maybe_merge)
     new_name = _reserve_segment_name(index_dir)
     seg_dir = os.path.join(seg_root, new_name)
-    seg_meta = _pack_segment(
-        spark, decoded, stats, seg_dir, params, segment=new_name,
-        doc_id_offset=min(s["doc_id_offset"] for s in inputs.values()),
-        # HWM survives even when the highest-id docs were tombstoned:
-        # append_segment must never reuse a dropped doc id
-        max_doc_id_floor=max(s["max_doc_id"] for s in inputs.values()),
-    )
+
+    def _abort():
+        # failed/lost publication: nothing references the output dir or
+        # the staged covered set, and the reservation must not squat the
+        # name for RESERVATION_TTL_S (r3 review: an exception after the
+        # reservation leaked both)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "tombstones_covered", new_name),
+                      ignore_errors=True)
+        _unreserve_segment_name(index_dir, new_name)
+
+    try:
+        seg_meta = _pack_segment(
+            spark, decoded, stats, seg_dir, params, segment=new_name,
+            doc_id_offset=min(s["doc_id_offset"] for s in inputs.values()),
+            # HWM survives even when the highest-id docs were tombstoned:
+            # append_segment must never reuse a dropped doc id
+            max_doc_id_floor=max(s["max_doc_id"] for s in inputs.values()),
+        )
+    except BaseException:
+        _abort()
+        raise
     import time as _time
 
     now = _time.time()
@@ -241,9 +311,13 @@ def compact_segments(
     # the anti-join above was planned — a delete landing DURING
     # compaction targets a doc that was re-packed live, so its tombstone
     # must survive to keep masking
-    staged = tomb is not None and _stage_covered_tombstones(
-        index_dir, [(0, 1 << 62)], tomb, new_name
-    )
+    try:
+        staged = tomb is not None and _stage_covered_tombstones(
+            index_dir, [(0, 1 << 62)], tomb, new_name
+        )
+    except BaseException:
+        _abort()
+        raise
 
     def mut(fresh):
         if any(n not in fresh["segments"] for n in inputs):
@@ -275,14 +349,13 @@ def compact_segments(
             "covered_gc": covered_gc,
         }
 
-    if _write_meta_locked(index_dir, mut) is None:
-        shutil.rmtree(seg_dir, ignore_errors=True)
-        if staged:
-            shutil.rmtree(
-                os.path.join(index_dir, "tombstones_covered", new_name),
-                ignore_errors=True,
-            )
-        _unreserve_segment_name(index_dir, new_name)
+    try:
+        published = _write_meta_locked(index_dir, mut)
+    except BaseException:
+        _abort()
+        raise
+    if published is None:
+        _abort()
         raise RuntimeError(
             "compact_segments: input segments changed during compaction "
             "(concurrent merge/compact took them) — re-run"
@@ -492,9 +565,15 @@ def maybe_merge(
 
         now = _time.time()
         gc_tag = f"drop_{merged[0]}_{int(now)}"
-        staged = _stage_covered_tombstones(index_dir, [
-            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
-        ], tomb, gc_tag)
+        try:
+            staged = _stage_covered_tombstones(index_dir, [
+                (segments[n]["doc_id_offset"], segments[n]["max_doc_id"])
+                for n in merged
+            ], tomb, gc_tag)
+        except BaseException:
+            shutil.rmtree(os.path.join(index_dir, "tombstones_covered", gc_tag),
+                          ignore_errors=True)
+            raise
         picked: dict = {}
 
         def mut(fresh):
@@ -515,7 +594,13 @@ def maybe_merge(
             return {**fresh, "params": params, "segments": survivors,
                     "retired": retired, "covered_gc": covered_gc}
 
-        if _write_meta_locked(index_dir, mut) is None:
+        try:
+            published = _write_meta_locked(index_dir, mut)
+        except BaseException:
+            shutil.rmtree(os.path.join(index_dir, "tombstones_covered", gc_tag),
+                          ignore_errors=True)
+            raise
+        if published is None:
             if staged:
                 shutil.rmtree(
                     os.path.join(index_dir, "tombstones_covered", gc_tag),
@@ -529,26 +614,43 @@ def maybe_merge(
     # name allocated + reserved under the meta lock: a concurrent
     # auto-named append can never claim the same seg_NNNNNN (r3 review)
     new_name = _reserve_segment_name(index_dir)
-    seg_meta = _pack_segment(
-        spark, decoded, stats, os.path.join(seg_root, new_name), params,
-        segment=new_name,
-        doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
-        # inputs' doc-id high-water mark survives even if their tail docs
-        # were all tombstoned — append_segment must never reuse ids (and
-        # the floor goes into seg_meta.json too, so rebuilding root meta
-        # from per-segment files can never shrink the HWM)
-        max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
-    )
 
-    import time as _time
+    def _abort():
+        # failed/lost publication: drop the unreferenced output dir and
+        # staged covered set, release the name (r3 review: an exception
+        # after the reservation leaked all three until the TTL)
+        shutil.rmtree(os.path.join(seg_root, new_name), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "tombstones_covered", new_name),
+                      ignore_errors=True)
+        _unreserve_segment_name(index_dir, new_name)
 
-    now = _time.time()
-    # stage covered tombstones for deferred GC (their docs are physically
-    # absent from the merged output; the live rows stay until the retire
-    # grace expires so warm readers keep masking — pure hygiene after)
-    staged = tomb is not None and _stage_covered_tombstones(index_dir, [
-        (segments[n]["doc_id_offset"], segments[n]["max_doc_id"]) for n in merged
-    ], tomb, new_name)
+    try:
+        seg_meta = _pack_segment(
+            spark, decoded, stats, os.path.join(seg_root, new_name), params,
+            segment=new_name,
+            doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
+            # inputs' doc-id high-water mark survives even if their tail
+            # docs were all tombstoned — append_segment must never reuse
+            # ids (and the floor goes into seg_meta.json too, so
+            # rebuilding root meta from per-segment files can never
+            # shrink the HWM)
+            max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
+        )
+
+        import time as _time
+
+        now = _time.time()
+        # stage covered tombstones for deferred GC (their docs are
+        # physically absent from the merged output; the live rows stay
+        # until the retire grace expires so warm readers keep masking —
+        # pure hygiene after)
+        staged = tomb is not None and _stage_covered_tombstones(index_dir, [
+            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"])
+            for n in merged
+        ], tomb, new_name)
+    except BaseException:
+        _abort()
+        raise
 
     def mut(fresh):
         if any(n not in fresh["segments"] for n in merged):
@@ -583,14 +685,13 @@ def maybe_merge(
             "covered_gc": covered_gc,
         }
 
-    if _write_meta_locked(index_dir, mut) is None:
-        shutil.rmtree(os.path.join(seg_root, new_name), ignore_errors=True)
-        if staged:
-            shutil.rmtree(
-                os.path.join(index_dir, "tombstones_covered", new_name),
-                ignore_errors=True,
-            )
-        _unreserve_segment_name(index_dir, new_name)
+    try:
+        published = _write_meta_locked(index_dir, mut)
+    except BaseException:
+        _abort()
+        raise
+    if published is None:
+        _abort()
         return None
     _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, new_name))
     _purge_retired(spark, index_dir, retire_grace_s)
@@ -628,50 +729,83 @@ def _stage_covered_tombstones(
     for lo, hi in intervals:
         c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
         cond = c if cond is None else (cond | c)
-    tomb_dir = os.path.join(index_dir, "tombstones")
-    if cond is None or not os.path.exists(tomb_dir):
+    if cond is None:
         return False
     dest = os.path.join(index_dir, "tombstones_covered", tag)
     shutil.rmtree(dest, ignore_errors=True)
     removed = pinned.select("doc_id").filter(cond).distinct()
     removed.write.mode("overwrite").parquet(dest)
+    if not _written_has_rows(dest, removed):
+        # nothing covered: registering an empty tag would later trigger a
+        # pointless full-copy rewrite + generation flip (r3 review)
+        shutil.rmtree(dest, ignore_errors=True)
+        return False
     return True
+
+
+def _written_has_rows(written_dir: str, df: DataFrame) -> bool:
+    """True when the just-written parquet dir has any rows — checked on
+    the WRITTEN files (one cheap footer-count scan), not by re-running
+    the source plan."""
+    out = df.sparkSession.read.parquet(written_dir)
+    return bool(out.head(1))
 
 
 def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> None:
     """The deferred rewrite for expired ``covered_gc`` entries: drop the
-    staged covered ids from the live tombstone dir. Write-then-swap
-    under the meta lock — the tombstone APPEND in
-    ``delete_docs``/``update_docs`` takes the same lock, so a delete
-    can't slip a new tombstone file into ``tomb_dir`` between our
-    listing and the directory swap, where the rewrite (computed from the
-    earlier listing) would silently destroy it and resurrect the deleted
-    doc (r3 review)."""
-    from dbsyncer_spark.index.build import meta_lock
+    staged covered ids from the live tombstone set. The rewrite NEVER
+    touches the current generation's files (r3 review: the old in-place
+    two-rename swap could be destroyed mid-flight by a concurrent purge's
+    pre-lock cleanup, and a crash between the renames lost the whole
+    tombstone dir with no repair path): survivors are written to the
+    NEXT generation dir, the root-meta pointer flips atomically with the
+    meta write, and the old generation is retired on the same grace
+    clock as merged-away segment dirs (in-flight readers/merges pinned
+    to it keep reading real files).
 
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    Listing, rewrite, and flip all run under the meta lock — the
+    tombstone APPEND in ``delete_docs``/``update_docs`` moves its staged
+    files in under the same lock, so an append can't land in the old
+    generation between our listing and the flip (the rewrite, computed
+    from the earlier listing, would silently drop it and resurrect the
+    deleted doc). A crash anywhere before the meta write leaves only an
+    orphan next-generation dir; the retried GC (the tags stay registered
+    until this function returns) overwrites it."""
+    import time as _time
+
+    from dbsyncer_spark.index.build import atomic_write_meta, meta_lock
+
     cov_root = os.path.join(index_dir, "tombstones_covered")
-    dirs = [os.path.join(cov_root, t) for t in tags]
-    dirs = [d for d in dirs if os.path.exists(d)]
-    if dirs and os.path.exists(tomb_dir):
-        covered = spark.read.parquet(*dirs).select("doc_id").distinct()
-        tomb_tmp = tomb_dir + ".rewriting"
-        tomb_old = tomb_dir + ".old"
-        shutil.rmtree(tomb_tmp, ignore_errors=True)
-        shutil.rmtree(tomb_old, ignore_errors=True)
-        with meta_lock(index_dir):
-            keep = spark.read.parquet(tomb_dir).join(covered, "doc_id", "left_anti")
-            if keep.isEmpty():
-                shutil.rmtree(tomb_dir, ignore_errors=True)
-            else:
-                keep.write.mode("overwrite").parquet(tomb_tmp)
-                # two renames, not rmtree-then-rename: a concurrent
-                # reader's window of seeing NO tombstones (deleted docs
-                # in unmerged segments reappearing) shrinks from a
-                # recursive delete to two atomic renames
-                os.replace(tomb_dir, tomb_old)
-                os.replace(tomb_tmp, tomb_dir)
-        shutil.rmtree(tomb_old, ignore_errors=True)
+    with meta_lock(index_dir):
+        # (re-)check the staged dirs INSIDE the lock: a concurrent
+        # maintenance run's purge may have applied + deleted them since
+        # our caller listed meta (r3 review — the pre-lock listing made
+        # the second run crash on the vanished paths, or worse re-apply
+        # an already-applied GC as a pointless full rewrite)
+        dirs = [d for d in (os.path.join(cov_root, t) for t in tags)
+                if os.path.exists(d)]
+        meta = _read_root_meta(index_dir) or {}
+        cur = _active_tomb_dir(index_dir, meta)
+        if dirs and os.path.exists(cur):
+            covered = spark.read.parquet(*dirs).select("doc_id").distinct()
+            keep = spark.read.parquet(cur).join(covered, "doc_id", "left_anti")
+            nxt_name = _next_tomb_gen(os.path.basename(cur))
+            nxt = os.path.join(index_dir, nxt_name)
+            # persist: isEmpty + write would otherwise run the anti-join
+            # twice while every other meta writer is stalled on the lock
+            keep = keep.persist()
+            try:
+                if keep.isEmpty():
+                    # pointer flips to a generation with no dir at all
+                    # (readers treat the absent dir as "no tombstones")
+                    shutil.rmtree(nxt, ignore_errors=True)
+                else:
+                    keep.write.mode("overwrite").parquet(nxt)
+            finally:
+                keep.unpersist()
+            meta["tombstones_dir"] = nxt_name
+            meta.setdefault("tomb_retired", {})[os.path.basename(cur)] = _time.time()
+            atomic_write_meta(index_dir, meta)
     for d in dirs:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -732,79 +866,6 @@ def _read_root_meta(index_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _write_meta_locked(index_dir: str, mutate) -> dict | None:
-    """Re-read root meta INSIDE the meta lock, apply ``mutate`` (fresh
-    meta dict -> new meta dict, or None to abort without writing), then
-    atomic-rename write. Re-reading under the lock is what makes
-    concurrent writers compose: a merge that started from a stale
-    snapshot folds its segment swap into whatever appends / streaming
-    HWM updates landed meanwhile, instead of clobbering them with its
-    stale copy (r3 review — the lost-segment interleave)."""
-    from dbsyncer_spark.index.build import meta_lock
-
-    root = os.path.join(index_dir, "meta.json")
-    with meta_lock(index_dir):
-        with open(root) as f:
-            fresh = json.load(f)
-        meta = mutate(fresh)
-        if meta is None:
-            return None
-        tmp = root + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=2)
-        os.replace(tmp, root)
-        return meta
-
-
-#: a reserved (in-flight merge/compaction output) segment name expires
-#: after this long — long enough for any real pack job, so a crashed
-#: maintenance run can't block its name forever.
-RESERVATION_TTL_S = 24 * 3600.0
-
-
-def _reserve_segment_name(index_dir: str) -> str:
-    """Allocate the next segment name UNDER the meta lock and record it
-    in root meta's ``reserved`` (name -> walltime). Merge/compaction
-    output dirs are written under this name before they are referenced;
-    without the reservation a concurrent auto-named append could pick
-    the same seg_NNNNNN from its own unlocked snapshot and the two
-    writers would clobber each other's dir (r3 review). Appends and
-    later reservations skip live + retired + reserved names. Stale
-    entries (crashed runs) expire after ``RESERVATION_TTL_S``."""
-    import time
-
-    from dbsyncer_spark.index.build import next_segment_name
-
-    out: dict = {}
-
-    def mut(fresh):
-        now = time.time()
-        reserved = {
-            n: ts for n, ts in fresh.get("reserved", {}).items()
-            if now - ts < RESERVATION_TTL_S
-        }
-        name = next_segment_name(
-            set(fresh["segments"]) | set(fresh.get("retired", {})) | set(reserved)
-        )
-        reserved[name] = now
-        out["name"] = name
-        return {**fresh, "reserved": reserved}
-
-    _write_meta_locked(index_dir, mut)
-    return out["name"]
-
-
-def _unreserve_segment_name(index_dir: str, name: str) -> None:
-    """Release a reservation without publishing the segment (abort path)."""
-
-    def mut(fresh):
-        reserved = dict(fresh.get("reserved", {}))
-        reserved.pop(name, None)
-        return {**fresh, "reserved": reserved}
-
-    _write_meta_locked(index_dir, mut)
-
-
 def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
     """Delete segment dirs retired at least ``grace_s`` seconds ago, and
     run the deferred covered-tombstone GC for merges equally past grace.
@@ -838,9 +899,52 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
     gc_tags = [
         t for t, ts in meta.get("covered_gc", {}).items() if now - ts >= grace_s
     ]
-    if not doomed and not gc_tags:
-        return []
+    tomb_doomed = [
+        n for n, ts in meta.get("tomb_retired", {}).items() if now - ts >= grace_s
+    ]
+    # crash-orphaned append stagings (the appender died between the
+    # parquet write and the locked move): swept unconditionally — a
+    # delete-heavy index that never merges would otherwise accumulate
+    # them forever behind the early return (r3 review)
+    from dbsyncer_spark.index.build import RESERVATION_TTL_S
+
+    stage_root = os.path.join(index_dir, "tomb_staging")
+    if os.path.isdir(stage_root):
+        for n in os.listdir(stage_root):
+            p = os.path.join(stage_root, n)
+            try:
+                if now - os.path.getmtime(p) >= RESERVATION_TTL_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     seg_root = os.path.join(index_dir, "segments")
+    # orphaned partial segment dirs: a hard-crashed build's dir is in no
+    # registry (its reservation expired) but still occupies its name —
+    # reserve_segment_name skips on-disk dirs precisely so a crashed
+    # run's committed lineage stages can't be resumed as a DIFFERENT
+    # batch's data (r3 review). Sweeping once nothing inside has changed
+    # for the reservation TTL frees the disk and the name; deep mtime,
+    # not the dir's own, so a long-running explicit-named build that is
+    # still writing files is never swept.
+    if os.path.isdir(seg_root):
+        known = (set(meta["segments"]) | set(meta.get("retired", {}))
+                 | set(meta.get("reserved", {})))
+        for n in os.listdir(seg_root):
+            p = os.path.join(seg_root, n)
+            if n in known or not os.path.isdir(p):
+                continue
+            newest = os.path.getmtime(p)
+            for dirpath, _dirnames, filenames in os.walk(p):
+                for fn in filenames:
+                    try:
+                        newest = max(newest,
+                                     os.path.getmtime(os.path.join(dirpath, fn)))
+                    except OSError:
+                        pass
+            if now - newest >= RESERVATION_TTL_S:
+                shutil.rmtree(p, ignore_errors=True)
+    if not doomed and not gc_tags and not tomb_doomed:
+        return []
     if doomed and meta["segments"]:
         # rescue orphaned quarantines into the newest live segment
         rescue_to = os.path.join(
@@ -854,7 +958,18 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
         shutil.rmtree(os.path.join(seg_root, n), ignore_errors=True)
     if gc_tags:
         _gc_staged_tombstones(spark, index_dir, gc_tags)
-    gone, gone_tags = set(doomed), set(gc_tags)
+        # the GC may have just retired the then-active generation: with
+        # grace 0 (tests / explicit force) it is purgeable in this same
+        # call, so re-derive the expired set from the post-flip registry
+        fresh_meta = _read_root_meta(index_dir) or {}
+        active = os.path.basename(_active_tomb_dir(index_dir, fresh_meta))
+        tomb_doomed = [
+            n for n, ts in fresh_meta.get("tomb_retired", {}).items()
+            if time.time() - ts >= grace_s and n != active
+        ]
+    for n in tomb_doomed:
+        shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+    gone, gone_tags, gone_gens = set(doomed), set(gc_tags), set(tomb_doomed)
 
     def mut(fresh):
         return {
@@ -865,6 +980,10 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
             "covered_gc": {
                 k: v for k, v in fresh.get("covered_gc", {}).items()
                 if k not in gone_tags
+            },
+            "tomb_retired": {
+                k: v for k, v in fresh.get("tomb_retired", {}).items()
+                if k not in gone_gens
             },
         }
 

@@ -347,3 +347,99 @@ def test_covered_tombstone_gc_is_deferred_to_purge(spark, tmp_path):
     idx2 = SearchIndex(spark, d)
     assert idx2.n_docs == 112
     assert not ({r.doc_id for r in idx2.search("import", k=200).collect()} & dead)
+
+
+def test_tombstone_generation_flip_keeps_uncovered(spark, tmp_path):
+    """The covered-GC publishes its rewrite as a NEW tombstone generation
+    (root meta pointer flip) instead of rewriting the live dir in place —
+    a crash mid-swap of the old two-rename scheme could lose the whole
+    tombstone set (r3 review). Tombstones NOT covered by the merge must
+    survive the flip in the new generation."""
+    from dbsyncer_spark.streaming.incremental import _active_tomb_dir, _purge_retired
+
+    pdf = gen_corpus_pdf(n_docs=140, seed=31)
+    d = str(tmp_path / "genidx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:100], SCHEMA), d, **PARAMS)
+    append_segment(spark, spark.createDataFrame(pdf.iloc[100:120], SCHEMA),
+                   d, num_id_buckets=8)
+    append_segment(spark, spark.createDataFrame(pdf.iloc[120:140], SCHEMA),
+                   d, num_id_buckets=8)
+    idx = SearchIndex(spark, d)
+    segs = sorted(idx.meta["segments"], key=lambda n: idx.meta["segments"][n]["doc_id_offset"])
+    # covered victims: in the two small (mergeable) segments;
+    # uncovered victim: in the big untouched base segment
+    lo1 = idx.meta["segments"][segs[1]]["doc_id_offset"]
+    covered = idx.docstats().filter(F.col("doc_id") >= lo1).select("doc_id").limit(6)
+    uncovered = idx.docstats().filter(F.col("doc_id") < lo1).select("doc_id").limit(3)
+    assert delete_docs(spark, d, covered) == 6
+    assert delete_docs(spark, d, uncovered) == 3
+    uncovered_ids = {r.doc_id for r in uncovered.collect()}
+
+    meta = maybe_merge(spark, d, merge_at=2, reclaim_ratio=0.9)
+    assert meta is not None and sorted(meta["merged"]) == sorted(segs[1:])
+    _purge_retired(spark, d, 0)
+
+    root = json.load(open(os.path.join(d, "meta.json")))
+    assert root["tombstones_dir"].startswith("tombstones_g"), root
+    assert root["tomb_retired"] == {} and root["covered_gc"] == {}
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+    live_tombs = {
+        r.doc_id for r in spark.read.parquet(_active_tomb_dir(d, root)).collect()
+    }
+    assert live_tombs == uncovered_ids, "flip must keep exactly the uncovered set"
+    idx2 = SearchIndex(spark, d)
+    assert idx2.n_docs == 140 - 6  # merge dropped covered docs physically
+    hits = {r.doc_id for r in idx2.search("import", k=300).collect()}
+    assert not (hits & uncovered_ids), "uncovered tombstones must keep masking"
+
+
+def test_append_auto_name_skips_reservations(spark, tmp_path):
+    """Auto-named appends allocate their segment name under the meta lock
+    and skip names reserved by an in-flight merge/compaction (r3 review:
+    an unlocked snapshot let both writers claim the same seg_NNNNNN).
+    A failed auto append must release its reservation and remove the
+    partial dir."""
+    from dbsyncer_spark.index.build import reserve_segment_name
+
+    pdf = gen_corpus_pdf(n_docs=30, seed=33)
+    d = str(tmp_path / "residx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:20], SCHEMA), d, **PARAMS)
+    # simulate an in-flight merge holding seg_000001
+    held = reserve_segment_name(d)
+    assert held == "seg_000001"
+    meta = append_segment(spark, spark.createDataFrame(pdf.iloc[20:30], SCHEMA),
+                          d, num_id_buckets=8)
+    assert meta["segment"] == "seg_000002", "append must skip the reserved name"
+    root = json.load(open(os.path.join(d, "meta.json")))
+    assert "seg_000001" in root["reserved"], "held reservation must survive"
+    assert "seg_000002" not in root["reserved"], "publish consumes the reservation"
+
+    # failed append: null content breaks tokenize — name + dir released
+    bad = spark.createDataFrame([("r", "x.py", "c", "python", None)], SCHEMA)
+    with pytest.raises(Exception):
+        append_segment(spark, bad, d, num_id_buckets=8)
+    root2 = json.load(open(os.path.join(d, "meta.json")))
+    assert set(root2["reserved"]) == {"seg_000001"}
+    assert not os.path.exists(os.path.join(d, "segments", "seg_000003"))
+
+
+def test_publish_rejects_overlapping_doc_id_ranges(tmp_path):
+    """Doc ids are globally unique across live segments (F15): publishing
+    a segment whose id range overlaps a live one (two unserialized
+    concurrent appends) must fail loudly instead of corrupting ranges."""
+    from dbsyncer_spark.index.build import _update_root_meta_locked
+
+    d = str(tmp_path / "ovidx")
+    os.makedirs(d)
+    base = {"num_shards": 4, "range_size": 128, "block_size": 16,
+            "use_stopwords": False, "k1": 1.2, "b": 0.75}
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump({"segments": {}, "params": {}}, f)
+    _update_root_meta_locked(d, "seg_000000", {
+        **base, "n_docs": 10, "sum_dl": 100, "doc_id_offset": 0, "max_doc_id": 9})
+    with pytest.raises(ValueError, match="overlaps live segment"):
+        _update_root_meta_locked(d, "seg_000001", {
+            **base, "n_docs": 5, "sum_dl": 50, "doc_id_offset": 5, "max_doc_id": 14})
+    # re-publishing the SAME segment (idempotent retry) is fine
+    _update_root_meta_locked(d, "seg_000000", {
+        **base, "n_docs": 10, "sum_dl": 100, "doc_id_offset": 0, "max_doc_id": 9})
