@@ -707,6 +707,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a word 3-gram with
+    the held-out 'benchmark' slice (every 97th doc — a deterministic
+    stand-in for an eval suite). Broadcast benchmark shingle set; the
+    corpus side is a map-side join, never shuffled."""
+    from dbsyncer_spark.ops.dedup import contaminated_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_ids(corpus, bench, "text", "doc_id", n=3)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sampling (md5-hash membership —
+    stable across runs, retries, and cluster sizes, unlike rand())."""
+    from dbsyncer_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.5, "zh": 0.25, "de": 1.0},
+        "lang", key_col="doc_id", seed=5,
+    ).select("doc_id", "lang")
+
+
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-data mix from two corpus slices, each sampled
+    deterministically at its weight and tagged with its source name."""
+    from dbsyncer_spark.ops.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_mix(
+        [("en", docs.filter(F.col("lang") == "en"), 0.8),
+         ("rest", docs.filter(F.col("lang") != "en"), 0.3)],
+        key_col="doc_id", seed=9,
+    ).select("doc_id", "mix_source")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsyncer_spark.ops.dedup import minhash_lsh_pairs
 
@@ -928,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "decontam_ngram": q_decontam_ngram,
+        "sample_stratified": q_sample_stratified,
+        "mix_weighted": q_mix_weighted,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1146,6 +1187,36 @@ SELECT doc_a, doc_b, jaccard FROM (
   FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
              JOIN sizes sb ON inter.doc_b = sb.doc_id
 ) WHERE jaccard >= 0.8
+"""
+
+    sql["decontam_ngram"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({sh3}) AS shingle FROM toks),
+shf AS (SELECT * FROM sh WHERE shingle <> ''),
+bench AS (SELECT DISTINCT shingle FROM shf WHERE doc_id % 97 = 0)
+SELECT s.doc_id, count(*) AS n_overlap
+FROM shf s JOIN bench USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+    from dbsyncer_spark.ops.sampling import _salt, threshold_u16, u16_sql
+
+    sql["sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({u16_sql('doc_id', seed=5)}) <
+      CASE lang WHEN 'en' THEN {threshold_u16(0.5)}
+                WHEN 'zh' THEN {threshold_u16(0.25)}
+                WHEN 'de' THEN {threshold_u16(1.0)}
+                ELSE 0 END
+"""
+
+    sql["mix_weighted"] = f"""
+SELECT doc_id, 'en' AS mix_source FROM documents
+WHERE lang = 'en' AND ({u16_sql('doc_id', seed=_salt(9, 'en'))}) < {threshold_u16(0.8)}
+UNION ALL
+SELECT doc_id, 'rest' AS mix_source FROM documents
+WHERE lang <> 'en' AND ({u16_sql('doc_id', seed=_salt(9, 'rest'))}) < {threshold_u16(0.3)}
 """
 
     mh_cols = ",\n  ".join(

@@ -430,3 +430,71 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination, detection side: docs sharing at least
+    one word n-gram with any benchmark document — the standard train/test
+    overlap check (n-gram collision, n≈8-13 for prose; lower n for short
+    docs). Returns (doc_id, n_overlap): contaminated corpus docs with
+    their count of distinct colliding shingles.
+
+    Scale shape: the benchmark side (eval suites — thousands of docs,
+    ~10^5-10^6 distinct shingles) is reduced to a distinct shingle set
+    and broadcast, so the 100 TB corpus side is ONE map-side hash join —
+    the corpus is never shuffled; only the (tiny) matched subset reaches
+    the per-doc count aggregation. Set ``broadcast_bench=False`` when the
+    "benchmark" is itself huge and a shuffle semi-join is the honest
+    plan. The empty-doc sentinel shingle ('') is excluded on both sides:
+    empty text carries no contamination signal."""
+    bench_sh = (
+        _doc_shingles(benchmark, bench_text_col or text_col, id_col, n)
+        .select("shingle").filter(F.col("shingle") != "").distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = _doc_shingles(docs, text_col, id_col, n).filter(F.col("shingle") != "")
+    return (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination, removal side: ``docs`` minus every row
+    sharing an n-gram with the benchmark. Cheaper than
+    ``contaminated_ids`` + anti-join by id: no per-doc overlap count is
+    aggregated — the matched shingle stream feeds the anti-join directly
+    (anti-join semantics absorb duplicate ids), and with a broadcast
+    benchmark the whole contaminated-id derivation is map-only over the
+    corpus; AQE broadcasts the (tiny) id set for the final anti-join."""
+    bench_sh = (
+        _doc_shingles(benchmark, bench_text_col or text_col, id_col, n)
+        .select("shingle").filter(F.col("shingle") != "").distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    bad = (
+        _doc_shingles(docs, text_col, id_col, n)
+        .filter(F.col("shingle") != "")
+        .join(bench_sh, "shingle")
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(bad, id_col, "left_anti")

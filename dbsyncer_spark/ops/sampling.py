@@ -1,0 +1,158 @@
+"""Deterministic sampling / dataset-mixing operators for training-data
+pipelines.
+
+A 100 TB training mix cannot use ``rand()``: Spark re-executes lost
+tasks, AQE re-plans stages, and two cluster sizes split the input
+differently — non-deterministic sampling yields a different dataset on
+every run/retry/scale, which breaks dataset reproducibility, ablation
+comparisons, and incremental re-runs. Every operator here derives its
+randomness from ``md5(seed ':' key)`` instead: a pure, portable Column
+expression, so
+
+- the same (seed, key) always draws the same uniform — on any executor
+  count, any retry, any engine (the DuckDB oracle reproduces it exactly,
+  see ``u16_sql``);
+- membership is a per-row map-only decision: zero shuffle, no UDFs,
+  whole-stage codegen end to end — the selectivity filter pushes down to
+  the parquet/Iceberg scan boundary like any other predicate.
+
+Fractions quantize to 1/65536 (the first 4 md5 hex chars): at any
+real corpus size the quantization error is far below sampling noise.
+
+The reference has no sampling surface (it syncs full tables); these
+operators cover the training-pipeline needs layered on the same corpus
+(SURVEY.md "beyond the reference" mandate), next to ops.dedup /
+ops.textstats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: denominator of the quantized uniform: first 4 md5 hex chars.
+U16_SPACE = 65536
+
+
+def hash_u16(key: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform draw in [0, 65536) from md5(seed ':' key).
+
+    Column-only (md5 + substring + base-16 conv): identical on every
+    engine that has md5 — the cross-engine contract the DuckDB oracle
+    checks via ``u16_sql``."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+
+
+def u16_sql(key_expr: str, seed: int = 0) -> str:
+    """The ANSI-ish SQL twin of ``hash_u16`` (DuckDB-compatible): nibble
+    arithmetic over the same md5 prefix, so oracle checks reproduce the
+    engine's draws bit-for-bit."""
+    h = f"md5('{seed}:' || CAST({key_expr} AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    return " + ".join(
+        f"{nib.format(h=h, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+
+
+def threshold_u16(fraction: float) -> int:
+    """Quantized keep-threshold for a sampling fraction (round-to-nearest
+    of fraction * 65536, clamped to the valid range)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return min(U16_SPACE, max(0, round(fraction * U16_SPACE)))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep ~fraction of rows, decided per row by hash(seed, key): stable
+    across runs, retries, and cluster sizes (unlike ``df.sample``, whose
+    output depends on partitioning). Map-only — no shuffle, no UDF."""
+    return df.filter(hash_u16(key_col, seed) < F.lit(threshold_u16(fraction)))
+
+
+def split_train_eval(
+    df: DataFrame,
+    eval_fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'train' or 'eval' by the same deterministic draw —
+    the standard held-out split that must not move between pipeline runs
+    (an unstable split leaks eval docs into training). Disjoint and
+    exhaustive by construction."""
+    u = hash_u16(key_col, seed)
+    return df.withColumn(
+        split_col,
+        F.when(u < F.lit(threshold_u16(eval_fraction)), F.lit("eval"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum value -> fraction
+    (e.g. per-language quotas when rebalancing a multilingual corpus).
+    Strata absent from ``fractions`` keep ``default_fraction``.
+
+    The per-stratum threshold folds into ONE CASE expression — still
+    map-only with the filter at the scan; no join against a quota table,
+    no shuffle, and adding a stratum never re-draws other strata (each
+    row's uniform depends only on (seed, key))."""
+    thr = F.lit(threshold_u16(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(threshold_u16(frac))
+        ).otherwise(thr)
+    return df.filter(hash_u16(key_col, seed) < thr)
+
+
+def weighted_mix(
+    sources: list,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Compose a training mix from weighted sources: each (name, df,
+    weight<=1) contributes a deterministic ``weight``-fraction sample,
+    tagged with its name, unioned by name. The per-source draw salts the
+    seed with the source name, so a doc present in two sources is
+    sampled independently in each (corpus overlap must not correlate the
+    draws). Union of map-only filters: the mix is a zero-shuffle plan
+    whose branches read in parallel; downstream shuffles see the already
+    down-sampled volume.
+
+    Weights above 1 (epoch-style oversampling) are rejected — duplicate
+    rows need an explicit repeat policy, not a silent one."""
+    if not sources:
+        raise ValueError("weighted_mix needs at least one (name, df, weight)")
+    parts = []
+    for name, df, weight in sources:
+        if weight > 1.0:
+            raise ValueError(
+                f"source {name!r} weight {weight} > 1: oversampling needs an "
+                "explicit repeat policy, not a sampling fraction"
+            )
+        parts.append(
+            deterministic_sample(df, weight, key_col, seed=_salt(seed, name))
+            .withColumn(source_col, F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _salt(seed: int, name: str) -> int:
+    """Fold a source name into the integer seed, deterministically and
+    portably (sum of bytes — reproducible in SQL for the oracle)."""
+    return seed * 1000003 + sum(name.encode())

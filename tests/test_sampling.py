@@ -1,0 +1,154 @@
+"""Deterministic sampling / mixing ops (ops/sampling.py) and benchmark
+decontamination (ops/dedup.py): reproducibility across partitionings,
+cross-engine parity of the hash draw, and the map-only plan shapes."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.ops.dedup import contaminated_ids, decontaminate
+from dbsyncer_spark.ops.sampling import (
+    deterministic_sample,
+    hash_u16,
+    split_train_eval,
+    stratified_sample,
+    threshold_u16,
+    u16_sql,
+    weighted_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"word{i} alpha beta gamma delta{i % 7} epsilon zeta", ["en", "de", "fr"][i % 3])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+    df.count()
+    return df
+
+
+def test_hash_u16_matches_duckdb_oracle(spark, docs):
+    got = {
+        r.doc_id: r.u
+        for r in docs.select("doc_id", hash_u16("doc_id", seed=7).alias("u")).collect()
+    }
+    con = duckdb.connect()
+    expr = u16_sql("i", seed=7)
+    want = {
+        i: u for i, u in con.sql(
+            f"SELECT i, {expr} AS u FROM (SELECT range AS i FROM range(600))"
+        ).fetchall()
+    }
+    assert got == want
+    assert all(0 <= u < 65536 for u in got.values())
+
+
+def test_deterministic_sample_stable_across_partitionings(spark, docs):
+    a = {r.doc_id for r in deterministic_sample(docs, 0.3, seed=1).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17, "lang"), 0.3, seed=1).collect()
+    }
+    assert a == b, "membership must not depend on partitioning"
+    # quantized-threshold semantics: membership is exactly u < thr
+    thr = threshold_u16(0.3)
+    u = {
+        r.doc_id: r.u
+        for r in docs.select("doc_id", hash_u16("doc_id", 1).alias("u")).collect()
+    }
+    assert a == {i for i, v in u.items() if v < thr}
+    # ~30% of 600 within generous tolerance
+    assert 120 <= len(a) <= 240
+
+
+def test_split_train_eval_disjoint_exhaustive(spark, docs):
+    out = split_train_eval(docs, 0.2, seed=3).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "eval"} and sum(counts.values()) == 600
+    # same seed = same split; different seed = different split
+    again = split_train_eval(docs, 0.2, seed=3)
+    assert again.filter(F.col("split") == "eval").count() == counts["eval"]
+    other = split_train_eval(docs, 0.2, seed=4).filter(F.col("split") == "eval")
+    assert {r.doc_id for r in other.collect()} != {
+        r.doc_id
+        for r in split_train_eval(docs, 0.2, seed=3)
+        .filter(F.col("split") == "eval").collect()
+    }
+
+
+def test_stratified_sample_per_stratum(spark, docs):
+    fr = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    got = stratified_sample(docs, fr, "lang", seed=5)
+    by_lang = {r.lang: r["count"] for r in got.groupBy("lang").count().collect()}
+    assert by_lang.get("fr", 0) == 0
+    assert by_lang["en"] == 200  # fraction 1.0 keeps every row
+    # de: exact membership check against the draw
+    thr = threshold_u16(0.5)
+    de_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("lang") == "de")
+        .select("doc_id", hash_u16("doc_id", 5).alias("u"))
+        .filter(F.col("u") < thr).collect()
+    }
+    assert {r.doc_id for r in got.filter(F.col("lang") == "de").collect()} == de_ids
+
+
+def test_stratified_sample_is_map_only(docs):
+    plan = stratified_sample(docs, {"en": 0.5}, "lang")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "stratified sampling must not shuffle"
+
+
+def test_weighted_mix_tags_and_independence(spark, docs):
+    py = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    mix = weighted_mix([("en", py, 0.9), ("rest", rest, 0.25)], seed=11)
+    tags = {r.mix_source for r in mix.select("mix_source").distinct().collect()}
+    assert tags == {"en", "rest"}
+    n_en = mix.filter(F.col("mix_source") == "en").count()
+    assert 150 <= n_en <= 200  # ~0.9 * 200
+    # same doc under two source names draws independently (salted seed)
+    both = weighted_mix([("a", py, 0.5), ("b", py, 0.5)], seed=11)
+    ids_a = {r.doc_id for r in both.filter(F.col("mix_source") == "a").collect()}
+    ids_b = {r.doc_id for r in both.filter(F.col("mix_source") == "b").collect()}
+    assert ids_a != ids_b
+    with pytest.raises(ValueError, match="explicit repeat policy"):
+        weighted_mix([("x", py, 1.5)])
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "entirely unrelated content about spark pipelines"),
+            (2, "prefix words then the quick brown fox appears here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox"), (101, "")], "doc_id long, text string"
+    )
+    bad = contaminated_ids(corpus, bench, n=3)
+    got = {r.doc_id: r.n_overlap for r in bad.collect()}
+    assert set(got) == {0, 2}
+    assert got[0] == 1 and got[2] == 1  # the single shared 3-gram
+    clean = decontaminate(corpus, bench, n=3)
+    assert {r.doc_id for r in clean.collect()} == {1, 3}, \
+        "empty docs must never count as contaminated"
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id long, text string")
+    plan = (
+        contaminated_ids(corpus, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, \
+        "benchmark shingles must broadcast — the corpus side is never shuffled"
