@@ -745,6 +745,20 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "mix_source")
 
 
+def q_mix_oversampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix with an epoch-repeat source (weight > 1): zh docs ~2.5x
+    (every doc twice, a hash-chosen half thrice, copies numbered in
+    `epoch`) next to a 0.5-sampled en slice."""
+    from dbsyncer_spark.ops.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_mix(
+        [("zh", docs.filter(F.col("lang") == "zh"), 2.5),
+         ("en", docs.filter(F.col("lang") == "en"), 0.5)],
+        key_col="doc_id", seed=13,
+    ).select("doc_id", "mix_source", F.col("epoch").cast("int").alias("epoch"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsyncer_spark.ops.dedup import minhash_lsh_pairs
 
@@ -969,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngram": q_decontam_ngram,
         "sample_stratified": q_sample_stratified,
         "mix_weighted": q_mix_weighted,
+        "mix_oversampled": q_mix_oversampled,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1217,6 +1232,20 @@ WHERE lang = 'en' AND ({u16_sql('doc_id', seed=_salt(9, 'en'))}) < {threshold_u1
 UNION ALL
 SELECT doc_id, 'rest' AS mix_source FROM documents
 WHERE lang <> 'en' AND ({u16_sql('doc_id', seed=_salt(9, 'rest'))}) < {threshold_u16(0.3)}
+"""
+
+    sql["mix_oversampled"] = f"""
+WITH zh AS (
+  SELECT doc_id,
+         2 + CASE WHEN ({u16_sql('doc_id', seed=_salt(13, 'zh'))})
+                       < {threshold_u16(0.5)} THEN 1 ELSE 0 END AS n
+  FROM documents WHERE lang = 'zh')
+SELECT doc_id, 'zh' AS mix_source,
+       CAST(unnest(generate_series(0, n - 1)) AS INTEGER) AS epoch FROM zh
+UNION ALL
+SELECT doc_id, 'en' AS mix_source, 0 AS epoch FROM documents
+WHERE lang = 'en'
+  AND ({u16_sql('doc_id', seed=_salt(13, 'en'))}) < {threshold_u16(0.5)}
 """
 
     mh_cols = ",\n  ".join(

@@ -116,36 +116,67 @@ def stratified_sample(
     return df.filter(hash_u16(key_col, seed) < thr)
 
 
+def oversample(
+    df: DataFrame,
+    factor: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    copy_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional repetition — the epoch policy for mix
+    weights above 1. factor=2.3: every row appears twice, and a
+    hash-chosen 30% of keys appear a third time; factor=0.3 degrades to
+    plain sampling. Copies are distinguished by ``copy_col`` (0-based),
+    so a downstream exact-dedup pass doesn't silently undo the repeats
+    and shuffles hash distinct (key, epoch) pairs. Map-only: one
+    ``explode(sequence(...))`` per row, no shuffle, and the expected
+    output size is exactly factor x input."""
+    if factor < 0:
+        raise ValueError(f"factor must be >= 0, got {factor}")
+    base = int(factor)
+    extra = (hash_u16(key_col, seed) < F.lit(threshold_u16(factor - base))).cast("int")
+    n = F.lit(base) + extra
+    return (
+        df.withColumn("__n_copies", n)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
 def weighted_mix(
     sources: list,
     key_col: str = "doc_id",
     seed: int = 0,
     source_col: str = "mix_source",
+    copy_col: str = "epoch",
 ) -> DataFrame:
     """Compose a training mix from weighted sources: each (name, df,
-    weight<=1) contributes a deterministic ``weight``-fraction sample,
-    tagged with its name, unioned by name. The per-source draw salts the
-    seed with the source name, so a doc present in two sources is
-    sampled independently in each (corpus overlap must not correlate the
-    draws). Union of map-only filters: the mix is a zero-shuffle plan
-    whose branches read in parallel; downstream shuffles see the already
-    down-sampled volume.
-
-    Weights above 1 (epoch-style oversampling) are rejected — duplicate
-    rows need an explicit repeat policy, not a silent one."""
+    weight) contributes a deterministic sample, tagged with its name,
+    unioned by name. weight <= 1 samples that fraction of the source;
+    weight > 1 oversamples with the explicit epoch policy (``oversample``
+    — whole repeats plus a hash-chosen fraction, copies numbered in
+    ``copy_col``; epoch is 0 for plain-sampled sources so the schema is
+    uniform). The per-source draw salts the seed with the source name,
+    so a doc present in two sources is sampled independently in each
+    (corpus overlap must not correlate the draws). Union of map-only
+    branches: the mix is a zero-shuffle plan whose branches read in
+    parallel; downstream shuffles see the already-resampled volume."""
     if not sources:
         raise ValueError("weighted_mix needs at least one (name, df, weight)")
     parts = []
     for name, df, weight in sources:
         if weight > 1.0:
-            raise ValueError(
-                f"source {name!r} weight {weight} > 1: oversampling needs an "
-                "explicit repeat policy, not a sampling fraction"
-            )
-        parts.append(
-            deterministic_sample(df, weight, key_col, seed=_salt(seed, name))
-            .withColumn(source_col, F.lit(name))
-        )
+            part = oversample(df, weight, key_col, seed=_salt(seed, name),
+                              copy_col=copy_col)
+        else:
+            part = deterministic_sample(
+                df, weight, key_col, seed=_salt(seed, name)
+            ).withColumn(copy_col, F.lit(0))
+        parts.append(part.withColumn(source_col, F.lit(name)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

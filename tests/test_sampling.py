@@ -115,8 +115,39 @@ def test_weighted_mix_tags_and_independence(spark, docs):
     ids_a = {r.doc_id for r in both.filter(F.col("mix_source") == "a").collect()}
     ids_b = {r.doc_id for r in both.filter(F.col("mix_source") == "b").collect()}
     assert ids_a != ids_b
-    with pytest.raises(ValueError, match="explicit repeat policy"):
-        weighted_mix([("x", py, 1.5)])
+
+
+def test_oversample_fractional_repeats(spark, docs):
+    from dbsyncer_spark.ops.sampling import hash_u16, oversample, threshold_u16
+
+    out = oversample(docs, 2.25, seed=21)
+    # exact expected count: 2*N + |{u < thr(0.25)}|
+    thr = threshold_u16(0.25)
+    n_extra = docs.filter(hash_u16("doc_id", 21) < thr).count()
+    assert out.count() == 2 * 600 + n_extra
+    per_doc = {r.doc_id: r["count"] for r in out.groupBy("doc_id").count().collect()}
+    assert set(per_doc.values()) <= {2, 3} and len(per_doc) == 600
+    epochs = {r.epoch for r in out.select("epoch").distinct().collect()}
+    assert epochs == {0, 1, 2}
+    # factor < 1 degrades to plain sampling, epoch all 0
+    small = oversample(docs, 0.3, seed=21)
+    assert small.count() < 600
+    assert {r.epoch for r in small.select("epoch").distinct().collect()} == {0}
+    # map-only plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match=">= 0"):
+        oversample(docs, -1.0)
+
+
+def test_weighted_mix_oversampling_source(spark, docs):
+    from dbsyncer_spark.ops.sampling import weighted_mix
+
+    de = docs.filter(F.col("lang") == "de")
+    mix = weighted_mix([("de", de, 2.0), ("all", docs, 0.1)], seed=7)
+    assert mix.filter(F.col("mix_source") == "de").count() == 2 * 200
+    assert {r.epoch for r in mix.filter(F.col("mix_source") == "all")
+            .select("epoch").distinct().collect()} == {0}
 
 
 def test_decontaminate_removes_ngram_overlap(spark):
