@@ -1215,37 +1215,37 @@ WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
 """
 
-    from dbsyncer_spark.ops.sampling import _salt, threshold_u16, u16_sql
+    from dbsyncer_spark.ops.sampling import _salt, threshold_u32, u32_sql
 
     sql["sample_stratified"] = f"""
 SELECT doc_id, lang FROM documents
-WHERE ({u16_sql('doc_id', seed=5)}) <
-      CASE lang WHEN 'en' THEN {threshold_u16(0.5)}
-                WHEN 'zh' THEN {threshold_u16(0.25)}
-                WHEN 'de' THEN {threshold_u16(1.0)}
+WHERE ({u32_sql('doc_id', seed=5)}) <
+      CASE lang WHEN 'en' THEN {threshold_u32(0.5)}
+                WHEN 'zh' THEN {threshold_u32(0.25)}
+                WHEN 'de' THEN {threshold_u32(1.0)}
                 ELSE 0 END
 """
 
     sql["mix_weighted"] = f"""
 SELECT doc_id, 'en' AS mix_source FROM documents
-WHERE lang = 'en' AND ({u16_sql('doc_id', seed=_salt(9, 'en'))}) < {threshold_u16(0.8)}
+WHERE lang = 'en' AND ({u32_sql('doc_id', seed=_salt(9, 'en'))}) < {threshold_u32(0.8)}
 UNION ALL
 SELECT doc_id, 'rest' AS mix_source FROM documents
-WHERE lang <> 'en' AND ({u16_sql('doc_id', seed=_salt(9, 'rest'))}) < {threshold_u16(0.3)}
+WHERE lang <> 'en' AND ({u32_sql('doc_id', seed=_salt(9, 'rest'))}) < {threshold_u32(0.3)}
 """
 
     sql["mix_oversampled"] = f"""
 WITH zh AS (
   SELECT doc_id,
-         2 + CASE WHEN ({u16_sql('doc_id', seed=_salt(13, 'zh'))})
-                       < {threshold_u16(0.5)} THEN 1 ELSE 0 END AS n
+         2 + CASE WHEN ({u32_sql('doc_id', seed=_salt(13, 'zh'))})
+                       < {threshold_u32(0.5)} THEN 1 ELSE 0 END AS n
   FROM documents WHERE lang = 'zh')
 SELECT doc_id, 'zh' AS mix_source,
        CAST(unnest(generate_series(0, n - 1)) AS INTEGER) AS epoch FROM zh
 UNION ALL
 SELECT doc_id, 'en' AS mix_source, 0 AS epoch FROM documents
 WHERE lang = 'en'
-  AND ({u16_sql('doc_id', seed=_salt(13, 'en'))}) < {threshold_u16(0.5)}
+  AND ({u32_sql('doc_id', seed=_salt(13, 'en'))}) < {threshold_u32(0.5)}
 """
 
     mh_cols = ",\n  ".join(

@@ -432,6 +432,54 @@ def simhash_near_pairs(
     )
 
 
+def _bench_shingles(
+    benchmark: DataFrame, text_col: str, id_col: str, n: int, broadcast: bool
+) -> DataFrame:
+    """Distinct benchmark shingle set (the probe side of decontamination).
+    The empty-doc sentinel shingle ('') is excluded: empty text carries
+    no contamination signal."""
+    sh = (
+        _doc_shingles(benchmark, text_col, id_col, n)
+        .select("shingle").filter(F.col("shingle") != "").distinct()
+    )
+    return F.broadcast(sh) if broadcast else sh
+
+
+def _bench_short_lengths(benchmark: DataFrame, text_col: str, n: int) -> list:
+    """Distinct token lengths of benchmark docs SHORTER than n. Bounded
+    driver collect: at most n-1 values regardless of benchmark size."""
+    from dbsyncer_spark.functions.tokenizer import tokens_col
+
+    rows = (
+        benchmark.select(F.size(tokens_col(text_col)).alias("k"))
+        .filter((F.col("k") > 0) & (F.col("k") < n))
+        .distinct().collect()
+    )
+    return sorted({int(r.k) for r in rows})
+
+
+def _corpus_shingle_stream(
+    docs: DataFrame, text_col: str, id_col: str, n: int, short_ks: list
+) -> DataFrame:
+    """Corpus shingles at length n, PLUS k-gram streams for every k in
+    ``short_ks`` — the token lengths of benchmark docs shorter than n.
+    A short benchmark doc's only shingle is its whole text (L tokens,
+    L < n); a long corpus doc emits n-grams only, so without the extra
+    L-gram pass the short eval item hiding inside a longer training doc
+    is silently missed (r3 review — QA benchmarks are full of short
+    items). Each extra k is one more map pass over the corpus, restricted
+    to docs with MORE than k tokens (docs with <= k tokens are already
+    covered by their whole-text shingle in the n-stream, and the filter
+    keeps the union duplicate-free so overlap counts stay exact)."""
+    from dbsyncer_spark.functions.tokenizer import tokens_col
+
+    sh = _doc_shingles(docs, text_col, id_col, n)
+    for k in short_ks:
+        longer = docs.filter(F.size(tokens_col(text_col)) > k)
+        sh = sh.unionByName(_doc_shingles(longer, text_col, id_col, k))
+    return sh.filter(F.col("shingle") != "")
+
+
 def contaminated_ids(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -445,23 +493,23 @@ def contaminated_ids(
     one word n-gram with any benchmark document — the standard train/test
     overlap check (n-gram collision, n≈8-13 for prose; lower n for short
     docs). Returns (doc_id, n_overlap): contaminated corpus docs with
-    their count of distinct colliding shingles.
+    their count of distinct colliding shingles. Benchmark docs shorter
+    than n tokens are matched whole, inside longer corpus docs too (see
+    ``_corpus_shingle_stream``).
 
     Scale shape: the benchmark side (eval suites — thousands of docs,
     ~10^5-10^6 distinct shingles) is reduced to a distinct shingle set
-    and broadcast, so the 100 TB corpus side is ONE map-side hash join —
-    the corpus is never shuffled; only the (tiny) matched subset reaches
-    the per-doc count aggregation. Set ``broadcast_bench=False`` when the
-    "benchmark" is itself huge and a shuffle semi-join is the honest
-    plan. The empty-doc sentinel shingle ('') is excluded on both sides:
-    empty text carries no contamination signal."""
-    bench_sh = (
-        _doc_shingles(benchmark, bench_text_col or text_col, id_col, n)
-        .select("shingle").filter(F.col("shingle") != "").distinct()
+    and broadcast, so the corpus side joins map-side; the only corpus
+    exchange is ``_spread``'s small-input repartition, which is a no-op
+    once the scan yields >= cores splits (always true at 100 TB). Only
+    the (tiny) matched subset reaches the per-doc count aggregation. Set
+    ``broadcast_bench=False`` when the "benchmark" is itself huge and a
+    shuffle semi-join is the honest plan."""
+    bench_sh = _bench_shingles(
+        benchmark, bench_text_col or text_col, id_col, n, broadcast_bench
     )
-    if broadcast_bench:
-        bench_sh = F.broadcast(bench_sh)
-    doc_sh = _doc_shingles(docs, text_col, id_col, n).filter(F.col("shingle") != "")
+    short_ks = _bench_short_lengths(benchmark, bench_text_col or text_col, n)
+    doc_sh = _corpus_shingle_stream(docs, text_col, id_col, n, short_ks)
     return (
         doc_sh.join(bench_sh, "shingle")
         .groupBy("doc_id")
@@ -479,21 +527,19 @@ def decontaminate(
     broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination, removal side: ``docs`` minus every row
-    sharing an n-gram with the benchmark. Cheaper than
-    ``contaminated_ids`` + anti-join by id: no per-doc overlap count is
-    aggregated — the matched shingle stream feeds the anti-join directly
-    (anti-join semantics absorb duplicate ids), and with a broadcast
-    benchmark the whole contaminated-id derivation is map-only over the
-    corpus; AQE broadcasts the (tiny) id set for the final anti-join."""
-    bench_sh = (
-        _doc_shingles(benchmark, bench_text_col or text_col, id_col, n)
-        .select("shingle").filter(F.col("shingle") != "").distinct()
+    sharing an n-gram with the benchmark (short benchmark docs matched
+    whole, like ``contaminated_ids``). Cheaper than ``contaminated_ids``
+    + anti-join by id: no per-doc overlap count is aggregated — the
+    matched shingle stream feeds the anti-join directly (anti-join
+    semantics absorb duplicate ids), and with a broadcast benchmark the
+    contaminated-id derivation joins map-side over the corpus; AQE
+    broadcasts the (tiny) id set for the final anti-join."""
+    bench_sh = _bench_shingles(
+        benchmark, bench_text_col or text_col, id_col, n, broadcast_bench
     )
-    if broadcast_bench:
-        bench_sh = F.broadcast(bench_sh)
+    short_ks = _bench_short_lengths(benchmark, bench_text_col or text_col, n)
     bad = (
-        _doc_shingles(docs, text_col, id_col, n)
-        .filter(F.col("shingle") != "")
+        _corpus_shingle_stream(docs, text_col, id_col, n, short_ks)
         .join(bench_sh, "shingle")
         .select(F.col("doc_id").alias(id_col))
     )

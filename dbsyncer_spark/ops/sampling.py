@@ -11,13 +11,15 @@ expression, so
 
 - the same (seed, key) always draws the same uniform — on any executor
   count, any retry, any engine (the DuckDB oracle reproduces it exactly,
-  see ``u16_sql``);
+  see ``u32_sql``);
 - membership is a per-row map-only decision: zero shuffle, no UDFs,
   whole-stage codegen end to end — the selectivity filter pushes down to
   the parquet/Iceberg scan boundary like any other predicate.
 
-Fractions quantize to 1/65536 (the first 4 md5 hex chars): at any
-real corpus size the quantization error is far below sampling noise.
+Fractions quantize to 1/2^32 (the first 8 md5 hex chars) — fine enough
+that even a 1e-9 fraction of a 10^10-doc corpus resolves with <0.3%
+relative error; a nonzero fraction that would quantize to zero raises
+instead of silently returning an empty sample.
 
 The reference has no sampling surface (it syncs full tables); these
 operators cover the training-pipeline needs layered on the same corpus
@@ -30,38 +32,46 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: denominator of the quantized uniform: first 4 md5 hex chars.
-U16_SPACE = 65536
+#: denominator of the quantized uniform: first 8 md5 hex chars.
+U32_SPACE = 1 << 32
 
 
-def hash_u16(key: Column | str, seed: int = 0) -> Column:
-    """Deterministic uniform draw in [0, 65536) from md5(seed ':' key).
+def hash_u32(key: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform draw in [0, 2^32) from md5(seed ':' key).
 
     Column-only (md5 + substring + base-16 conv): identical on every
     engine that has md5 — the cross-engine contract the DuckDB oracle
-    checks via ``u16_sql``."""
+    checks via ``u32_sql``."""
     key = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
-def u16_sql(key_expr: str, seed: int = 0) -> str:
-    """The ANSI-ish SQL twin of ``hash_u16`` (DuckDB-compatible): nibble
+def u32_sql(key_expr: str, seed: int = 0) -> str:
+    """The ANSI-ish SQL twin of ``hash_u32`` (DuckDB-compatible): nibble
     arithmetic over the same md5 prefix, so oracle checks reproduce the
     engine's draws bit-for-bit."""
     h = f"md5('{seed}:' || CAST({key_expr} AS VARCHAR))"
     nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
     return " + ".join(
-        f"{nib.format(h=h, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+        f"{nib.format(h=h, i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
     )
 
 
-def threshold_u16(fraction: float) -> int:
+def threshold_u32(fraction: float) -> int:
     """Quantized keep-threshold for a sampling fraction (round-to-nearest
-    of fraction * 65536, clamped to the valid range)."""
+    of fraction * 2^32). A nonzero fraction that quantizes to zero raises
+    — silently keeping nothing is never what the caller meant (r3
+    review: at u16 resolution, a 1e-6 sample of a 10^10-doc corpus
+    silently returned empty)."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return min(U16_SPACE, max(0, round(fraction * U16_SPACE)))
+    thr = min(U32_SPACE, max(0, round(fraction * U32_SPACE)))
+    if fraction > 0 and thr == 0:
+        raise ValueError(
+            f"fraction {fraction} is below the 1/2^32 sampling resolution"
+        )
+    return thr
 
 
 def deterministic_sample(
@@ -70,7 +80,7 @@ def deterministic_sample(
     """Keep ~fraction of rows, decided per row by hash(seed, key): stable
     across runs, retries, and cluster sizes (unlike ``df.sample``, whose
     output depends on partitioning). Map-only — no shuffle, no UDF."""
-    return df.filter(hash_u16(key_col, seed) < F.lit(threshold_u16(fraction)))
+    return df.filter(hash_u32(key_col, seed) < F.lit(threshold_u32(fraction)))
 
 
 def split_train_eval(
@@ -84,10 +94,11 @@ def split_train_eval(
     the standard held-out split that must not move between pipeline runs
     (an unstable split leaks eval docs into training). Disjoint and
     exhaustive by construction."""
-    u = hash_u16(key_col, seed)
+    _no_clobber(df, split_col)
+    u = hash_u32(key_col, seed)
     return df.withColumn(
         split_col,
-        F.when(u < F.lit(threshold_u16(eval_fraction)), F.lit("eval"))
+        F.when(u < F.lit(threshold_u32(eval_fraction)), F.lit("eval"))
         .otherwise(F.lit("train")),
     )
 
@@ -108,12 +119,12 @@ def stratified_sample(
     map-only with the filter at the scan; no join against a quota table,
     no shuffle, and adding a stratum never re-draws other strata (each
     row's uniform depends only on (seed, key))."""
-    thr = F.lit(threshold_u16(default_fraction))
+    thr = F.lit(threshold_u32(default_fraction))
     for value, frac in sorted(fractions.items()):
         thr = F.when(
-            F.col(strata_col) == F.lit(value), F.lit(threshold_u16(frac))
+            F.col(strata_col) == F.lit(value), F.lit(threshold_u32(frac))
         ).otherwise(thr)
-    return df.filter(hash_u16(key_col, seed) < thr)
+    return df.filter(hash_u32(key_col, seed) < thr)
 
 
 def oversample(
@@ -133,8 +144,9 @@ def oversample(
     output size is exactly factor x input."""
     if factor < 0:
         raise ValueError(f"factor must be >= 0, got {factor}")
+    _no_clobber(df, copy_col, "__n_copies")
     base = int(factor)
-    extra = (hash_u16(key_col, seed) < F.lit(threshold_u16(factor - base))).cast("int")
+    extra = (hash_u32(key_col, seed) < F.lit(threshold_u32(factor - base))).cast("int")
     n = F.lit(base) + extra
     return (
         df.withColumn("__n_copies", n)
@@ -167,6 +179,8 @@ def weighted_mix(
     parallel; downstream shuffles see the already-resampled volume."""
     if not sources:
         raise ValueError("weighted_mix needs at least one (name, df, weight)")
+    for _name, df, _w in sources:
+        _no_clobber(df, source_col, copy_col)
     parts = []
     for name, df, weight in sources:
         if weight > 1.0:
@@ -183,7 +197,27 @@ def weighted_mix(
     return out
 
 
+def _no_clobber(df: DataFrame, *cols: str) -> None:
+    """withColumn silently OVERWRITES an existing column — a source that
+    already carries e.g. an 'epoch' column would lose it to the mix's
+    copy counter with no error (r3 review). Raise instead; callers pick
+    non-colliding names via the *_col parameters."""
+    hit = [c for c in cols if c in df.columns]
+    if hit:
+        raise ValueError(
+            f"column(s) {hit} already exist on the input DataFrame — pass "
+            "different output column name(s)"
+        )
+
+
 def _salt(seed: int, name: str) -> int:
     """Fold a source name into the integer seed, deterministically and
-    portably (sum of bytes — reproducible in SQL for the oracle)."""
-    return seed * 1000003 + sum(name.encode())
+    portably. md5-based, NOT a byte sum: anagram names ('en-v2' vs
+    'v2-en') must not collide, or their draws correlate perfectly and
+    overlapping sources stop sampling independently (r3 review). The
+    salted seed is a plain int, so oracle SQL built in Python embeds it
+    verbatim — nothing to reproduce engine-side."""
+    import hashlib
+
+    digest = hashlib.md5(f"{seed}:{name}".encode()).hexdigest()
+    return int(digest[:12], 16)

@@ -11,11 +11,11 @@ from pyspark.sql import functions as F
 from dbsyncer_spark.ops.dedup import contaminated_ids, decontaminate
 from dbsyncer_spark.ops.sampling import (
     deterministic_sample,
-    hash_u16,
+    hash_u32,
     split_train_eval,
     stratified_sample,
-    threshold_u16,
-    u16_sql,
+    threshold_u32,
+    u32_sql,
     weighted_mix,
 )
 
@@ -31,20 +31,20 @@ def docs(spark):
     return df
 
 
-def test_hash_u16_matches_duckdb_oracle(spark, docs):
+def test_hash_u32_matches_duckdb_oracle(spark, docs):
     got = {
         r.doc_id: r.u
-        for r in docs.select("doc_id", hash_u16("doc_id", seed=7).alias("u")).collect()
+        for r in docs.select("doc_id", hash_u32("doc_id", seed=7).alias("u")).collect()
     }
     con = duckdb.connect()
-    expr = u16_sql("i", seed=7)
+    expr = u32_sql("i", seed=7)
     want = {
         i: u for i, u in con.sql(
             f"SELECT i, {expr} AS u FROM (SELECT range AS i FROM range(600))"
         ).fetchall()
     }
     assert got == want
-    assert all(0 <= u < 65536 for u in got.values())
+    assert all(0 <= u < (1 << 32) for u in got.values())
 
 
 def test_deterministic_sample_stable_across_partitionings(spark, docs):
@@ -55,10 +55,10 @@ def test_deterministic_sample_stable_across_partitionings(spark, docs):
     }
     assert a == b, "membership must not depend on partitioning"
     # quantized-threshold semantics: membership is exactly u < thr
-    thr = threshold_u16(0.3)
+    thr = threshold_u32(0.3)
     u = {
         r.doc_id: r.u
-        for r in docs.select("doc_id", hash_u16("doc_id", 1).alias("u")).collect()
+        for r in docs.select("doc_id", hash_u32("doc_id", 1).alias("u")).collect()
     }
     assert a == {i for i, v in u.items() if v < thr}
     # ~30% of 600 within generous tolerance
@@ -87,11 +87,11 @@ def test_stratified_sample_per_stratum(spark, docs):
     assert by_lang.get("fr", 0) == 0
     assert by_lang["en"] == 200  # fraction 1.0 keeps every row
     # de: exact membership check against the draw
-    thr = threshold_u16(0.5)
+    thr = threshold_u32(0.5)
     de_ids = {
         r.doc_id
         for r in docs.filter(F.col("lang") == "de")
-        .select("doc_id", hash_u16("doc_id", 5).alias("u"))
+        .select("doc_id", hash_u32("doc_id", 5).alias("u"))
         .filter(F.col("u") < thr).collect()
     }
     assert {r.doc_id for r in got.filter(F.col("lang") == "de").collect()} == de_ids
@@ -118,12 +118,12 @@ def test_weighted_mix_tags_and_independence(spark, docs):
 
 
 def test_oversample_fractional_repeats(spark, docs):
-    from dbsyncer_spark.ops.sampling import hash_u16, oversample, threshold_u16
+    from dbsyncer_spark.ops.sampling import hash_u32, oversample, threshold_u32
 
     out = oversample(docs, 2.25, seed=21)
     # exact expected count: 2*N + |{u < thr(0.25)}|
-    thr = threshold_u16(0.25)
-    n_extra = docs.filter(hash_u16("doc_id", 21) < thr).count()
+    thr = threshold_u32(0.25)
+    n_extra = docs.filter(hash_u32("doc_id", 21) < thr).count()
     assert out.count() == 2 * 600 + n_extra
     per_doc = {r.doc_id: r["count"] for r in out.groupBy("doc_id").count().collect()}
     assert set(per_doc.values()) <= {2, 3} and len(per_doc) == 600
@@ -183,3 +183,51 @@ def test_decontaminate_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan, \
         "benchmark shingles must broadcast — the corpus side is never shuffled"
+
+
+def test_threshold_u32_rejects_sub_resolution_fractions():
+    with pytest.raises(ValueError, match="below the 1/2\\^32"):
+        threshold_u32(1e-12)
+    assert threshold_u32(1e-6) > 0  # representable at u32 resolution
+    assert threshold_u32(0.0) == 0
+
+
+def test_salt_is_collision_resistant_for_anagram_names():
+    from dbsyncer_spark.ops.sampling import _salt
+
+    assert _salt(9, "ab") != _salt(9, "ba")
+    assert _salt(9, "en-v2") != _salt(9, "v2-en")
+
+
+def test_mix_refuses_to_clobber_existing_columns(spark, docs):
+    from dbsyncer_spark.ops.sampling import oversample
+
+    tagged = docs.withColumn("epoch", F.lit(42))
+    with pytest.raises(ValueError, match="already exist"):
+        oversample(tagged, 2.0)
+    with pytest.raises(ValueError, match="already exist"):
+        weighted_mix([("a", tagged, 0.5)])
+    with pytest.raises(ValueError, match="already exist"):
+        split_train_eval(docs.withColumn("split", F.lit("x")), 0.1)
+
+
+def test_decontaminate_catches_short_benchmark_docs(spark):
+    """A benchmark doc shorter than n tokens must be matched WHOLE inside
+    longer corpus docs (r3 review: the n-gram-only stream silently missed
+    short eval items — QA benchmarks are full of them)."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro text what is the boiling point of water trailing words"),
+            (1, "entirely unrelated content about spark pipelines running fast"),
+            (2, "boiling point"),  # shorter than the bench doc: NOT contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the boiling point of water")],  # 7 tokens < n=8
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_overlap for r in contaminated_ids(corpus, bench, n=8).collect()}
+    assert got == {0: 1}, got
+    clean = decontaminate(corpus, bench, n=8)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
