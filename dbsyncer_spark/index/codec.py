@@ -84,23 +84,9 @@ def vbyte_encode(values: np.ndarray) -> bytes:
 
 
 def vbyte_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
-    """Vectorized VByte decode -> uint64 array."""
-    b = np.frombuffer(buf, dtype=np.uint8)
-    if b.size == 0:
-        return np.zeros(0, dtype=np.uint64)
-    ends = np.flatnonzero((b & 0x80) == 0)
-    if count is not None:
-        ends = ends[:count]
-    starts = np.empty_like(ends)
-    starts[0] = 0
-    starts[1:] = ends[:-1] + 1
-    lengths = ends - starts + 1
-    vals = np.zeros(ends.size, dtype=np.uint64)
-    max_len = int(lengths.max())
-    for j in range(max_len):
-        mask = lengths > j
-        vals[mask] |= (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
-    return vals
+    """Vectorized VByte decode -> uint64 array (delegates to the array
+    form; accepts any buffer)."""
+    return _vbyte_decode_arr(np.frombuffer(buf, dtype=np.uint8), count)
 
 
 def pack_postings(
@@ -172,11 +158,28 @@ def pack_postings(
     return out
 
 
-def _vbyte_decode_arr(b: np.ndarray, count: int) -> np.ndarray:
-    """Vectorized VByte decode of a uint8 array -> uint64 array."""
+def _vbyte_decode_arr(b: np.ndarray, count: int | None = None) -> np.ndarray:
+    """Vectorized VByte decode of a uint8 array -> uint64 array.
+
+    ``count`` caps the number of decoded values (None = all). A buffer
+    holding fewer terminated values than ``count`` — or a non-empty
+    buffer with no terminator at all (every byte has the MSB set, e.g. a
+    blob truncated mid-value) — raises a descriptive corruption error
+    instead of an opaque IndexError (r3 review)."""
     if b.size == 0 or count == 0:
         return np.zeros(0, dtype=np.uint64)
-    ends = np.flatnonzero((b & 0x80) == 0)[:count]
+    ends = np.flatnonzero((b & 0x80) == 0)
+    if count is not None:
+        if ends.size < count:
+            raise ValueError(
+                f"vbyte stream corrupt/truncated: expected {count} values, "
+                f"buffer of {b.size} bytes terminates only {ends.size}"
+            )
+        ends = ends[:count]
+    elif ends.size == 0:
+        raise ValueError(
+            f"vbyte stream corrupt: {b.size} bytes with no terminator byte"
+        )
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
@@ -249,9 +252,9 @@ def unpack_block(blob, block_off, block_n, block_first, bi: int):
     # three streams of exactly n values each
     d_end = ends[n - 1] + 1
     t_end = ends[2 * n - 1] + 1
-    deltas = vbyte_decode(seg[:d_end].tobytes(), n)
-    tfs = vbyte_decode(seg[d_end:t_end].tobytes(), n)
-    dls = vbyte_decode(seg[t_end:].tobytes(), n)
+    deltas = _vbyte_decode_arr(seg[:d_end], n)
+    tfs = _vbyte_decode_arr(seg[d_end:t_end], n)
+    dls = _vbyte_decode_arr(seg[t_end:], n)
     doc_ids = deltas.cumsum(dtype=np.uint64)
     doc_ids += np.uint64(block_first[bi])
     return doc_ids, tfs, dls
@@ -268,7 +271,7 @@ def unpack_block_positions(pos_blob, pos_off, tfs_block: np.ndarray, bi: int) ->
     if total == 0:
         return np.zeros(0, dtype=np.int64)
     seg = np.frombuffer(pos_blob, dtype=np.uint8, count=end - start, offset=start)
-    deltas = vbyte_decode(seg.tobytes(), total).astype(np.int64)
+    deltas = _vbyte_decode_arr(seg, total).astype(np.int64)
     c = np.cumsum(deltas)
     starts = np.zeros(tfs_block.size, dtype=np.int64)
     np.cumsum(tfs_block[:-1], out=starts[1:])

@@ -103,15 +103,10 @@ def embedding_dup_pairs(
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
     if planes is not None and max_hamming is not None:
-        base = base.withColumn("_sig", lsh_signature(F.col("v"), planes))
+        return _lsh_banded_pairs(base, planes, max_hamming, threshold)
     a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if planes is not None and max_hamming is not None:
-        cond = cond & (
-            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))) <= max_hamming
-        )
     return (
-        a.join(b, cond)
+        a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -122,6 +117,97 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _lsh_banded_pairs(
+    base: DataFrame,
+    planes: np.ndarray,
+    max_hamming: int,
+    threshold: float,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """LSH-blocked candidate generation as a banded EQUI-join.
+
+    The old shape joined on ``bit_count(xor(sig_a, sig_b)) <= h`` alone —
+    a theta-join Spark can only plan as a Cartesian/BNL product, i.e.
+    N^2 signature comparisons, which defeated the whole point of the LSH
+    tier (r3 review). Pigeonhole instead: split the signature into
+    ``max_hamming + 1`` disjoint bit-bands — any pair within hamming h
+    differs in at most h bands, so at least one band is IDENTICAL, and
+    an equi-join on (band, band_bits) finds every such pair (same recall
+    as the theta-join; the full hamming + exact-cosine filters then keep
+    precision at 1). Candidate volume is sum of f^2/2 over buckets —
+    linear-ish when signatures spread; ``max_bucket_size`` is the skew
+    guard (same pre-count + semi-join shape as the SimHash/MinHash
+    dedup families) that drops degenerate buckets instead of exploding.
+    Vectors are attached to the (few) surviving pairs by id join, so the
+    wide rows never ride through the band shuffle."""
+    n_planes = len(planes)
+    if max_hamming >= n_planes:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_planes={n_planes} accepts every "
+            "pair — that is the exact all-pairs semantics; call without "
+            "planes/max_hamming instead"
+        )
+    sig = base.withColumn("_sig", lsh_signature(F.col("v"), planes))
+    n_bands = max_hamming + 1  # <= n_planes by the guard above
+    # even split: band bi covers bits [bounds[bi], bounds[bi+1]) — every
+    # band gets >= 1 bit, together they cover all n_planes bits exactly
+    bounds = [bi * n_planes // n_bands for bi in range(n_bands + 1)]
+    bandc = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            (
+                F.shiftrightunsigned(F.col("_sig"), bounds[bi]).bitwiseAND(
+                    F.lit((1 << (bounds[bi + 1] - bounds[bi])) - 1).cast("long")
+                )
+            ).alias("key"),
+        )
+        for bi in range(n_bands)
+    ]
+    blocked = sig.select(
+        "id", "_sig", F.explode(F.array(*bandc)).alias("bk")
+    ).select("id", "_sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        bp = blocked.repartition("band", "key")
+        ok = (
+            bp.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter((F.col("f") >= 2) & (F.col("f") <= max_bucket_size))
+            .select("band", "key")
+        )
+        blocked = bp.join(ok, ["band", "key"])
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))) <= max_hamming
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # a pair can agree on several bands
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+#: max live elements of one GEMM output strip (~64 MB of float64): the
+#: actual per-task memory bound of the exact-cosine paths.
+_GEMM_STRIP_ELEMS = 8_000_000
 
 
 def _norm_stack(vecs) -> tuple[np.ndarray, np.ndarray]:
@@ -195,18 +281,28 @@ def embedding_dup_pairs_blocked(
         bm, _ = _norm_stack(b["v"])
         aids = a["id"].to_numpy(dtype=np.int64)
         bids = b["id"].to_numpy(dtype=np.int64)
-        sims = am @ bm.T
-        if ci == cj:
-            # diagonal cell holds the same block on both sides: each pair
-            # appears at (x,y) and (y,x) — keep one orientation
-            mask = (sims >= threshold) & (aids[:, None] < bids[None, :])
-        else:
-            # disjoint blocks: each unordered pair appears exactly once
-            mask = (sims >= threshold) & (aids[:, None] != bids[None, :])
-        ri, cjx = np.nonzero(mask)
-        ia, ib = aids[ri], bids[cjx]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ri, cjx]})
+        # strip-wise GEMM: a full n_a x n_b sims matrix would be the real
+        # memory bound (200k x 200k float64 = 320 GB — r3 review: the
+        # "2/n_blocks of corpus" claim counted only the block matrices,
+        # not the GEMM output). Strips keep the live output under
+        # ~64 MB while BLAS still gets big-enough panels.
+        strip = max(1, _GEMM_STRIP_ELEMS // max(len(bids), 1))
+        outs = []
+        for s0 in range(0, am.shape[0], strip):
+            sl = slice(s0, s0 + strip)
+            sims = am[sl] @ bm.T
+            if ci == cj:
+                # diagonal cell holds the same block on both sides: each
+                # pair appears at (x,y) and (y,x) — keep one orientation
+                mask = (sims >= threshold) & (aids[sl, None] < bids[None, :])
+            else:
+                # disjoint blocks: each unordered pair appears exactly once
+                mask = (sims >= threshold) & (aids[sl, None] != bids[None, :])
+            ri, cjx = np.nonzero(mask)
+            ia, ib = aids[sl][ri], bids[cjx]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            outs.append(pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ri, cjx]}))
+        return pd.concat(outs, ignore_index=True)
 
     return (
         left.unionByName(right)
@@ -223,8 +319,8 @@ def embedding_dup_pairs_gemm(
     max_broadcast_rows: int = 200_000,
     n_blocks: int | None = None,
     lsh_route_rows: int | None = None,
-    lsh_planes: int = 32,
-    lsh_max_hamming: int = 8,
+    lsh_planes: int = 64,
+    lsh_max_hamming: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via numpy GEMM, with size-tiered
     routing.
@@ -243,12 +339,14 @@ def embedding_dup_pairs_gemm(
        quadratic work, the grid only bounds memory).
     3. above ``lsh_route_rows`` (opt-in; default None = never): the
        LSH-blocked exact-rerank path ``embedding_dup_pairs(planes,
-       max_hamming)`` — sign-bit signatures block the self-join so only
-       signature-close pairs are scored. Linear-ish candidate work;
-       exact cosine on every surviving pair (precision 1), candidate
-       recall < 1 tuned by ``lsh_max_hamming``. This is the only shape
-       that survives 1e9+ vectors, which is why very large corpora must
-       NOT silently take tier 2.
+       max_hamming)`` — sign-bit signatures split into max_hamming+1
+       bit-bands; an EQUI-join on band value generates candidates
+       (pigeonhole: any pair within the hamming budget agrees on >= 1
+       band), exact cosine re-ranks every survivor (precision 1),
+       candidate recall < 1 tuned by ``lsh_max_hamming``. Defaults
+       64 planes / hamming 4 give 5 bands x 13-bit keys — selective
+       band buckets; this is the only shape that survives 1e9+ vectors,
+       which is why very large corpora must NOT silently take tier 2.
 
     Tiers 1-2 emit identical (id_a < id_b, cosine >= threshold) rows;
     tier 3 may miss pairs whose signatures differ in > lsh_max_hamming
@@ -284,16 +382,24 @@ def embedding_dup_pairs_gemm(
         all_ids, m = b.value
         for batch in batches:
             qm, _ = _norm_stack(batch["v"])
-            sims = qm @ m.T
             qids = batch["id"].to_numpy(dtype=np.int64)
-            rows_i, cols_j = np.nonzero((sims >= threshold) & (qids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[rows_i],
-                    "id_b": all_ids[cols_j],
-                    "cosine": sims[rows_i, cols_j],
-                }
-            )
+            # strip-wise: a whole-batch product is batch_rows x N floats —
+            # 16 GB at the 10k-row Arrow batch x 200k-corpus ceiling
+            # (r3 review); strips bound it at ~64 MB per task
+            strip = max(1, _GEMM_STRIP_ELEMS // max(len(all_ids), 1))
+            for s0 in range(0, qm.shape[0], strip):
+                sl = slice(s0, s0 + strip)
+                sims = qm[sl] @ m.T
+                rows_i, cols_j = np.nonzero(
+                    (sims >= threshold) & (qids[sl, None] < all_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": qids[sl][rows_i],
+                        "id_b": all_ids[cols_j],
+                        "cosine": sims[rows_i, cols_j],
+                    }
+                )
 
     return sel.mapInPandas(gen, "id_a long, id_b long, cosine double")
 
@@ -305,7 +411,16 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
 
 
 def lsh_signature(vec_col: Column | str, planes: np.ndarray) -> Column:
-    """Sign-bit signature: bit i = (v . plane_i) > 0, packed into a long."""
+    """Sign-bit signature: bit i = (v . plane_i) > 0, packed into a long.
+
+    Hard cap at 64 planes: Java's shiftleft masks the shift count to
+    0-63, so plane 64 would silently alias bit 0 and the arithmetic sum
+    would carry the collision into higher bits — scrambled signatures,
+    collapsed recall, no error (r3 review)."""
+    if len(planes) > 64:
+        raise ValueError(
+            f"lsh_signature packs bits into one long: max 64 planes, got {len(planes)}"
+        )
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     bits = [
         F.when(_dot(v, F.lit([float(x) for x in p]).cast("array<double>")) > 0,
@@ -352,7 +467,7 @@ def ivf_centroids(
             cents.append(row)
         if len(cents) == n_centroids:
             break
-    C = np.stack(cents) if cents else mat[:1]
+    C = np.stack(cents)  # non-empty: the first sample row is always accepted
     for _ in range(iters):
         assign = np.argmax(mat @ C.T, axis=1)
         for ci in range(C.shape[0]):

@@ -147,3 +147,20 @@ def test_unpack_blocks_keep_parity(n, seed):
         assert got[0].tolist() == np.concatenate(want_d).tolist()
         assert got[1].tolist() == np.concatenate(want_t).tolist()
         assert got[2].tolist() == np.concatenate(want_l).tolist()
+
+
+def test_vbyte_corruption_raises_descriptive_error():
+    """A truncated/corrupt stream must fail loudly with a codec error,
+    not an opaque IndexError (r3 review)."""
+    import numpy as np
+    import pytest
+
+    from dbsyncer_spark.index.codec import vbyte_decode, vbyte_encode
+
+    good = vbyte_encode(np.array([300, 7, 90000], dtype=np.uint64))
+    assert vbyte_decode(good, 3).tolist() == [300, 7, 90000]
+    with pytest.raises(ValueError, match="terminates only"):
+        vbyte_decode(good, 5)  # more values than the stream holds
+    with pytest.raises(ValueError, match="no terminator"):
+        vbyte_decode(b"\x85\x90\xff")  # every byte has the MSB set
+    assert vbyte_decode(b"\x85", 0).size == 0  # count=0 is a clean empty

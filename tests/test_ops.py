@@ -233,8 +233,9 @@ def test_simhash_pairs_bucket_cap_degenerate_corpus(spark):
 
 def test_gemm_lsh_routing_for_very_large_corpora(spark):
     """Opt-in tier 3: above lsh_route_rows the dispatcher takes the
-    LSH-blocked exact-rerank path (bit_count signature join in the plan,
-    never an all-pairs grid); surviving pairs carry exact cosines."""
+    LSH-blocked exact-rerank path — banded EQUI-join candidates (never a
+    Cartesian/BNL product over all pairs, r3 review) with the bit_count
+    hamming filter; surviving pairs carry exact cosines."""
     from dbsyncer_spark.ops.similarity import embedding_dup_pairs_gemm
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -244,6 +245,9 @@ def test_gemm_lsh_routing_for_very_large_corpora(spark):
     )
     plan = routed._jdf.queryExecution().optimizedPlan().toString()
     assert "bit_count" in plan, "LSH routing did not engage"
+    phys = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys and "NestedLoop" not in phys, \
+        "LSH candidates must come from an equi-join, not an all-pairs product"
     got = {(r.id_a, r.id_b): round(r.cosine, 9) for r in routed.collect()}
     exact = {
         (r.id_a, r.id_b): round(r.cosine, 9)
