@@ -146,6 +146,14 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
 
     def score_range_impl(key, postings, allow_pdf):
         _limit_arrow_threads()
+        if postings.empty:
+            # before the mask build: under dead-only masking the cogroup
+            # also yields ranges with tombstones but none of the query's
+            # terms — allocating a range_size mask just to discard it
+            # wasted an array per such range per query (r3 review)
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
         allowed_mask = None
         if use_allowed:
             # mask_is_dead: cogrouped side is the (small) DEAD set —
@@ -154,10 +162,6 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
             # tombstone existed)
             allowed_mask = _range_mask(
                 allow_pdf, int(key[0]) * range_size, range_size, mask_is_dead
-            )
-        if postings.empty:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
             )
         base = int(key[0]) * range_size
         S = np.zeros(range_size, dtype=np.float64)
@@ -254,6 +258,8 @@ class SearchIndex:
         sum_dl = sum(s["sum_dl"] for s in segs.values())
         self.avgdl = sum_dl / self.n_docs if self.n_docs else 0.0
         self._seg_dirs = [os.path.join(index_dir, "segments", name) for name in sorted(segs)]
+        self._tomb_name = self.meta.get("tombstones_dir", "tombstones")
+        self._tomb_seen = os.path.exists(os.path.join(index_dir, self._tomb_name))
         self._term_cache: dict[str, int] = {}
         self._TERM_CACHE_MAX = 200_000  # ~a few MB of driver memory
         self._df_cache: dict[str, DataFrame] = {}
@@ -351,26 +357,58 @@ class SearchIndex:
         # (kept on disk through the retire-grace window) instead of
         # racing an in-place rewrite. Reader-snapshot semantics: deletes
         # landing after a flip become visible on re-open.
-        p = os.path.join(self.index_dir,
-                         self.meta.get("tombstones_dir", "tombstones"))
-        if not os.path.exists(p):
-            # pinned generation purged (reader outlived the grace window)
-            # OR the index simply has no tombstones. Fall back to the
-            # CURRENT generation rather than silently dropping masking
-            # (r3 review): safe in the only survivable stale-reader case
-            # — none of this reader's segments were merged (else its
-            # segment dirs are equally gone and queries fail loudly), so
-            # the covered ids the newer generation dropped never pointed
-            # into its view, and newer deletes only ADD masking.
+        from pyspark.errors import AnalysisException
+
+        p = os.path.join(self.index_dir, self._tomb_name)
+        if os.path.exists(p):
             try:
-                with open(os.path.join(self.index_dir, "meta.json")) as f:
-                    cur = json.load(f).get("tombstones_dir", "tombstones")
-            except OSError:
+                return self.spark.read.parquet(p)
+            except AnalysisException:
+                pass  # purged between the exists check and the read —
+                # fall through to the current-generation resolution
+        elif not self._tomb_seen:
+            # nothing existed at open. One cheap listdir tells the clean
+            # index (the common serving case — NO per-query meta.json
+            # read, r3 review) from a post-open delete -> flip -> purge
+            # cycle that left only newer generations behind.
+            gens = [
+                e for e in os.listdir(self.index_dir)
+                if e.startswith("tombstones")
+                and not e.startswith("tombstones_covered")
+            ]
+            if not gens:
                 return None
-            p = os.path.join(self.index_dir, cur)
-            if not os.path.exists(p):
-                return None
-        return self.spark.read.parquet(p)
+        # the pinned generation is gone (reader outlived the retire
+        # grace). A reader serving from pinned caches must NOT silently
+        # re-resolve: its cached postings may still contain docs whose
+        # tombstones the newer generation dropped as covered (their
+        # segments were merged away) — falling back would resurrect them
+        # with no error (r3 review). Uncached readers are safe: if their
+        # segments were merged, the postings read itself fails loudly;
+        # if not, the covered ids never pointed into their view and
+        # newer deletes only ADD masking.
+        pinned_postings = self._df_cache.get("postings")
+        if pinned_postings is not None and pinned_postings.is_cached:
+            # is_cached (persisted), not mere plan memoization: an
+            # unpersisted plan over purged segment files fails loudly on
+            # its own; persisted blocks keep serving them silently
+            raise RuntimeError(
+                "stale SearchIndex: the tombstone generation pinned at open "
+                "was purged while postings are cached — re-open the index "
+                "(reader outlived the retire-grace window)"
+            )
+        with open(os.path.join(self.index_dir, "meta.json")) as f:
+            cur = json.load(f).get("tombstones_dir", "tombstones")
+        p = os.path.join(self.index_dir, cur)
+        if not os.path.exists(p):
+            return None
+        try:
+            return self.spark.read.parquet(p)
+        except AnalysisException:
+            raise RuntimeError(
+                "stale SearchIndex: tombstone generations are being purged "
+                "faster than this reader re-resolves them — re-open the index"
+            )
 
     # -- dictionary point lookup (shard-pruned, driver-cached) ----------
     def lookup(self, terms: list[str]) -> dict[str, int]:
@@ -994,10 +1032,9 @@ class SearchIndex:
                     {"query_id": "object", "doc_id": "int64", "score": "float64"}
                 )
             base = int(key[0]) * range_size
-            dead_mask = None
-            if dead_pdf is not None and len(dead_pdf):
-                dead_mask = np.zeros(range_size, dtype=bool)
-                dead_mask[(dead_pdf["doc_id"].to_numpy() - base)] = True
+            # allowed-mask via the shared helper (inverted dead set), not
+            # a fourth hand-rolled copy (r3 review)
+            allowed = _range_mask(dead_pdf, base, range_size, inverted=True)
             # per-query (scores, seen) arrays allocate LAZILY on first
             # contribution: eager allocation cost
             # n_queries × range_size × 9 bytes per range task even for
@@ -1058,11 +1095,11 @@ class SearchIndex:
                 idx = (d - np.uint64(base)).astype(np.int64)
                 contrib = idf * tfn
                 live = None
-                if dead_mask is not None:
+                if allowed is not None:
                     # mask BEFORE the per-query top-k cut: dropping deleted
                     # docs after the cut would lose live docs ranked behind
                     # them within this range (found r2)
-                    live = ~dead_mask[idx]
+                    live = allowed[idx]
                 # decoded-row -> kept-block membership, for per-query
                 # sub-selection of the shared decode
                 sizes = np.asarray(r.block_n, dtype=np.int64)[kept_idx]

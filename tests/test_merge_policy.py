@@ -443,3 +443,50 @@ def test_publish_rejects_overlapping_doc_id_ranges(tmp_path):
     # re-publishing the SAME segment (idempotent retry) is fine
     _update_root_meta_locked(d, "seg_000000", {
         **base, "n_docs": 10, "sum_dl": 100, "doc_id_offset": 0, "max_doc_id": 9})
+
+
+def test_stale_reader_semantics_after_generation_purge(spark, tmp_path):
+    """A reader that outlives the retire-grace window: uncached readers
+    re-resolve the current tombstone generation (covered ids never
+    pointed into their view; newer deletes only ADD masking), while a
+    reader serving from pinned postings caches raises loudly — its cache
+    may still hold merged-away docs whose tombstones the newer generation
+    dropped, so silent re-resolution would resurrect them (r3 review)."""
+    from dbsyncer_spark.streaming.incremental import _active_tomb_dir, _purge_retired
+
+    pdf = gen_corpus_pdf(n_docs=140, seed=37)
+    d = str(tmp_path / "staleidx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:100], SCHEMA), d, **PARAMS)
+    append_segment(spark, spark.createDataFrame(pdf.iloc[100:120], SCHEMA),
+                   d, num_id_buckets=8)
+    append_segment(spark, spark.createDataFrame(pdf.iloc[120:140], SCHEMA),
+                   d, num_id_buckets=8)
+    idx = SearchIndex(spark, d)
+    segs = sorted(idx.meta["segments"], key=lambda n: idx.meta["segments"][n]["doc_id_offset"])
+    lo1 = idx.meta["segments"][segs[1]]["doc_id_offset"]
+    covered = idx.docstats().filter(F.col("doc_id") >= lo1).select("doc_id").limit(5)
+    uncovered = idx.docstats().filter(F.col("doc_id") < lo1).select("doc_id").limit(4)
+    assert delete_docs(spark, d, covered) == 5
+    assert delete_docs(spark, d, uncovered) == 4
+    uncovered_ids = {r.doc_id for r in uncovered.collect()}
+
+    meta = maybe_merge(spark, d, merge_at=2, reclaim_ratio=0.9)
+    assert meta is not None
+    # two post-merge readers, both pinned to the pre-flip generation name
+    plain = SearchIndex(spark, d)
+    warm = SearchIndex(spark, d)
+    warm.warm(cache_postings=True)
+    assert plain._tomb_name == "tombstones" and plain._tomb_seen
+
+    _purge_retired(spark, d, 0)  # flip + purge the pinned generation
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+
+    # uncached: falls back to the current generation, keeps masking
+    hits = {r.doc_id for r in plain.search("import", k=300).collect()}
+    assert not (hits & uncovered_ids)
+    # cached: must refuse rather than risk resurrecting merged-away docs
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="stale SearchIndex"):
+        warm.search("import", k=10).collect()
+    for cached in warm._df_cache.values():
+        cached.unpersist()
