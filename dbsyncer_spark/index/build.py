@@ -715,14 +715,28 @@ def meta_lock(index_dir: str):
 
 
 def atomic_write_meta(index_dir: str, meta: dict) -> None:
-    """The ONE way root meta reaches disk: json to a tmp file + atomic
-    rename, so lock-free readers see either the old or the new meta,
-    never a torn write. Callers must hold the meta lock."""
+    """The ONE way root meta reaches disk: json to a tmp file, fsync,
+    atomic rename, dir fsync. The rename protects concurrent readers
+    (old or new meta, never torn); the fsyncs protect against CRASHES —
+    without them a power loss after the rename can leave an empty
+    meta.json that bricks every reader (r3 review). Meta is tiny, so the
+    two fsyncs are noise next to the lock hold. Callers must hold the
+    meta lock."""
     root = os.path.join(index_dir, "meta.json")
     tmp = root + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, root)
+    try:
+        dfd = os.open(index_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync unsupported on some filesystems
 
 
 def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:
@@ -781,6 +795,11 @@ def write_meta_locked(index_dir: str, mutate) -> dict | None:
     HWM updates landed meanwhile, instead of clobbering them with its
     stale copy (r3 review — the lost-segment interleave)."""
     root = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(root):
+        raise FileNotFoundError(
+            f"{root} does not exist — the index has not been built yet "
+            "(meta mutations require an existing root meta)"
+        )
     with meta_lock(index_dir):
         with open(root) as f:
             fresh = json.load(f)
@@ -832,17 +851,20 @@ def reserve_segment_name(index_dir: str) -> str:
         out["name"] = name
         return {**fresh, "reserved": reserved}
 
-    write_meta_locked(index_dir, mut)
+    if write_meta_locked(index_dir, mut) is None or "name" not in out:
+        raise RuntimeError("segment-name reservation was not written")
     return out["name"]
 
 
 def unreserve_segment_name(index_dir: str, name: str) -> None:
-    """Release a reservation without publishing the segment (abort path)."""
+    """Release a reservation without publishing the segment (abort path).
+    No-op (no locked rewrite) when the name isn't reserved."""
 
     def mut(fresh):
-        reserved = dict(fresh.get("reserved", {}))
-        reserved.pop(name, None)
-        return {**fresh, "reserved": reserved}
+        if name not in fresh.get("reserved", {}):
+            return None
+        return {**fresh,
+                "reserved": {n: t for n, t in fresh["reserved"].items() if n != name}}
 
     write_meta_locked(index_dir, mut)
 
@@ -948,5 +970,8 @@ def append_segment(
 
         _shutil.rmtree(os.path.join(index_dir, "segments", seg_name),
                        ignore_errors=True)
-        unreserve_segment_name(index_dir, seg_name)
+        try:
+            unreserve_segment_name(index_dir, seg_name)
+        except Exception:
+            pass  # never mask the build failure; the TTL frees the name
         raise

@@ -927,8 +927,17 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
     # not the dir's own, so a long-running explicit-named build that is
     # still writing files is never swept.
     if os.path.isdir(seg_root):
+        # TTL-filter reservations here too: a hard-crashed run's stale
+        # entry would otherwise shield its orphan dir from this sweep
+        # forever when nothing ever calls reserve_segment_name again
+        # (r3 review — the pruning inside reserve_segment_name is not
+        # guaranteed to run)
+        live_reserved = {
+            n for n, ts in meta.get("reserved", {}).items()
+            if now - ts < RESERVATION_TTL_S
+        }
         known = (set(meta["segments"]) | set(meta.get("retired", {}))
-                 | set(meta.get("reserved", {})))
+                 | live_reserved)
         for n in os.listdir(seg_root):
             p = os.path.join(seg_root, n)
             if n in known or not os.path.isdir(p):
@@ -943,7 +952,11 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
                         pass
             if now - newest >= RESERVATION_TTL_S:
                 shutil.rmtree(p, ignore_errors=True)
-    if not doomed and not gc_tags and not tomb_doomed:
+    expired_res = [
+        n for n, ts in meta.get("reserved", {}).items()
+        if now - ts >= RESERVATION_TTL_S
+    ]
+    if not doomed and not gc_tags and not tomb_doomed and not expired_res:
         return []
     if doomed and meta["segments"]:
         # rescue orphaned quarantines into the newest live segment
@@ -984,6 +997,13 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
             "tomb_retired": {
                 k: v for k, v in fresh.get("tomb_retired", {}).items()
                 if k not in gone_gens
+            },
+            # registry hygiene: drop reservations a crashed run left past
+            # their TTL (reserve_segment_name prunes these too, but only
+            # when someone reserves again)
+            "reserved": {
+                k: v for k, v in fresh.get("reserved", {}).items()
+                if time.time() - v < RESERVATION_TTL_S
             },
         }
 
