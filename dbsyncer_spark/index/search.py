@@ -373,8 +373,7 @@ class SearchIndex:
             # cycle that left only newer generations behind.
             gens = [
                 e for e in os.listdir(self.index_dir)
-                if e.startswith("tombstones")
-                and not e.startswith("tombstones_covered")
+                if e == "tombstones" or e.startswith("tombstones_g")
             ]
             if not gens:
                 return None

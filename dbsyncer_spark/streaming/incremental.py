@@ -503,15 +503,33 @@ def maybe_merge(
     and untouched segments' postings are never read.
     """
     _purge_retired(spark, index_dir, retire_grace_s)
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
+    # ONE meta snapshot for both selection and the pinned tombstone
+    # listing (a second direct read could see a concurrent compaction's
+    # swap and select just-retired segments, wasting a full pack job
+    # that only aborts at publish — r3 review)
+    idx = SearchIndex(spark, index_dir)
+    meta = idx.meta
     params = meta["params"]
     segments = meta["segments"]
-
-    idx = SearchIndex(spark, index_dir)
     tomb = idx._tombstones()
     counts: dict[str, int] = {}
     if tomb is not None:
+        live_tomb = tomb.select("doc_id").distinct()
+        # exclude ids already staged for deferred covered-GC: their docs
+        # are physically gone from the (already merged) segments, they
+        # stay in the live generation only for warm readers through the
+        # grace window — counting them re-triggered a reclaim rewrite of
+        # the merge's own output on every auto_merge call until the tag
+        # expired (r3 review: steady-state churn, one full re-pack per
+        # micro-batch)
+        cov_root = os.path.join(index_dir, "tombstones_covered")
+        staged_dirs = [
+            p for p in (os.path.join(cov_root, t) for t in meta.get("covered_gc", {}))
+            if os.path.exists(p)
+        ]
+        if staged_dirs:
+            staged = spark.read.parquet(*staged_dirs).select("doc_id").distinct()
+            live_tomb = live_tomb.join(staged, "doc_id", "left_anti")
         # tombstone count per segment: broadcast the (few, driver-known)
         # doc-id intervals against the tombstone set — one tiny job.
         intervals = spark.createDataFrame(
@@ -519,7 +537,7 @@ def maybe_merge(
             "seg string, lo long, hi long",
         )
         rows = (
-            tomb.select("doc_id").distinct()
+            live_tomb
             .join(F.broadcast(intervals),
                   (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") <= F.col("hi")))
             .groupBy("seg").count().collect()
@@ -806,8 +824,12 @@ def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> No
             meta["tombstones_dir"] = nxt_name
             meta.setdefault("tomb_retired", {})[os.path.basename(cur)] = _time.time()
             atomic_write_meta(index_dir, meta)
-    for d in dirs:
-        shutil.rmtree(d, ignore_errors=True)
+        # delete the applied staged dirs INSIDE the lock: the in-lock
+        # re-check above uses their existence as "not yet applied", so a
+        # post-lock delete window let a concurrent purge re-apply the
+        # same tags as a pointless full rewrite + extra flip (r3 review)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def decode_postings(postings: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -917,6 +939,39 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
+    # covered-id sets staged by a merge that crashed BEFORE registering
+    # its covered_gc tag: nothing references them and no future run
+    # reuses the tag name — swept by age like stagings (r3 review).
+    # Registered tags are protected regardless of age.
+    cov_root = os.path.join(index_dir, "tombstones_covered")
+    if os.path.isdir(cov_root):
+        registered = set(meta.get("covered_gc", {}))
+        for n in os.listdir(cov_root):
+            if n in registered:
+                continue
+            p = os.path.join(cov_root, n)
+            try:
+                if now - os.path.getmtime(p) >= RESERVATION_TTL_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    # leftovers of the pre-generation in-place swap scheme (an index
+    # upgraded after crashing between its two renames): nothing current
+    # writes these names, and the reader's generation-detection listdir
+    # must not mistake them for live generations (r3 review).
+    # tombstones.old may be the ONLY complete copy (the legacy crash
+    # window lost the live dir between the renames) — restore, don't
+    # delete, when the active flat dir is gone; .rewriting is always an
+    # incomplete rewrite and is dropped.
+    legacy_old = os.path.join(index_dir, "tombstones.old")
+    flat = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(legacy_old):
+        if meta.get("tombstones_dir") is None and not os.path.exists(flat):
+            os.replace(legacy_old, flat)
+        else:
+            shutil.rmtree(legacy_old, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "tombstones.rewriting"),
+                  ignore_errors=True)
     seg_root = os.path.join(index_dir, "segments")
     # orphaned partial segment dirs: a hard-crashed build's dir is in no
     # registry (its reservation expired) but still occupies its name —
@@ -927,6 +982,8 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
     # not the dir's own, so a long-running explicit-named build that is
     # still writing files is never swept.
     if os.path.isdir(seg_root):
+        import re as _re
+
         # TTL-filter reservations here too: a hard-crashed run's stale
         # entry would otherwise shield its orphan dir from this sweep
         # forever when nothing ever calls reserve_segment_name again
@@ -940,7 +997,13 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
                  | live_reserved)
         for n in os.listdir(seg_root):
             p = os.path.join(seg_root, n)
-            if n in known or not os.path.isdir(p):
+            # AUTO-pattern names only: explicit names (streaming seg_b*
+            # batch segments, user-chosen names) are never reserved, so
+            # the mtime heuristic alone could destroy a long-stalled
+            # in-flight build (r3 review); their lifecycle belongs to
+            # the caller (streaming redelivery reuses the same batch
+            # name and resumes/overwrites the dir)
+            if n in known or not _re.match(r"^seg_\d{6}$", n) or not os.path.isdir(p):
                 continue
             newest = os.path.getmtime(p)
             for dirpath, _dirnames, filenames in os.walk(p):

@@ -490,3 +490,28 @@ def test_stale_reader_semantics_after_generation_purge(spark, tmp_path):
         warm.search("import", k=10).collect()
     for cached in warm._df_cache.values():
         cached.unpersist()
+
+
+def test_reclaim_merge_does_not_rechurn_during_grace(spark, tmp_path):
+    """Covered tombstones stay in the live generation for the grace
+    window, but maybe_merge's reclaim counts must EXCLUDE staged covered
+    ids — counting them re-selected the merge's own output for a full
+    rewrite on every subsequent call until the tag expired (r3 review:
+    one pointless re-pack per streaming micro-batch)."""
+    pdf = gen_corpus_pdf(n_docs=120, seed=41)
+    d = str(tmp_path / "churnidx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:100], SCHEMA), d, **PARAMS)
+    append_segment(spark, spark.createDataFrame(pdf.iloc[100:120], SCHEMA),
+                   d, num_id_buckets=8)
+    idx = SearchIndex(spark, d)
+    seg = max(idx.meta["segments"], key=lambda n: idx.meta["segments"][n]["doc_id_offset"])
+    lo = idx.meta["segments"][seg]["doc_id_offset"]
+    victims = idx.docstats().filter(F.col("doc_id") >= lo).select("doc_id").limit(8)
+    assert delete_docs(spark, d, victims) == 8
+
+    first = maybe_merge(spark, d, merge_at=99, reclaim_ratio=0.2)  # reclaim only
+    assert first is not None and first["merged"] == [seg]
+    # default grace: covered ids staged, still live in the generation —
+    # the next call must find nothing to do, not rewrite the fresh output
+    again = maybe_merge(spark, d, merge_at=99, reclaim_ratio=0.2)
+    assert again is None, f"reclaim churned on its own output: {again}"
