@@ -74,9 +74,11 @@ def _strictly_after(sort_cols: list[tuple[str, bool]], after) -> "F.Column":
 
 def _range_mask(allow_pdf, base: int, range_size: int, inverted: bool):
     """Boolean allowed-mask over one docId-range, or None when no masking
-    is needed. ``inverted``: ``allow_pdf`` is the DEAD set (tombstones-
-    only masking) — a range with no dead docs needs no mask at all;
-    otherwise ``allow_pdf`` is the allowed set (filters/boolean gates)."""
+    is needed. ``inverted``: ``allow_pdf`` is the EXCLUDED set (the dead
+    set for tombstones-only masking, or the filter complement + dead set
+    when a broad filter's complement is the smaller side — r4) — a range
+    with no excluded docs needs no mask at all; otherwise ``allow_pdf``
+    is the allowed set (selective filters / boolean gates)."""
     if inverted:
         if allow_pdf is None or not len(allow_pdf):
             return None
@@ -156,10 +158,12 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
             )
         allowed_mask = None
         if use_allowed:
-            # mask_is_dead: cogrouped side is the (small) DEAD set —
-            # inverted (r3 review: the allowed-set shape shipped the
-            # ENTIRE live docstats into every range task once a single
-            # tombstone existed)
+            # mask_is_dead: cogrouped side is the EXCLUDED set (dead set
+            # and/or broad-filter complement) — inverted (r3 review: the
+            # allowed-set shape shipped the ENTIRE live docstats into
+            # every range task once a single tombstone existed; r4: a
+            # broad filter shipped O(matching docs) — _mask_plan now
+            # ships whichever side is smaller)
             allowed_mask = _range_mask(
                 allow_pdf, int(key[0]) * range_size, range_size, mask_is_dead
             )
@@ -264,6 +268,10 @@ class SearchIndex:
         self._TERM_CACHE_MAX = 200_000  # ~a few MB of driver memory
         self._df_cache: dict[str, DataFrame] = {}
         self._driver_dict: dict[int, int] | None = None
+        # doc_filter selectivity cache (keyed by predicate expr string):
+        # makes the adaptive mask-side choice free for repeated filters;
+        # staleness after appends/deletes only risks the larger side
+        self._sel_cache: dict[str, float] = {}
 
     # -- paths ----------------------------------------------------------
     def _union_read(self, sub: str) -> DataFrame:
@@ -286,6 +294,72 @@ class SearchIndex:
 
     def docstats(self) -> DataFrame:
         return self._union_read("docstats")
+
+    def _mask_plan(self, doc_filter, allowed_docs, tomb,
+                   filter_selectivity: float | None = None):
+        """Choose the cogroup mask side for one query: returns
+        ``(mask_side | None, inverted)``.
+
+        The scorers mask per docId-range via a boolean array built from
+        the cogrouped side (``_range_mask``); what matters at 100 TB is
+        HOW MANY ids ride the cogroup into the Python workers per query:
+
+        - nothing to mask → ``(None, False)``: plain groupBy, no cogroup.
+        - tombstones only → the (small) dead set, inverted (r3).
+        - ``doc_filter`` → ADAPTIVE (r3 VERDICT #1, the last serving-path
+          scale-killer): a broad MUST filter (``lang='en'`` matching half
+          a 10^10-doc corpus) would ship O(matching docs) ids per query;
+          when the matching fraction exceeds 1/2, ship the COMPLEMENT
+          (predicate-FALSE-or-NULL live docs, plus the dead set) instead,
+          inverted. The reference evaluates MUST clauses index-side for
+          the same reason (``DiskStorageService.java:294-346``).
+          Selectivity comes from ``filter_selectivity`` (caller-known),
+          a per-session cache keyed by the predicate's expression string,
+          or ONE pushed-down docstats count job. A stale cached fraction
+          can only pick the larger side — never wrong results.
+        - an explicit ``allowed_docs`` id set stays allowed-side: the
+          caller already materialized exactly that set; deriving its
+          complement would cost the very anti-join shuffle this avoids.
+        """
+        if doc_filter is None and allowed_docs is None:
+            if tomb is None:
+                return None, False
+            return _dead_ranges(tomb, self.range_size), True
+        allowed = self.docstats()
+        if doc_filter is not None:
+            allowed = allowed.filter(doc_filter)
+        if allowed_docs is not None:
+            allowed = allowed.join(
+                allowed_docs.select("doc_id"), "doc_id", "left_semi"
+            )
+        if doc_filter is not None and allowed_docs is None:
+            sel = filter_selectivity
+            if sel is None:
+                key = str(doc_filter)
+                sel = self._sel_cache.get(key)
+                if sel is None:
+                    sel = allowed.count() / max(self.n_docs, 1)
+                    if len(self._sel_cache) > 256:
+                        self._sel_cache.clear()
+                    self._sel_cache[key] = sel
+            if sel > 0.5:
+                # NULL-safe complement: rows where the predicate is FALSE
+                # or NULL (.filter() keeps only TRUE rows)
+                comp = self.docstats().filter(
+                    ~F.coalesce(doc_filter.cast("boolean"), F.lit(False))
+                ).select("range_id", "doc_id")
+                if tomb is not None:
+                    # dead docs that MATCH the filter aren't in comp;
+                    # union the dead set (duplicates for dead non-matching
+                    # docs are harmless — the mask just re-clears a bit)
+                    comp = comp.unionByName(
+                        _dead_ranges(tomb, self.range_size)
+                        .select("range_id", "doc_id")
+                    )
+                return comp, True
+        if tomb is not None:
+            allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        return allowed.select("range_id", "doc_id"), False
 
     def _dictionary(self) -> DataFrame:
         return self._union_read("dictionary")
@@ -460,9 +534,14 @@ class SearchIndex:
         allowed_docs: DataFrame | None = None,
         after: tuple[float, int] | None = None,
         boosts: dict[str, float] | None = None,
+        filter_selectivity: float | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) ordered
         by (score desc, doc_id asc), k rows max.
+
+        ``filter_selectivity``: optional caller-known fraction of docs
+        matching ``doc_filter`` — skips the one count job the adaptive
+        mask-side choice otherwise runs (see ``_mask_plan``).
 
         ``doc_filter``: optional Column predicate over docstats columns
         (repo/path/lang/...) — the reference's MUST clauses. Corpus-level
@@ -498,34 +577,18 @@ class SearchIndex:
         )
 
         tomb = self._tombstones()
-        use_allowed = (
-            doc_filter is not None or tomb is not None or allowed_docs is not None
+        # mask-side selection is adaptive: small dead set inverted for
+        # tombstones-only, allowed set for selective filters, COMPLEMENT
+        # inverted for broad filters (see _mask_plan — r3 VERDICT #1)
+        mask_side, mask_inverted = self._mask_plan(
+            doc_filter, allowed_docs, tomb, filter_selectivity
         )
-        # tombstones-only masking cogroups the (small) dead set and
-        # inverts, instead of shipping the entire live docstats into the
-        # Python workers on every query (r3 review; same shape as
-        # search_many). The allowed-set path remains for real filters.
-        dead_only = (
-            tomb is not None and doc_filter is None and allowed_docs is None
-        )
+        use_allowed = mask_side is not None
         scorer = _make_scorer(
             idfs, self.k1, self.b, self.avgdl, k, self.range_size,
             prune=(mode == "wand" and after is None), use_allowed=use_allowed,
-            after=after, mask_is_dead=dead_only,
+            after=after, mask_is_dead=mask_inverted,
         )
-        if dead_only:
-            mask_side = _dead_ranges(tomb, self.range_size)
-        elif use_allowed:
-            allowed = self.docstats()
-            if doc_filter is not None:
-                allowed = allowed.filter(doc_filter)
-            if allowed_docs is not None:
-                allowed = allowed.join(
-                    allowed_docs.select("doc_id"), "doc_id", "left_semi"
-                )
-            if tomb is not None:
-                allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
-            mask_side = allowed.select("range_id", "doc_id")
         if use_allowed:
             scored = (
                 postings.groupBy("range_id")
@@ -661,12 +724,14 @@ class SearchIndex:
         k: int = 10,
         slop: int = 0,
         doc_filter=None,
+        filter_selectivity: float | None = None,
     ) -> DataFrame:
         """Phrase top-k (see ``_phrase_exec`` for semantics): the
         reference's PhraseQuery / sloppy PhraseQuery
         (``LuceneFactoryTest.java:351-367``)."""
         return self._phrase_exec(query, k=k, slop=slop, doc_filter=doc_filter,
-                                 ids_only=False)
+                                 ids_only=False,
+                                 filter_selectivity=filter_selectivity)
 
     def _phrase_exec(
         self,
@@ -675,6 +740,7 @@ class SearchIndex:
         slop: int,
         doc_filter,
         ids_only: bool,
+        filter_selectivity: float | None = None,
     ) -> DataFrame:
         """Phrase top-k over a positional index (build with
         ``store_positions=True``) — the reference's PhraseQuery
@@ -734,10 +800,13 @@ class SearchIndex:
         range_size, m = self.range_size, len(terms)
         from dbsyncer_spark.index.codec import POS_CAP  # build enforces the cap
         tomb = None if ids_only else self._tombstones()
-        use_allowed = doc_filter is not None or tomb is not None
-        # tombstones-only: cogroup the small dead set and invert (r3
-        # review — same rationale as search())
-        dead_only = tomb is not None and doc_filter is None
+        # adaptive mask side (same rationale as search(), see _mask_plan):
+        # dead set inverted for tombstones-only, complement inverted for
+        # broad filters, allowed set for selective filters
+        mask_side, mask_inverted = self._mask_plan(
+            doc_filter, None, tomb, filter_selectivity
+        )
+        use_allowed = mask_side is not None
 
         def score_impl(key, pdf, allow_pdf):
             _limit_arrow_threads()
@@ -857,7 +926,7 @@ class SearchIndex:
                 # the caller semi-joins it (and applies liveness there)
                 return pd.DataFrame({"doc_id": (base + hit_docs).astype("int64")})
             if use_allowed:
-                amask = _range_mask(allow_pdf, base, range_size, dead_only)
+                amask = _range_mask(allow_pdf, base, range_size, mask_inverted)
                 if amask is not None:
                     keep = amask[hit_docs]
                     hit_docs, freqs = hit_docs[keep], freqs[keep]
@@ -878,15 +947,6 @@ class SearchIndex:
         postings = self._postings().filter(
             F.col("shard").isin(shards) & F.col("tid").isin(tids)
         )
-        if dead_only:
-            mask_side = _dead_ranges(tomb, range_size)
-        elif use_allowed:
-            allowed = self.docstats()
-            if doc_filter is not None:
-                allowed = allowed.filter(doc_filter)
-            if tomb is not None:
-                allowed = allowed.join(tomb.select("doc_id"), "doc_id", "left_anti")
-            mask_side = allowed.select("range_id", "doc_id")
         if use_allowed:
             scored = (
                 postings.groupBy("range_id")

@@ -146,8 +146,21 @@ def oversample(
         raise ValueError(f"factor must be >= 0, got {factor}")
     _no_clobber(df, copy_col, "__n_copies")
     base = int(factor)
-    extra = (hash_u32(key_col, seed) < F.lit(threshold_u32(factor - base))).cast("int")
-    n = F.lit(base) + extra
+    # Quantize the fractional part directly instead of routing it through
+    # threshold_u32: float arithmetic (weighted_mix ratios) can produce
+    # 3.0000000000000004, whose ~4e-16 fractional part must mean "no
+    # extra copy", not the sub-resolution error threshold_u32 raises for.
+    frac_thr = min(U32_SPACE, max(0, round((factor - base) * U32_SPACE)))
+    if frac_thr == 0:
+        if base == 0 and factor > 0:
+            # the silently-empty guard threshold_u32 exists for
+            raise ValueError(
+                f"factor {factor} is below the 1/2^32 sampling resolution"
+            )
+        n = F.lit(base)
+    else:
+        extra = (hash_u32(key_col, seed) < F.lit(frac_thr)).cast("int")
+        n = F.lit(base) + extra
     return (
         df.withColumn("__n_copies", n)
         .filter(F.col("__n_copies") > 0)

@@ -154,15 +154,18 @@ def _lsh_banded_pairs(
     # even split: band bi covers bits [bounds[bi], bounds[bi+1]) — every
     # band gets >= 1 bit, together they cover all n_planes bits exactly
     bounds = [bi * n_planes // n_bands for bi in range(n_bands + 1)]
+    def _band_key(bi: int):
+        # width == 64 (one band spanning the whole signature, i.e.
+        # max_hamming=0 with the full 64-plane cap) needs no mask — and
+        # (1 << 64) - 1 would overflow LongType and fail plan build.
+        width = bounds[bi + 1] - bounds[bi]
+        shifted = F.shiftrightunsigned(F.col("_sig"), bounds[bi])
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+
     bandc = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            (
-                F.shiftrightunsigned(F.col("_sig"), bounds[bi]).bitwiseAND(
-                    F.lit((1 << (bounds[bi + 1] - bounds[bi])) - 1).cast("long")
-                )
-            ).alias("key"),
-        )
+        F.struct(F.lit(bi).alias("band"), _band_key(bi).alias("key"))
         for bi in range(n_bands)
     ]
     blocked = sig.select(

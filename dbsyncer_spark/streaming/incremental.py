@@ -511,9 +511,10 @@ def maybe_merge(
     meta = idx.meta
     params = meta["params"]
     segments = meta["segments"]
-    tomb = idx._tombstones()
-    counts: dict[str, int] = {}
-    if tomb is not None:
+    def _tomb_counts(idx_snap: SearchIndex, meta_snap: dict) -> dict[str, int]:
+        tomb = idx_snap._tombstones()
+        if tomb is None:
+            return {}
         live_tomb = tomb.select("doc_id").distinct()
         # exclude ids already staged for deferred covered-GC: their docs
         # are physically gone from the (already merged) segments, they
@@ -524,7 +525,7 @@ def maybe_merge(
         # micro-batch)
         cov_root = os.path.join(index_dir, "tombstones_covered")
         staged_dirs = [
-            p for p in (os.path.join(cov_root, t) for t in meta.get("covered_gc", {}))
+            p for p in (os.path.join(cov_root, t) for t in meta_snap.get("covered_gc", {}))
             if os.path.exists(p)
         ]
         if staged_dirs:
@@ -542,7 +543,30 @@ def maybe_merge(
                   (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") <= F.col("hi")))
             .groupBy("seg").count().collect()
         )
-        counts = {r.seg: int(r["count"]) for r in rows}
+        return {r.seg: int(r["count"]) for r in rows}
+
+    # the staged covered dirs (and the pinned tombstone generation) are
+    # existence-checked here but read lazily inside the count job, all
+    # OUTSIDE the meta lock — a concurrent maintenance run's
+    # _purge_retired/_gc_staged_tombstones can apply + delete them
+    # mid-scan (ADVICE r3 TOCTOU). Tolerate the vanish: recompute the
+    # counts from a fresh meta/index snapshot instead of crashing the
+    # merge. Segment selection keeps using OUR original snapshot; a
+    # concurrent segment swap is already handled at publish.
+    counts: dict[str, int] = {}
+    snap_idx, snap_meta = idx, meta
+    for attempt in range(3):
+        try:
+            counts = _tomb_counts(snap_idx, snap_meta)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            snap_idx = SearchIndex(spark, index_dir)
+            snap_meta = snap_idx.meta
+    # the tombstone view the merge itself masks with — from the same
+    # snapshot the counts came from
+    tomb = snap_idx._tombstones()
 
     merged = select_merge(
         segments, counts, tier_factor=tier_factor, merge_at=merge_at,
@@ -781,55 +805,128 @@ def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> No
     clock as merged-away segment dirs (in-flight readers/merges pinned
     to it keep reading real files).
 
-    Listing, rewrite, and flip all run under the meta lock — the
-    tombstone APPEND in ``delete_docs``/``update_docs`` moves its staged
-    files in under the same lock, so an append can't land in the old
-    generation between our listing and the flip (the rewrite, computed
-    from the earlier listing, would silently drop it and resurrect the
-    deleted doc). A crash anywhere before the meta write leaves only an
-    orphan next-generation dir; the retried GC (the tags stay registered
-    until this function returns) overwrites it."""
+    r4 (ADVICE): the rewrite — full Spark jobs over the live generation —
+    no longer runs under the exclusive meta lock (it stalled every CDC
+    delete's staged-file move and every streaming HWM write for the
+    whole rewrite, unbounded on a large tombstone set). Optimistic shape
+    instead: pin the generation's exact FILE LISTING, compute + write
+    the next generation to a temp dir lock-free, then take the lock only
+    to verify nothing moved (same active generation, byte-identical file
+    listing, tags still staged — tombstone appends move their files in
+    under this same lock, so the listing compare is a complete conflict
+    detector) and rename+flip the pointer. On contention the cheap path
+    retries; after 3 conflicts it falls back to the r3 fully-locked
+    rewrite, so progress is guaranteed. A crash anywhere before the meta
+    write leaves only an orphan temp/next-generation dir; the retried GC
+    (the tags stay registered until applied) overwrites it."""
     import time as _time
 
     from dbsyncer_spark.index.build import atomic_write_meta, meta_lock
 
     cov_root = os.path.join(index_dir, "tombstones_covered")
-    with meta_lock(index_dir):
-        # (re-)check the staged dirs INSIDE the lock: a concurrent
-        # maintenance run's purge may have applied + deleted them since
-        # our caller listed meta (r3 review — the pre-lock listing made
-        # the second run crash on the vanished paths, or worse re-apply
-        # an already-applied GC as a pointless full rewrite)
-        dirs = [d for d in (os.path.join(cov_root, t) for t in tags)
+
+    def _staged_dirs() -> list:
+        return [d for d in (os.path.join(cov_root, t) for t in tags)
                 if os.path.exists(d)]
-        meta = _read_root_meta(index_dir) or {}
-        cur = _active_tomb_dir(index_dir, meta)
-        if dirs and os.path.exists(cur):
-            covered = spark.read.parquet(*dirs).select("doc_id").distinct()
-            keep = spark.read.parquet(cur).join(covered, "doc_id", "left_anti")
-            nxt_name = _next_tomb_gen(os.path.basename(cur))
-            nxt = os.path.join(index_dir, nxt_name)
-            # persist: isEmpty + write would otherwise run the anti-join
-            # twice while every other meta writer is stalled on the lock
-            keep = keep.persist()
-            try:
-                if keep.isEmpty():
-                    # pointer flips to a generation with no dir at all
-                    # (readers treat the absent dir as "no tombstones")
-                    shutil.rmtree(nxt, ignore_errors=True)
-                else:
-                    keep.write.mode("overwrite").parquet(nxt)
-            finally:
-                keep.unpersist()
-            meta["tombstones_dir"] = nxt_name
-            meta.setdefault("tomb_retired", {})[os.path.basename(cur)] = _time.time()
-            atomic_write_meta(index_dir, meta)
-        # delete the applied staged dirs INSIDE the lock: the in-lock
-        # re-check above uses their existence as "not yet applied", so a
-        # post-lock delete window let a concurrent purge re-apply the
-        # same tags as a pointless full rewrite + extra flip (r3 review)
+
+    def _data_files(d: str) -> list:
+        try:
+            return sorted(os.path.join(d, f) for f in os.listdir(d)
+                          if not f.startswith(("_", ".")))
+        except FileNotFoundError:
+            return []
+
+    def _compute(dirs: list, pinned: list, tmp: str) -> bool:
+        """Anti-join the PINNED file listing (not the dir — a mid-scan
+        append must not leak into the rewrite) against the staged
+        covered ids; write survivors to ``tmp``. True = empty result
+        (no dir written; the flip targets an absent generation, which
+        readers treat as "no tombstones")."""
+        if not pinned:
+            return True
+        covered = spark.read.parquet(*dirs).select("doc_id").distinct()
+        keep = spark.read.parquet(*pinned).join(covered, "doc_id", "left_anti")
+        # persist: isEmpty + write would otherwise run the anti-join twice
+        keep = keep.persist()
+        try:
+            if keep.isEmpty():
+                return True
+            keep.write.mode("overwrite").parquet(tmp)
+            return False
+        finally:
+            keep.unpersist()
+
+    def _flip(fresh: dict, cur: str, nxt_name: str, dirs: list) -> None:
+        """Pointer flip + staged-dir cleanup; caller holds the meta lock.
+        Deleting the applied staged dirs INSIDE the lock matters: their
+        existence doubles as "not yet applied" for concurrent runs (r3
+        review — a post-lock delete window let a concurrent purge
+        re-apply the same tags as a pointless full rewrite)."""
+        fresh["tombstones_dir"] = nxt_name
+        fresh.setdefault("tomb_retired", {})[os.path.basename(cur)] = _time.time()
+        atomic_write_meta(index_dir, fresh)
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+    for _ in range(3):  # optimistic lock-free rewrite attempts
+        dirs = _staged_dirs()
+        if not dirs:
+            return  # a concurrent run applied these tags already
+        meta = _read_root_meta(index_dir) or {}
+        cur = _active_tomb_dir(index_dir, meta)
+        if not os.path.exists(cur):
+            break  # no tombstones at all — just deregister under the lock
+        pinned = _data_files(cur)
+        nxt_name = _next_tomb_gen(os.path.basename(cur))
+        nxt = os.path.join(index_dir, nxt_name)
+        tmp = os.path.join(index_dir, f".{nxt_name}.inflight-{os.getpid()}")
+        try:
+            empty = _compute(dirs, pinned, tmp)
+        except Exception:
+            # staged dirs / generation files purged mid-scan by a
+            # concurrent run (the r3 TOCTOU) — re-snapshot and retry
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        with meta_lock(index_dir):
+            dirs_now = _staged_dirs()
+            if not dirs_now:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            fresh = _read_root_meta(index_dir) or {}
+            if (_active_tomb_dir(index_dir, fresh) == cur
+                    and _data_files(cur) == pinned
+                    and dirs_now == dirs):
+                shutil.rmtree(nxt, ignore_errors=True)
+                if not empty:
+                    os.replace(tmp, nxt)  # rename(2): atomic dir publish
+                _flip(fresh, cur, nxt_name, dirs)
+                return
+        # an append landed in the old generation (or a flip/apply raced
+        # us) between the pinned listing and the lock: the computed
+        # rewrite would silently drop it and resurrect the deleted doc —
+        # discard and recompute from a fresh snapshot
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # contended (or generation absent): guaranteed progress the r3 way —
+    # listing, rewrite, and flip all under the lock
+    with meta_lock(index_dir):
+        dirs = _staged_dirs()
+        if not dirs:
+            return
+        meta = _read_root_meta(index_dir) or {}
+        cur = _active_tomb_dir(index_dir, meta)
+        if os.path.exists(cur):
+            nxt_name = _next_tomb_gen(os.path.basename(cur))
+            nxt = os.path.join(index_dir, nxt_name)
+            tmp = os.path.join(index_dir, f".{nxt_name}.inflight-{os.getpid()}")
+            shutil.rmtree(nxt, ignore_errors=True)
+            if not _compute(dirs, _data_files(cur), tmp):
+                os.replace(tmp, nxt)
+            _flip(meta, cur, nxt_name, dirs)
+        else:
+            # covered ids with no live tombstones are trivially applied
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def decode_postings(postings: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -963,6 +1060,19 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
     # window lost the live dir between the renames) — restore, don't
     # delete, when the active flat dir is gone; .rewriting is always an
     # incomplete rewrite and is dropped.
+    # crash-orphaned lock-free GC rewrites (r4): the optimistic
+    # _gc_staged_tombstones writes ".{gen}.inflight-{pid}" temp dirs
+    # before taking the lock; a crash before the flip leaves them.
+    # Leading dot keeps them out of the reader's generation-detection
+    # listdir; swept here by age.
+    for n in os.listdir(index_dir):
+        if n.startswith(".tombstones") and ".inflight-" in n:
+            p = os.path.join(index_dir, n)
+            try:
+                if now - os.path.getmtime(p) >= RESERVATION_TTL_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     legacy_old = os.path.join(index_dir, "tombstones.old")
     flat = os.path.join(index_dir, "tombstones")
     if os.path.isdir(legacy_old):

@@ -167,3 +167,37 @@ def test_replay_quarantine_is_consume_once(spark, tmp_path_factory):
     # second replay must be a no-op, not a duplicate ingest
     assert replay_quarantine(spark, d, max_content_bytes=10_000) is None
     assert SearchIndex(spark, d).n_docs == 4
+
+
+def test_phrase_broad_filter_inverted_mask_with_tombstones(spark, tmp_path_factory):
+    """r4 adaptive masking on the phrase path: a majority-matching
+    doc_filter ships the complement (inverted) and must still mask dead
+    docs that MATCH the filter (the dead-set union branch). Ranking must
+    be identical to the forced allowed-side plan."""
+    d = str(tmp_path_factory.mktemp("ph_inv_idx"))
+    rows = []
+    for i in range(8):
+        filler = " ".join(f"fill{i}w{j}" for j in range(3 + 4 * i))
+        lang = "python" if i < 6 else "java"  # 6/8 majority
+        rows.append((f"r{i}", f"p{i}.py", f"c{i}", lang, f"alpha beta {filler}"))
+    docs = spark.createDataFrame(rows, SCHEMA)
+    build_index(spark, docs, d, num_shards=4, range_size=128, block_size=16,
+                num_id_buckets=4, store_positions=True)
+    idx = SearchIndex(spark, d)
+    flt = F.col("lang") == "python"
+    before = idx.search_phrase("alpha beta", k=10, doc_filter=flt).collect()
+    assert len(before) == 6
+    # tombstone the top MATCHING doc — the complement must pick it up
+    vic = idx.docstats().filter(F.col("doc_id") == before[0].doc_id).select("repo", "path")
+    assert delete_docs(spark, d, vic) == 1
+    idx2 = SearchIndex(spark, d)
+    side, inverted = idx2._mask_plan(flt, None, idx2._tombstones())
+    assert inverted is True
+    assert side.count() == 2 + 1  # 2 java + the dead python doc
+    got = [(r.doc_id, round(r.score, 9))
+           for r in idx2.search_phrase("alpha beta", k=10, doc_filter=flt).collect()]
+    forced = [(r.doc_id, round(r.score, 9))
+              for r in idx2.search_phrase("alpha beta", k=10, doc_filter=flt,
+                                          filter_selectivity=0.01).collect()]
+    assert got == forced and len(got) == 5
+    assert before[0].doc_id not in {g[0] for g in got}

@@ -118,6 +118,25 @@ def test_dedup_bucket_caps_enforced_pre_agg(spark, docs):
         assert opt.index("collect_list") < opt.rindex("1000"), opt
 
 
+def test_lsh_banded_pairs_full_width_band(spark):
+    """ADVICE r3: planes=64 with max_hamming=0 yields one 64-bit band;
+    the key mask literal (1<<64)-1 overflowed LongType and failed plan
+    build. The full-signature band needs no mask — exact-signature
+    blocking must plan and agree with the exact path on its candidates."""
+    from dbsyncer_spark.ops.similarity import embedding_dup_pairs, hyperplanes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = hyperplanes(dim=len(emb.head()["embedding"]), n_planes=64, seed=7)
+    got = embedding_dup_pairs(emb, 0.35, planes=planes, max_hamming=0)
+    pairs = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in got.collect())
+    exact = sorted(
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in embedding_dup_pairs(emb, 0.35).collect()
+    )
+    # LSH is recall<=1 vs exact, precision 1 (exact cosine re-check)
+    assert set(pairs) <= set(exact)
+
+
 def test_knn_join_agrees_with_cosine_topk(spark):
     from dbsyncer_spark.ops.similarity import cosine_topk, knn_join
 

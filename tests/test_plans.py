@@ -182,3 +182,49 @@ def test_tombstone_only_search_cogroups_dead_set_not_docstats(spark, corpus, tmp
     dead = {r.doc_id for r in spark.read.parquet(f"{d}/tombstones").collect()}
     want = [x for x in baseline if x[0] not in dead][: len(got)]
     assert got[: len(want)] == want
+
+
+def test_broad_filter_cogroups_complement_not_match_set(spark, pindex):
+    """r3 VERDICT #1 gate: with a doc_filter matching the MAJORITY of
+    docs the cogroup side must be the COMPLEMENT (the smaller set), not
+    the match set — a broad MUST filter over a 10^10-doc corpus would
+    otherwise ship O(matching docs) ids into the Python scorers per
+    query. Selective filters keep the allowed side; both mask sides must
+    produce identical rankings."""
+    stats = pindex.docstats()
+    counts = {
+        r.lang: r["cnt"]
+        for r in stats.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = pindex.n_docs
+    majority = max(counts, key=counts.get)
+    flt = (
+        F.col("lang") == F.lit(majority)
+        if counts[majority] > total / 2
+        else F.col("lang") != F.lit(majority)
+    )
+    match_n = stats.filter(flt).count()
+    assert match_n > total / 2, "fixture must give a majority-matching filter"
+    side, inverted = pindex._mask_plan(flt, None, pindex._tombstones())
+    assert inverted is True, "broad filter must ship the complement, inverted"
+    assert side.count() == total - match_n
+    # a selective (minority) filter stays allowed-side
+    minority = min(counts, key=counts.get)
+    side2, inv2 = pindex._mask_plan(
+        F.col("lang") == F.lit(minority), None, pindex._tombstones()
+    )
+    assert inv2 is False
+    assert side2.count() == counts[minority]
+    # end-to-end: the inverted-complement ranking is row-identical to a
+    # forced allowed-side ranking (filter_selectivity pins the choice)
+    a = [
+        (r.doc_id, round(r.score, 9))
+        for r in pindex.search("merge offset", k=10, doc_filter=flt).collect()
+    ]
+    b = [
+        (r.doc_id, round(r.score, 9))
+        for r in pindex.search(
+            "merge offset", k=10, doc_filter=flt, filter_selectivity=0.01
+        ).collect()
+    ]
+    assert a == b and len(a) > 0

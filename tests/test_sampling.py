@@ -140,6 +140,22 @@ def test_oversample_fractional_repeats(spark, docs):
         oversample(docs, -1.0)
 
 
+def test_oversample_tolerates_float_noise_integer_factors(spark, docs):
+    """ADVICE r3: factor=3.0000000000000004 (float arithmetic on mix
+    ratios) must mean exactly 3 copies, not a sub-resolution error; a
+    genuinely sub-resolution positive factor must still raise."""
+    from dbsyncer_spark.ops.sampling import oversample
+
+    out = oversample(docs, 3.0000000000000004, seed=21)
+    assert out.count() == 3 * 600
+    assert {r.epoch for r in out.select("epoch").distinct().collect()} == {0, 1, 2}
+    # silently-empty guard still holds for real tiny fractions
+    with pytest.raises(ValueError, match="resolution"):
+        oversample(docs, 1e-12, seed=21)
+    # base > 0 with float-noise fraction on top of base also fine
+    assert oversample(docs, 1.0 + 1e-15, seed=21).count() == 600
+
+
 def test_weighted_mix_oversampling_source(spark, docs):
     from dbsyncer_spark.ops.sampling import weighted_mix
 
