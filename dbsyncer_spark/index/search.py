@@ -101,6 +101,18 @@ def _dead_ranges(tomb: DataFrame, range_size: int) -> DataFrame:
     )
 
 
+#: search_many: engage per-query WAND pruning only when one range's
+#: union-of-query-terms posting volume reaches this (below it the
+#: bookkeeping costs more than the skipped decodes — measured r3→r4
+#: A/B at 100k docs; see search_many docstring)
+_BATCH_PRUNE_MIN_POSTINGS = 2_000_000
+#: search_many: per-query dense accumulators (needed for WAND theta /
+#: segmax) are capped — above this many queries a range uses sparse
+#: TAAT, bounding range-task memory at O(decoded postings) instead of
+#: n_queries × range_size × 9 B
+_BATCH_PRUNE_MAX_QUERIES = 128
+
+
 def _cut_topk(idx: np.ndarray, scores: np.ndarray, k: int):
     """Exact per-range top-k cut under (score desc, doc_id asc).
 
@@ -668,11 +680,19 @@ class SearchIndex:
         ``idx.fetch(rows, sort_cols=[("score", False), ("doc_id",
         False)])`` — the default fetch sort tie-breaks doc_id ASC and
         would flip the page oldest-first."""
-        from dbsyncer_spark.query.parser import check_fields, parse_query
+        from dbsyncer_spark.query.parser import (
+            MAX_EXPANSIONS, check_fields, fold_expansions, parse_query,
+        )
 
         pq = parse_query(query)
         check_fields(pq, self.docstats().columns)
-        scored = pq.scored_terms
+        # prefix/wildcard/fuzzy units -> dictionary expansion (reference
+        # F10 Prefix/Wildcard/FuzzyQuery inside the parsed surface,
+        # LuceneFactoryTest.java:338-405); shared fold with the wide twin
+        expanded = [self._expand_unit(e, MAX_EXPANSIONS)
+                    for e in pq.expansions]
+        extra_scored, must_any, not_any = fold_expansions(pq, expanded)
+        scored = sorted(set(pq.scored_terms) | extra_scored)
         allowed: DataFrame | None = None
 
         def intersect(df: DataFrame | None, other: DataFrame, anti: bool = False):
@@ -689,6 +709,18 @@ class SearchIndex:
             allowed = intersect(allowed, self._phrase_match_ids(p))
         for p in pq.not_phrases:
             allowed = intersect(allowed, self._phrase_match_ids(p), anti=True)
+        for terms in must_any:
+            allowed = intersect(
+                allowed,
+                self._docs_with_any_term(terms) if terms
+                # empty expansion on a MUST clause: unsatisfiable gate
+                else self.docstats().select("doc_id").limit(0),
+            )
+        for terms in not_any:
+            if terms:
+                allowed = intersect(
+                    allowed, self._docs_with_any_term(terms), anti=True
+                )
 
         doc_filter = None
         for f, v in pq.fields.items():
@@ -699,6 +731,11 @@ class SearchIndex:
             doc_filter = cond if doc_filter is None else (doc_filter & cond)
 
         if not scored:
+            if any(e.mod != "-" for e in pq.expansions):
+                # a scoring expansion that matched ZERO dictionary terms:
+                # Lucene's rewritten empty BooleanQuery matches nothing —
+                # routing to match_all would invert the semantics
+                return empty_df(self.spark, _SCORE_SCHEMA)
             rows = self.match_all(doc_filter=doc_filter, allowed_docs=allowed, k=k)
             return rows.select("doc_id", F.lit(1.0).alias("score"))
         return self.search(
@@ -1010,6 +1047,44 @@ class SearchIndex:
             F.levenshtein(F.col("term"), F.lit(term)) <= max_edits, limit
         )
 
+    def _expand_unit(self, exp, limit: int) -> list[str]:
+        """Resolve a parsed Expansion (prefix/wildcard/fuzzy unit)
+        against the terms table; raises past ``limit`` like Lucene's
+        BooleanQuery.TooManyClauses (the plain expand_* APIs cap
+        silently — the parsed surface matches Lucene instead)."""
+        from dbsyncer_spark.query.parser import wildcard_to_like
+
+        if exp.kind == "prefix":
+            pred = F.col("term").startswith(exp.pattern)
+        elif exp.kind == "wildcard":
+            pred = F.col("term").like(wildcard_to_like(exp.pattern))
+        else:
+            pred = F.levenshtein(F.col("term"), F.lit(exp.pattern)) <= exp.max_edits
+        terms = self._expand(pred, limit + 1)
+        if len(terms) > limit:
+            raise ValueError(
+                f"{exp.kind} '{exp.pattern}' expands to more than {limit} "
+                "terms (maxClauseCount) — narrow the pattern"
+            )
+        return terms
+
+    def _docs_with_any_term(self, terms: list[str]) -> DataFrame:
+        """doc_ids containing >= 1 of ``terms`` (shard/tid-pruned ids-only
+        decode) — the candidate gate for MUST/MUST_NOT expansion clauses.
+        May emit duplicate ids (semi/anti-join right sides tolerate them)."""
+        tids = sorted({term_id(t) for t in terms})
+        shards = sorted({py_shard(t, self.num_shards) for t in terms})
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin(tids)
+        )
+        return postings.select(
+            F.explode(
+                _decode_ids_udf()(
+                    F.col("blob"), F.col("block_first"), F.col("block_n"), F.col("block_off")
+                )
+            ).alias("doc_id")
+        )
+
     def _search_expanded(self, terms: list[str], k: int) -> DataFrame:
         if not terms:
             return empty_df(self.spark, _SCORE_SCHEMA)
@@ -1031,7 +1106,8 @@ class SearchIndex:
         return self._search_expanded(self.expand_fuzzy(term, max_edits, limit), k)
 
     def search_many(self, queries: dict[str, str], k: int = 10,
-                    mode: str = "wand") -> DataFrame:
+                    mode: str = "wand",
+                    prune_min_postings: int | None = None) -> DataFrame:
         """Batched top-k for many queries in ONE Spark job — the high-
         throughput serving shape (per-query jobs waste scheduler overhead;
         at cluster scale a query front-end batches by arrival window).
@@ -1039,21 +1115,35 @@ class SearchIndex:
         Postings for the union of all query terms are read once; each
         term's blocks are decoded at most once per docId-range and
         accumulated into every query that contains the term
-        (shared-decode TAAT). ``mode="wand"`` (default) adds PER-QUERY
-        block-max pruning over the shared decode: a block is decoded iff
-        at least one query still needs it, and accumulated into query q
-        iff q's own WAND bound keeps it —
+        (shared-decode TAAT). ``mode="wand"`` adds PER-QUERY block-max
+        pruning over the shared decode, engaged ADAPTIVELY per range
+        (r3 VERDICT #2: the per-query bookkeeping — keep masks, segmax
+        reduceats, theta partitions — measurably cost more than the
+        skipped decodes at bench index size, 13.3→8.5 q/s): pruning
+        turns on only when the range's union-of-terms posting volume
+        reaches ``prune_min_postings`` (default
+        ``_BATCH_PRUNE_MIN_POSTINGS``) AND the batch has at most
+        ``_BATCH_PRUNE_MAX_QUERIES`` queries. When engaged, a block is
+        decoded iff at least one query still needs it, and accumulated
+        into query q iff q's own WAND bound keeps it —
 
             segmax_q(block span) + U_term(block) + R_rest_q >= theta_q
 
         with theta_q = q's current k-th best partial and R_rest_q = the
-        sum of q's UNPROCESSED terms' upper bounds. Each query therefore
-        sees exactly the blocks a single-query WAND run (with the same
-        global term order) would keep, so pruning never changes any
-        query's top-k set, order, or reported scores (rank-identity to
-        per-query ``search()`` is pytest-gated). Terms process in global
-        (-max UB, tid) order — a total order, so float summation stays
-        execution-independent.
+        sum of q's UNPROCESSED terms' upper bounds. Pruning never changes
+        any query's top-k set, order, or reported scores (rank-identity
+        to per-query ``search()`` is pytest-gated; pruned blocks can only
+        hold docs provably outside q's top-k, and the fixed global
+        (-max UB, tid) term order pins every float summation).
+
+        Per-range memory (r3 VERDICT #3): the TAAT path accumulates
+        SPARSELY — per query it holds references to the shared decoded
+        arrays (no per-query copies) and materializes one transient
+        dense array at finalization, so a 1,000-query batch costs
+        O(decoded postings), not 1,000 × range_size × 9 B. Only the
+        pruning path needs per-query dense running scores (theta/segmax),
+        hence its ``_BATCH_PRUNE_MAX_QUERIES`` cap — above it the range
+        falls back to sparse TAAT (memory-bounded, still shared-decode).
 
         Returns DataFrame(query_id string, doc_id long, score double),
         per query ordered (score desc, doc_id asc), <= k rows each.
@@ -1083,65 +1173,96 @@ class SearchIndex:
         shards = sorted({py_shard(t, self.num_shards) for t in dfs})
         range_size = self.range_size
         prune = mode == "wand"
+        prune_min = (_BATCH_PRUNE_MIN_POSTINGS if prune_min_postings is None
+                     else prune_min_postings)
+        n_queries = len(qterms)
 
-        def score_impl(key, pdf, dead_pdf):
-            _limit_arrow_threads()
-            if pdf.empty:
-                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                    {"query_id": "object", "doc_id": "int64", "score": "float64"}
+        def _empty_out():
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "object", "doc_id": "int64", "score": "float64"}
+            )
+
+        def _taat(rows, base, allowed):
+            """Sparse shared-decode TAAT: decode every block of every term
+            once; per query hold REFERENCES to the shared (idx, contrib)
+            arrays, then finalize one query at a time with a transient
+            bincount (accumulation order = the fixed global term order,
+            so float sums are bit-identical to the single-query
+            exhaustive scorer's)."""
+            hits: dict[str, list] = {}
+            for _, tid_v, r, _ in rows:
+                idf = idfs[tid_v]
+                d, tf, dl = unpack_blocks(
+                    r.blob, r.block_off, r.block_n, r.block_first, keep=None
                 )
-            base = int(key[0]) * range_size
-            # allowed-mask via the shared helper (inverted dead set), not
-            # a fourth hand-rolled copy (r3 review)
-            allowed = _range_mask(dead_pdf, base, range_size, inverted=True)
-            # per-query (scores, seen) arrays allocate LAZILY on first
-            # contribution: eager allocation cost
-            # n_queries × range_size × 9 bytes per range task even for
-            # queries with no terms in the range (r3 review). theta can
-            # only be set after a query accumulated, so the pruning
-            # branch below never reads a missing entry.
+                tf = tf.astype(np.float64)
+                dl = dl.astype(np.float64)
+                tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                idx = (d - np.uint64(base)).astype(np.int64)
+                contrib = idf * tfn
+                if allowed is not None:
+                    # mask BEFORE the per-query top-k cut (found r2)
+                    m = allowed[idx]
+                    idx, contrib = idx[m], contrib[m]
+                if idx.size == 0:
+                    continue
+                for qid in by_tid[tid_v]:
+                    hits.setdefault(qid, []).append((idx, contrib))
+            frames = []
+            for qid, parts in hits.items():
+                if len(parts) == 1:
+                    cat_idx, cat_c = parts[0]
+                else:
+                    cat_idx = np.concatenate([p[0] for p in parts])
+                    cat_c = np.concatenate([p[1] for p in parts])
+                S = np.bincount(cat_idx, weights=cat_c)
+                uniq = np.unique(cat_idx)
+                fidx, scores = _cut_topk(uniq, S[uniq], k)
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "doc_id": (base + fidx).astype("int64"),
+                    "score": scores,
+                }))
+            return pd.concat(frames, ignore_index=True) if frames else _empty_out()
+
+        def _wand(rows, base, allowed):
+            """Per-query block-max pruning over the shared decode (see
+            docstring); dense per-query accumulators allocate lazily on
+            first contribution."""
             acc: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-            # per-term block upper bounds; global processing order
-            # (-max UB, tid) is a total order — heaviest terms first
-            # raises thetas early, and the fixed order pins float
-            # summation (scores reproduce bit-for-bit across executions)
-            rows = []
-            for r in pdf.itertuples(index=False):
-                idf = idfs[r.tid]
-                ub_blocks = idf * _tfnorm_bound(
-                    np.asarray(r.block_max_tf), np.asarray(r.block_min_dl),
-                    k1, b, avgdl,
-                )
-                rows.append((float(ub_blocks.max()), r.tid, r, ub_blocks))
-            rows.sort(key=lambda x: (-x[0], x[1]))
-            # per-query sum of its terms' UBs present in THIS range (terms
-            # of q absent here contribute nothing to docs of this range)
             ub_of = {tid: u for u, tid, _, _ in rows}
             remaining = {
-                qid: sum(ub_of.get(t, 0.0) for t in ts) for qid, ts in qterms.items()
+                qid: sum(ub_of.get(t, 0.0) for t in ts)
+                for qid, ts in qterms.items()
             }
             theta: dict[str, float | None] = {qid: None for qid in qterms}
 
-            for ub_max, tid_v, r, ub_blocks in rows:
+            for _ub_max, tid_v, r, ub_blocks in rows:
                 idf = idfs[tid_v]
                 qids = by_tid[tid_v]
                 nb = ub_blocks.size
                 block_first = np.asarray(r.block_first, dtype=np.int64)
-                keep_by_q: dict[str, np.ndarray] = {}
+                # keep_by_q[qid] = None means "keeps every block" (no
+                # theta yet) — avoids an np.ones alloc per query per term
+                keep_by_q: dict[str, np.ndarray | None] = {}
                 union_keep = np.zeros(nb, dtype=bool)
+                any_all = False
                 for qid in qids:
                     remaining[qid] -= ub_of.get(tid_v, 0.0)
                     th = theta[qid]
-                    if not prune or th is None:
-                        kq = np.ones(nb, dtype=bool)
-                    else:
-                        S, _ = acc[qid]
-                        starts = block_first - base
-                        segmax = np.maximum.reduceat(S, starts)
-                        kq = (segmax + ub_blocks + remaining[qid]) >= th
+                    if th is None:
+                        keep_by_q[qid] = None
+                        any_all = True
+                        continue
+                    S, _ = acc[qid]
+                    starts = block_first - base
+                    segmax = np.maximum.reduceat(S, starts)
+                    kq = (segmax + ub_blocks + remaining[qid]) >= th
                     keep_by_q[qid] = kq
                     union_keep |= kq
-                if not union_keep.any():
+                if any_all:
+                    union_keep[:] = True
+                elif not union_keep.any():
                     continue
                 kept_idx = np.flatnonzero(union_keep)
                 d, tf, dl = unpack_blocks(
@@ -1155,9 +1276,7 @@ class SearchIndex:
                 contrib = idf * tfn
                 live = None
                 if allowed is not None:
-                    # mask BEFORE the per-query top-k cut: dropping deleted
-                    # docs after the cut would lose live docs ranked behind
-                    # them within this range (found r2)
+                    # mask BEFORE the per-query top-k cut (found r2)
                     live = allowed[idx]
                 # decoded-row -> kept-block membership, for per-query
                 # sub-selection of the shared decode
@@ -1165,10 +1284,10 @@ class SearchIndex:
                 row_block = np.repeat(kept_idx, sizes)
                 for qid in qids:
                     kq = keep_by_q[qid]
-                    if not kq.any():
-                        continue
-                    if kq[kept_idx].all():
+                    if kq is None or kq[kept_idx].all():
                         qsel = slice(None)
+                    elif not kq.any():
+                        continue
                     else:
                         qsel = kq[row_block]
                     qidx, qcontrib = idx[qsel], contrib[qsel]
@@ -1186,10 +1305,9 @@ class SearchIndex:
                     S, seen = pair
                     S[qidx] += qcontrib
                     seen[qidx] = True
-                    if prune:
-                        cnt = int(seen.sum())
-                        if cnt >= k:
-                            theta[qid] = np.partition(S[seen], cnt - k)[cnt - k]
+                    cnt = int(seen.sum())
+                    if cnt >= k:
+                        theta[qid] = np.partition(S[seen], cnt - k)[cnt - k]
             frames = []
             for qid, (S, seen) in acc.items():
                 idx = np.flatnonzero(seen)
@@ -1201,11 +1319,36 @@ class SearchIndex:
                     "doc_id": (base + idx).astype("int64"),
                     "score": scores,
                 }))
-            if not frames:
-                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                    {"query_id": "object", "doc_id": "int64", "score": "float64"}
+            return pd.concat(frames, ignore_index=True) if frames else _empty_out()
+
+        def score_impl(key, pdf, dead_pdf):
+            _limit_arrow_threads()
+            if pdf.empty:
+                return _empty_out()
+            base = int(key[0]) * range_size
+            # allowed-mask via the shared helper (inverted dead set), not
+            # a fourth hand-rolled copy (r3 review)
+            allowed = _range_mask(dead_pdf, base, range_size, inverted=True)
+            # per-term block upper bounds; global processing order
+            # (-max UB, tid) is a total order — heaviest terms first
+            # raises thetas early, and the fixed order pins float
+            # summation (scores reproduce bit-for-bit across executions)
+            rows = []
+            n_postings = 0
+            for r in pdf.itertuples(index=False):
+                idf = idfs[r.tid]
+                n_postings += int(np.asarray(r.block_n).sum())
+                ub_blocks = idf * _tfnorm_bound(
+                    np.asarray(r.block_max_tf), np.asarray(r.block_min_dl),
+                    k1, b, avgdl,
                 )
-            return pd.concat(frames, ignore_index=True)
+                rows.append((float(ub_blocks.max()), r.tid, r, ub_blocks))
+            rows.sort(key=lambda x: (-x[0], x[1]))
+            # adaptive engage (r3 VERDICT #2/#3 — see docstring)
+            if (prune and n_postings >= prune_min
+                    and n_queries <= _BATCH_PRUNE_MAX_QUERIES):
+                return _wand(rows, base, allowed)
+            return _taat(rows, base, allowed)
 
         postings = self._postings().filter(
             F.col("shard").isin(shards) & F.col("tid").isin(list(idfs))
@@ -1223,12 +1366,27 @@ class SearchIndex:
                 lambda key, pdf: score_impl(key, pdf, None), out_schema
             )
         w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        return (
+        # final cross-range reduction: the per-range cut already bounds
+        # rows to <= k per (query, range-with-hits), and n_ranges is
+        # driver-known — when the bound is small, one SinglePartition
+        # task does sort+window+output-order in ONE exchange, replacing
+        # two (hash for the window + range-sampling for the global
+        # orderBy): two fewer stages of fixed serving latency (r4). At
+        # scale (many ranges × many queries) the hash-window shuffle
+        # shape distributes the reduction.
+        n_ranges = self.n_docs // range_size + 1
+        if n_ranges * n_queries * k <= 200_000:
+            scored = scored.repartition(1)
+        ranked = (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
-            .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
         )
+        if n_ranges * n_queries * k <= 200_000:
+            return ranked.sortWithinPartitions(
+                "query_id", F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return ranked.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
 
     def fetch(self, topk: DataFrame,
               sort_cols: list[tuple[str, bool]] | None = None) -> DataFrame:

@@ -28,6 +28,24 @@ Syntax (whitespace-separated units, quotes group):
                     unlike Lucene's per-clause sum — documented). A boost
                     on a quoted phrase parses but is ignored, since
                     phrases gate candidates rather than score here.
+- ``test*``         prefix expansion (Lucene PrefixQuery,
+                    ``LuceneFactoryTest.java:338-350``); ``te?t`` /
+                    ``t*st`` wildcard expansion (``*`` = any run, ``?``
+                    = one char, WildcardQuery); ``roam~`` / ``roam~1``
+                    fuzzy expansion (FuzzyQuery, default 2 edits, capped
+                    at Lucene's max 2). Expansion units honor the same
+                    +/-/^ modifiers: SHOULD/MUST expansions SCORE all
+                    matched terms (BM25 over the disjunction, like the
+                    engine's search_prefix), a MUST expansion also gates
+                    candidates to docs containing >= 1 matched term, a
+                    MUST_NOT expansion excludes them. Expansion is capped
+                    at ``max_expansions`` (1024, Lucene maxClauseCount) —
+                    exceeding it raises like BooleanQuery.TooManyClauses.
+                    Patterns are lowercased verbatim (NOT camel-split —
+                    ``getUser*`` matches terms starting with "getuser",
+                    matching Lucene where multi-term queries bypass the
+                    analyzer). A ``field:value*`` wildcard on a metadata
+                    field is not supported (fields are equality filters).
 
 Every unit's text runs through the engine tokenizer (camelCase split,
 lowercase, CJK unigrams), so ``+getUserName`` requires all three of
@@ -50,6 +68,22 @@ from dbsyncer_spark.session import empty_df
 _UNIT_RE = re.compile(r'([+-]?)("([^"]*)"(?:\^[0-9]*\.?[0-9]+)?|\S+)')
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 _BOOST_RE = re.compile(r"^(.+)\^([0-9]*\.?[0-9]+)$")
+_FUZZY_RE = re.compile(r"^([^\s~*?]+)~(\d*)$")
+
+#: Lucene BooleanQuery.maxClauseCount — the default expansion cap for
+#: prefix/wildcard/fuzzy units; exceeding it raises (TooManyClauses)
+MAX_EXPANSIONS = 1024
+
+
+@dataclass
+class Expansion:
+    """A multi-term query unit (``test*`` / ``te?t`` / ``roam~N``)
+    resolved against the term dictionary at execution time."""
+    kind: str            # 'prefix' | 'wildcard' | 'fuzzy'
+    pattern: str         # lowercased prefix / wildcard pattern / term
+    mod: str = ""        # '' SHOULD, '+' MUST, '-' MUST_NOT
+    max_edits: int = 2   # fuzzy only (Lucene classic default, max 2)
+    boost: float = 1.0
 
 
 @dataclass
@@ -62,6 +96,7 @@ class ParsedQuery:
     fields: dict[str, str] = field(default_factory=dict)
     not_fields: dict[str, str] = field(default_factory=dict)  # -field:value
     boosts: dict[str, float] = field(default_factory=dict)  # term -> ^boost
+    expansions: list = field(default_factory=list)  # prefix/wildcard/fuzzy units
 
     @property
     def scored_terms(self) -> list[str]:
@@ -72,6 +107,7 @@ class ParsedQuery:
         return not (
             self.should or self.must or self.must_not
             or self.phrases or self.not_phrases or self.fields or self.not_fields
+            or self.expansions
         )
 
 
@@ -97,6 +133,26 @@ def parse_query(q: str) -> ParsedQuery:
         bm = _BOOST_RE.match(unit)
         if bm:
             unit, boost = bm.group(1), float(bm.group(2))
+        fz = _FUZZY_RE.match(unit)
+        if fz and fz.group(2) != "0":  # roam~0 = exact term, falls through
+            edits = min(int(fz.group(2)) if fz.group(2) else 2, 2)
+            out.expansions.append(
+                Expansion("fuzzy", fz.group(1).lower(), mod, edits, boost)
+            )
+            continue
+        if fz:
+            unit = fz.group(1)  # strip the ~0
+        elif "*" in unit or "?" in unit:
+            pat = unit.lower()
+            if re.fullmatch(r"[^*?]+\*", pat):
+                out.expansions.append(
+                    Expansion("prefix", pat[:-1], mod, 2, boost)
+                )
+            else:
+                out.expansions.append(
+                    Expansion("wildcard", pat, mod, 2, boost)
+                )
+            continue
         terms = tokenize_py(unit)
         if not terms:
             continue
@@ -190,21 +246,102 @@ def parsed_doc_filter(pq: ParsedQuery, text_col: str):
     return reduce(lambda a, b: a & b, conds)
 
 
+def wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard -> SQL LIKE (escaping LIKE's own metachars)."""
+    like = pattern.replace("%", r"\%").replace("_", r"\_")
+    return like.replace("*", "%").replace("?", "_")
+
+
+def expand_wide(docs, text_col: str, exp: Expansion,
+                limit: int = MAX_EXPANSIONS) -> list[str]:
+    """Resolve an Expansion against the corpus's own token vocabulary
+    (DataFrame twin of ``SearchIndex.expand_prefix/wildcard/fuzzy``):
+    distinct matching tokens, term-sorted. Exceeding ``limit`` raises —
+    Lucene's BooleanQuery.TooManyClauses, not a silent truncation."""
+    from pyspark.sql import functions as F
+
+    from dbsyncer_spark.functions.tokenizer import tokens_col
+
+    base = docs.select(
+        F.explode(tokens_col(text_col)).alias("term")
+    ).distinct()
+    if exp.kind == "prefix":
+        pred = F.col("term").startswith(exp.pattern)
+    elif exp.kind == "wildcard":
+        pred = F.col("term").like(wildcard_to_like(exp.pattern))
+    else:
+        pred = F.levenshtein(F.col("term"), F.lit(exp.pattern)) <= exp.max_edits
+    rows = base.filter(pred).orderBy("term").limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{exp.kind} '{exp.pattern}' expands to more than {limit} "
+            "terms (maxClauseCount) — narrow the pattern"
+        )
+    return [r.term for r in rows]
+
+
+def fold_expansions(pq: ParsedQuery, expanded: list[list[str]]):
+    """Fold resolved expansion term lists into (extra scored terms,
+    any-of MUST gates, any-of MUST_NOT gates) and merge expansion boosts
+    into ``pq.boosts`` — shared by the wide twin and the index path so
+    the two can never diverge on modifier semantics."""
+    extra_scored: set[str] = set()
+    must_any: list[list[str]] = []
+    not_any: list[list[str]] = []
+    for exp, terms in zip(pq.expansions, expanded):
+        if exp.mod == "-":
+            not_any.append(terms)
+            continue
+        if exp.mod == "+":
+            # empty expansion on a MUST clause = unsatisfiable gate
+            must_any.append(terms)
+        extra_scored.update(terms)
+        if exp.boost != 1.0:
+            for t in terms:
+                pq.boosts[t] = max(pq.boosts.get(t, 0.0), exp.boost)
+    return extra_scored, must_any, not_any
+
+
 def parsed_topk_wide(spark, docs, query: str, k: int = 10,
-                     id_col: str = "doc_id", text_col: str = "content"):
+                     id_col: str = "doc_id", text_col: str = "content",
+                     max_expansions: int = MAX_EXPANSIONS):
     """Parse + execute over a document DataFrame: boolean/field/phrase
     clauses gate candidates, BM25 (deterministic wide sum) scores
-    SHOULD ∪ MUST terms. A query with no scored terms returns no rows
-    (documented: pure-filter queries need a match-all scorer we don't
-    emulate — the reference always pairs filters with a scored clause)."""
+    SHOULD ∪ MUST terms plus any prefix/wildcard/fuzzy expansions. A
+    query with no scored terms returns no rows (documented: pure-filter
+    queries need a match-all scorer we don't emulate — the reference
+    always pairs filters with a scored clause)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from dbsyncer_spark.functions.tokenizer import tokens_col
     from dbsyncer_spark.query.bm25 import bm25_topk_wide
 
     pq = parse_query(query)
     check_fields(pq, docs.columns)
-    scored = pq.scored_terms
+    expanded = [expand_wide(docs, text_col, e, max_expansions)
+                for e in pq.expansions]
+    extra_scored, must_any, not_any = fold_expansions(pq, expanded)
+    scored = sorted(set(pq.scored_terms) | extra_scored)
     if not scored:
         return empty_df(spark, f"{id_col} long, score double")
     flt = parsed_doc_filter(pq, text_col)
+    toks = tokens_col(text_col)
+    gates = []
+    for terms in must_any:
+        gates.append(
+            F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+            if terms else F.lit(False)
+        )
+    for terms in not_any:
+        if terms:
+            gates.append(
+                ~F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+            )
+    if gates:
+        g = reduce(lambda a, b: a & b, gates)
+        flt = g if flt is None else (flt & g)
     return bm25_topk_wide(
         spark, docs, " ".join(scored), k=k, id_col=id_col, text_col=text_col,
         doc_filter=flt, boosts=pq.boosts or None,

@@ -185,7 +185,10 @@ def test_search_many_wand_rank_identical(spark, index):
         f"q{q['queryId']}": q["text"]
         for q in reference_queries() if not q["filterLang"]
     }
-    wand = index.search_many(batch, k=10, mode="wand").collect()
+    # prune_min_postings=0 FORCES per-query pruning: the adaptive default
+    # would route this small index to the TAAT path (r4) and the gate
+    # would stop exercising the WAND bookkeeping
+    wand = index.search_many(batch, k=10, mode="wand", prune_min_postings=0).collect()
     exh = index.search_many(batch, k=10, mode="exhaustive").collect()
     assert [(r.query_id, r.doc_id, r.score) for r in wand] == [
         (r.query_id, r.doc_id, r.score) for r in exh
@@ -196,3 +199,25 @@ def test_search_many_wand_rank_identical(spark, index):
     for qid, q in batch.items():
         want = index.search(q, k=10, mode="exhaustive").collect()
         assert by_q.get(qid, []) == [(r.doc_id, round(r.score, 12)) for r in want], qid
+
+
+def test_search_many_thousand_query_batch_sparse(spark, index):
+    """r3 VERDICT #3: a 1,000-query batch must run within the sparse TAAT
+    memory bound — per-range cost O(decoded postings) via shared-array
+    references, never 1,000 × range_size dense accumulators (those are
+    capped at _BATCH_PRUNE_MAX_QUERIES and used only when pruning
+    engages) — and stay rank-identical to per-query search."""
+    import random
+
+    terms = ["merge", "offset", "import", "token", "shard",
+             "batch", "commit", "log", "parse", "index"]
+    rng = random.Random(7)
+    batch = {f"q{i}": " ".join(rng.sample(terms, 3)) for i in range(1000)}
+    got = index.search_many(batch, k=5).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 12)))
+    for qid in ("q0", "q499", "q999"):
+        want = [(r.doc_id, round(r.score, 12))
+                for r in index.search(batch[qid], k=5, mode="exhaustive").collect()]
+        assert by_q.get(qid, []) == want, qid
