@@ -695,48 +695,37 @@ def meta_lock(index_dir: str):
     streaming batch HWM, tiered merge, compaction) re-reads meta INSIDE
     the lock before writing, so an out-of-band merge process running
     next to a streaming ingester can't clobber the other's update — the
-    lost-segment / lost-HWM interleave found in the r3 review. flock is
-    same-host (maintenance and the streaming driver share the driver
-    host; on NFS/object stores it degrades to the previous documented
-    single-writer assumption). Readers stay lock-free: they see either
-    the old or the new meta via the atomic rename.
+    lost-segment / lost-HWM interleave found in the r3 review. Readers
+    stay lock-free: they see either the old or the new meta via the
+    atomic commit.
+
+    The implementation is INJECTABLE (r3 VERDICT portability caveat,
+    ``dbsyncer_spark.index.coordination``): default ``FlockLock`` is
+    same-host POSIX; ``LeaseFileLock`` (expiry + steal) covers shared
+    filesystems without flock; object-store deployments implement the
+    same two-method interface against a catalog/lock service instead of
+    falling back to "single writer".
 
     NOT reentrant (flock blocks a second acquisition even in-process):
     never nest, and never call another lock-taking helper while held."""
-    import fcntl  # lazy: POSIX-only; keeps the module importable elsewhere
+    from dbsyncer_spark.index.coordination import get_lock_provider
 
-    os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "meta.lock"), "w") as fh:
-        fcntl.flock(fh, fcntl.LOCK_EX)
-        try:
-            yield
-        finally:
-            fcntl.flock(fh, fcntl.LOCK_UN)
+    with get_lock_provider().lock(index_dir):
+        yield
 
 
 def atomic_write_meta(index_dir: str, meta: dict) -> None:
-    """The ONE way root meta reaches disk: json to a tmp file, fsync,
-    atomic rename, dir fsync. The rename protects concurrent readers
-    (old or new meta, never torn); the fsyncs protect against CRASHES —
-    without them a power loss after the rename can leave an empty
-    meta.json that bricks every reader (r3 review). Meta is tiny, so the
-    two fsyncs are noise next to the lock hold. Callers must hold the
-    meta lock."""
-    root = os.path.join(index_dir, "meta.json")
-    tmp = root + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, root)
-    try:
-        dfd = os.open(index_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-    except OSError:
-        pass  # directory fsync unsupported on some filesystems
+    """The ONE way root meta reaches disk — delegated to the injectable
+    committer (``dbsyncer_spark.index.coordination``; default POSIX:
+    json to a tmp file, fsync, atomic rename, dir fsync). The atomic
+    swap protects concurrent readers (old or new meta, never torn); the
+    fsyncs protect against CRASHES — without them a power loss after the
+    rename can leave an empty meta.json that bricks every reader (r3
+    review). Meta is tiny, so the two fsyncs are noise next to the lock
+    hold. Callers must hold the meta lock."""
+    from dbsyncer_spark.index.coordination import get_meta_committer
+
+    get_meta_committer().commit(index_dir, meta)
 
 
 def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:

@@ -1,0 +1,202 @@
+"""Injectable coordination seam: HOW the index serializes root-meta
+read-modify-writes and commits ``meta.json``.
+
+The engine's concurrency story (single ingest writer + concurrent
+maintenance + lock-free readers) rests on two primitives that every
+writer goes through — ``dbsyncer_spark.index.build.meta_lock`` and
+``atomic_write_meta``. Their default implementations are POSIX
+(``fcntl.flock`` + rename-with-fsync), which is exactly right for a
+driver-host-local index directory but does NOT transfer to NFS or
+object-store-mounted deployments (flock is advisory-same-host; rename
+atomicity and directory fsync vary) — the r3 VERDICT portability
+caveat. This module makes the primitives injectable:
+
+- ``FlockLock`` (default): same-host POSIX exclusive lock.
+- ``LeaseFileLock``: an expiring lease file — needs only atomic
+  create-if-absent + read-back from the store, with TTL-based steal for
+  crashed holders and a settle-and-verify round to arbitrate concurrent
+  stealers. The right shape for shared filesystems without flock; on a
+  true object store, implement the same two-method interface against a
+  catalog/lock service (e.g. a DynamoDB/ZooKeeper-style lease) instead.
+- ``PosixRenameCommitter`` (default): json → tmp → fsync → rename →
+  dir-fsync (crash-safe on POSIX).
+
+Inject with ``set_lock_provider`` / ``set_meta_committer`` (process-
+global, before opening the index). The lease TTL must exceed the
+longest critical section — the engine holds the lock only for
+pointer flips and staged-file moves (the expensive Spark rewrites run
+OUTSIDE it, r4), so the 30 s default is generous.
+
+Reference analog: DBSyncer serializes writer access per shard with an
+in-process ReentrantReadWriteLock (``Shard.java:60-75``); a distributed
+engine needs the inter-process equivalent, hence the seam.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+import uuid
+
+
+class FlockLock:
+    """Advisory inter-process exclusive lock via ``fcntl.flock`` —
+    same-host POSIX only (the default; documented in ``meta_lock``)."""
+
+    @contextlib.contextmanager
+    def lock(self, index_dir: str):
+        import fcntl  # lazy: POSIX-only; keeps the module importable elsewhere
+
+        os.makedirs(index_dir, exist_ok=True)
+        with open(os.path.join(index_dir, "meta.lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+class LeaseFileLock:
+    """Expiring lease-file lock for filesystems without flock semantics.
+
+    Acquire = atomically create ``meta.lease`` (O_CREAT|O_EXCL) holding
+    ``{token, ts}``. A live foreign lease (age <= ttl) is polled; an
+    EXPIRED one is stolen by rename-replacing it. Because two stealers
+    can replace back-to-back, every acquisition path ends with a
+    settle-and-verify round: sleep ``settle_s``, re-read, and only the
+    holder whose token survived owns the lock — the loser goes around.
+    Release deletes the lease only if the token is still ours (a steal
+    after OUR expiry must not be clobbered: the slow holder's release
+    becomes a no-op and the work it committed past its TTL is the
+    operator's signal to raise ``ttl_s``).
+
+    No background renewal: ``ttl_s`` must exceed the longest critical
+    section. The engine's sections are pointer flips and staged-file
+    moves (Spark rewrites run outside the lock), so seconds suffice.
+    Timestamps use wall clock (``time.time``) — hosts sharing a lease
+    must be NTP-sane within the TTL, the standard lease caveat."""
+
+    def __init__(self, ttl_s: float = 30.0, poll_s: float = 0.05,
+                 settle_s: float = 0.02):
+        self.ttl_s = ttl_s
+        self.poll_s = poll_s
+        self.settle_s = settle_s
+
+    def _read(self, path: str) -> dict | None:
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None  # absent, or torn mid-write: caller retries
+
+    def _write_json(self, path: str, payload: dict) -> None:
+        with open(path, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    @contextlib.contextmanager
+    def lock(self, index_dir: str):
+        os.makedirs(index_dir, exist_ok=True)
+        path = os.path.join(index_dir, "meta.lease")
+        token = uuid.uuid4().hex
+        self._acquire(path, token)
+        try:
+            yield
+        finally:
+            self._release(path, token)
+
+    def _acquire(self, path: str, token: str) -> None:
+        while True:
+            created = False
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"token": token, "ts": time.time()}, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                created = True
+            except FileExistsError:
+                cur = self._read(path)
+                if cur is None:
+                    # vanished or torn between exists and read — retry
+                    time.sleep(self.poll_s)
+                    continue
+                if time.time() - float(cur.get("ts", 0)) <= self.ttl_s:
+                    time.sleep(self.poll_s)  # live holder — wait
+                    continue
+                # expired: steal via tmp + rename (atomic replace)
+                tmp = f"{path}.steal-{token}"
+                self._write_json(tmp, {
+                    "token": token, "ts": time.time(),
+                    "stolen_from": cur.get("token"),
+                })
+                os.replace(tmp, path)
+            # settle-and-verify: a concurrent stealer may have replaced
+            # right after us; only the surviving token owns the lock
+            if not created or self.settle_s:
+                time.sleep(self.settle_s)
+            cur = self._read(path)
+            if cur is not None and cur.get("token") == token:
+                return
+
+    def _release(self, path: str, token: str) -> None:
+        cur = self._read(path)
+        if cur is not None and cur.get("token") == token:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+
+class PosixRenameCommitter:
+    """Default root-meta commit: json to a tmp file, fsync, atomic
+    rename, directory fsync (see ``atomic_write_meta`` — r3 crash
+    analysis). Subclass/replace for stores without rename atomicity
+    (e.g. write-new-object + pointer swap in a catalog)."""
+
+    def commit(self, index_dir: str, meta: dict) -> None:
+        root = os.path.join(index_dir, "meta.json")
+        tmp = root + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, root)
+        try:
+            dfd = os.open(index_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # directory fsync unsupported on some filesystems
+
+
+_lock_provider = FlockLock()
+_meta_committer = PosixRenameCommitter()
+
+
+def set_lock_provider(provider) -> None:
+    """Process-global injection of the meta-lock implementation (an
+    object with ``lock(index_dir)`` returning a context manager). Call
+    before any index writer runs; every writer in the process shares it."""
+    global _lock_provider
+    _lock_provider = provider
+
+
+def get_lock_provider():
+    return _lock_provider
+
+
+def set_meta_committer(committer) -> None:
+    """Process-global injection of the root-meta commit implementation
+    (an object with ``commit(index_dir, meta)``)."""
+    global _meta_committer
+    _meta_committer = committer
+
+
+def get_meta_committer():
+    return _meta_committer

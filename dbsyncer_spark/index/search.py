@@ -256,6 +256,129 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
     return cogrouped if use_allowed else grouped
 
 
+def _phrase_hits(per_tid: dict, instances: list, tids: list, slop: int,
+                 m: int):
+    """Match ONE phrase against one docId-range's decoded positional
+    streams: returns (hit_docs, freqs) — range-local doc offsets and
+    anchor counts — or None when nothing matches. ``per_tid`` maps
+    tid -> (docs, dls, token_docs, token_pos); ``instances`` is the
+    phrase's (tid, position) list, ``m`` its length. Shared by the
+    single-phrase scorer (``_phrase_exec``) and the batched
+    ``search_many_phrase`` so their match semantics can never diverge
+    (Lucene sum-of-moves slop; see ``_phrase_exec`` docstring)."""
+    from dbsyncer_spark.index.codec import POS_CAP
+
+    if slop == 0:
+        inter = None
+        for tid_v, i in instances:
+            _, _, tdocs, tpos = per_tid[tid_v]
+            if tpos.size and int(tpos.max()) >= POS_CAP - m:
+                raise ValueError(
+                    f"token position {int(tpos.max())} exceeds POS_CAP "
+                    f"({POS_CAP}) — doc too long for phrase encoding"
+                )
+            keys = tdocs * POS_CAP + (tpos - i + m)
+            inter = keys if inter is None else np.intersect1d(
+                inter, keys, assume_unique=True
+            )
+            if inter.size == 0:
+                return None
+        hit_docs, freqs = np.unique(inter // POS_CAP, return_counts=True)
+        return hit_docs, freqs
+    # candidate docs contain every distinct term; per-doc
+    # anchor check via searchsorted (candidates are few)
+    cand = None
+    for tid_v in tids:
+        d = per_tid[tid_v][0]
+        cand = d if cand is None else np.intersect1d(cand, np.sort(d))
+        if cand.size == 0:
+            return None
+    # per tid, ONE (doc, pos) sort + candidate boundary scan —
+    # the old inner loop re-masked the range's whole token
+    # stream per candidate per instance, O(candidates ×
+    # range_tokens) (r3 review); this is O(tokens log tokens
+    # + candidates log tokens) total
+    tok_slices: dict[int, tuple] = {}
+    for tid_v in tids:
+        _, _, tdocs, tpos = per_tid[tid_v]
+        order = np.lexsort((tpos, tdocs))
+        td_s, tp_s = tdocs[order], tpos[order]
+        tok_slices[tid_v] = (
+            tp_s,
+            np.searchsorted(td_s, cand, side="left"),
+            np.searchsorted(td_s, cand, side="right"),
+        )
+    hit_l, freq_l = [], []
+    for j, doc in enumerate(cand):
+        anchors = None
+        total = None
+        for tid_v, i in instances:
+            tp_s, clo, chi = tok_slices[tid_v]
+            adj = tp_s[clo[j]:chi[j]] - i  # pos-sorted already
+            if i == 0 and anchors is None:
+                anchors = adj
+                total = np.zeros(adj.size)
+                continue
+            # nearest adjusted occurrence to each anchor (both
+            # searchsorted neighbors) -> this instance's
+            # minimal move distance; the SHARED slop budget is
+            # the sum across instances (Lucene semantics)
+            lo = np.searchsorted(adj, anchors, side="left")
+            d_hi = np.where(
+                lo < adj.size,
+                np.abs(adj[np.minimum(lo, adj.size - 1)] - anchors),
+                np.inf,
+            )
+            d_lo = np.where(
+                lo > 0,
+                np.abs(anchors - adj[np.maximum(lo - 1, 0)]),
+                np.inf,
+            )
+            total += np.minimum(d_hi, d_lo)
+        f = int((total <= slop).sum())
+        if f:
+            hit_l.append(doc)
+            freq_l.append(f)
+    if not hit_l:
+        return None
+    return (np.asarray(hit_l, dtype=np.int64),
+            np.asarray(freq_l, dtype=np.int64))
+
+
+def _decode_positional_range(pdf, base: int) -> dict:
+    """tid -> (docs, dls, token_docs, token_pos) for one range's
+    positional posting rows (concatenated across segments' rows). The
+    shared decode both phrase paths build before matching."""
+    from dbsyncer_spark.index.codec import unpack_row_positions
+
+    per_tid: dict[int, tuple] = {}
+    for tid_v, grp in pdf.groupby("tid"):
+        docs_l, tok_docs_l, tok_pos_l, dls_l = [], [], [], []
+        for r in grp.itertuples(index=False):
+            d, tf, dl, flat = unpack_row_positions(
+                {
+                    "blob": r.blob,
+                    "block_off": list(r.block_off),
+                    "block_n": list(r.block_n),
+                    "block_first": list(r.block_first),
+                    "pos_blob": r.pos_blob,
+                    "pos_off": list(r.pos_off),
+                }
+            )
+            d = d.astype(np.int64) - base
+            docs_l.append(d)
+            dls_l.append(dl.astype(np.int64))
+            tok_docs_l.append(np.repeat(d, tf.astype(np.int64)))
+            tok_pos_l.append(flat)
+        per_tid[int(tid_v)] = (
+            np.concatenate(docs_l),
+            np.concatenate(dls_l),
+            np.concatenate(tok_docs_l),
+            np.concatenate(tok_pos_l),
+        )
+    return per_tid
+
+
 class SearchIndex:
     """Handle to a persisted index (all segments merged at query time)."""
 
@@ -856,108 +979,11 @@ class SearchIndex:
             if pdf.empty or len(pdf["tid"].unique()) < len(tids):
                 return empty
             base = int(key[0]) * range_size
-            # per tid: concatenated (docs, positions-by-token, dl-by-doc)
-            # across segments' rows in this range
-            per_tid: dict[int, tuple] = {}
-            for tid_v, grp in pdf.groupby("tid"):
-                docs_l, tok_docs_l, tok_pos_l, dls_l = [], [], [], []
-                for r in grp.itertuples(index=False):
-                    d, tf, dl, flat = unpack_row_positions(
-                        {
-                            "blob": r.blob,
-                            "block_off": list(r.block_off),
-                            "block_n": list(r.block_n),
-                            "block_first": list(r.block_first),
-                            "pos_blob": r.pos_blob,
-                            "pos_off": list(r.pos_off),
-                        }
-                    )
-                    d = d.astype(np.int64) - base
-                    docs_l.append(d)
-                    dls_l.append(dl.astype(np.int64))
-                    tok_docs_l.append(np.repeat(d, tf.astype(np.int64)))
-                    tok_pos_l.append(flat)
-                per_tid[int(tid_v)] = (
-                    np.concatenate(docs_l),
-                    np.concatenate(dls_l),
-                    np.concatenate(tok_docs_l),
-                    np.concatenate(tok_pos_l),
-                )
-            if slop == 0:
-                inter = None
-                for tid_v, i in instances:
-                    _, _, tdocs, tpos = per_tid[tid_v]
-                    if tpos.size and int(tpos.max()) >= POS_CAP - m:
-                        raise ValueError(
-                            f"token position {int(tpos.max())} exceeds POS_CAP "
-                            f"({POS_CAP}) — doc too long for phrase encoding"
-                        )
-                    keys = tdocs * POS_CAP + (tpos - i + m)
-                    inter = keys if inter is None else np.intersect1d(
-                        inter, keys, assume_unique=True
-                    )
-                    if inter.size == 0:
-                        return empty
-                hit_docs, freqs = np.unique(inter // POS_CAP, return_counts=True)
-            else:
-                # candidate docs contain every distinct term; per-doc
-                # anchor check via searchsorted (candidates are few)
-                cand = None
-                for tid_v in tids:
-                    d = per_tid[tid_v][0]
-                    cand = d if cand is None else np.intersect1d(cand, np.sort(d))
-                    if cand.size == 0:
-                        return empty
-                # per tid, ONE (doc, pos) sort + candidate boundary scan —
-                # the old inner loop re-masked the range's whole token
-                # stream per candidate per instance, O(candidates ×
-                # range_tokens) (r3 review); this is O(tokens log tokens
-                # + candidates log tokens) total
-                tok_slices: dict[int, tuple] = {}
-                for tid_v in tids:
-                    _, _, tdocs, tpos = per_tid[tid_v]
-                    order = np.lexsort((tpos, tdocs))
-                    td_s, tp_s = tdocs[order], tpos[order]
-                    tok_slices[tid_v] = (
-                        tp_s,
-                        np.searchsorted(td_s, cand, side="left"),
-                        np.searchsorted(td_s, cand, side="right"),
-                    )
-                hit_l, freq_l = [], []
-                for j, doc in enumerate(cand):
-                    anchors = None
-                    total = None
-                    for tid_v, i in instances:
-                        tp_s, clo, chi = tok_slices[tid_v]
-                        adj = tp_s[clo[j]:chi[j]] - i  # pos-sorted already
-                        if i == 0 and anchors is None:
-                            anchors = adj
-                            total = np.zeros(adj.size)
-                            continue
-                        # nearest adjusted occurrence to each anchor (both
-                        # searchsorted neighbors) -> this instance's
-                        # minimal move distance; the SHARED slop budget is
-                        # the sum across instances (Lucene semantics)
-                        lo = np.searchsorted(adj, anchors, side="left")
-                        d_hi = np.where(
-                            lo < adj.size,
-                            np.abs(adj[np.minimum(lo, adj.size - 1)] - anchors),
-                            np.inf,
-                        )
-                        d_lo = np.where(
-                            lo > 0,
-                            np.abs(anchors - adj[np.maximum(lo - 1, 0)]),
-                            np.inf,
-                        )
-                        total += np.minimum(d_hi, d_lo)
-                    f = int((total <= slop).sum())
-                    if f:
-                        hit_l.append(doc)
-                        freq_l.append(f)
-                if not hit_l:
-                    return empty
-                hit_docs = np.asarray(hit_l, dtype=np.int64)
-                freqs = np.asarray(freq_l, dtype=np.int64)
+            per_tid = _decode_positional_range(pdf, base)
+            hf = _phrase_hits(per_tid, instances, tids, slop, m)
+            if hf is None:
+                return empty
+            hit_docs, freqs = hf
             if ids_only:
                 # gate shape: the match set itself, no scoring, no cut —
                 # the caller semi-joins it (and applies liveness there)
@@ -1387,6 +1413,174 @@ class SearchIndex:
                 "query_id", F.col("score").desc(), F.col("doc_id").asc()
             )
         return ranked.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+
+    def search_many_phrase(self, queries: dict[str, str], k: int = 10,
+                           slop: int = 0) -> DataFrame:
+        """Batched phrase top-k in ONE Spark job — the positional analog
+        of ``search_many`` (r3 VERDICT stretch #9): positional postings
+        for the union of every phrase's terms are read and DECODED once
+        per docId-range (the decode dominates phrase cost), then each
+        phrase matches against the shared streams via the same
+        ``_phrase_hits`` kernel ``search_phrase`` uses — per-query rows
+        are rank-identical to per-query ``search_phrase`` (pytest-gated).
+
+        Phrases with an unindexed term (or no tokens) match nothing, like
+        ``search_phrase``. ``slop`` applies to every phrase in the batch.
+        Returns DataFrame(query_id string, doc_id long, score double),
+        per query ordered (score desc, doc_id asc), <= k rows each."""
+        from pyspark.sql import Window as W
+
+        if not self.params.get("store_positions"):
+            raise ValueError(
+                "search_many_phrase needs a positional index — build with "
+                "store_positions=True"
+            )
+        spark = self.spark
+        out_schema = "query_id string, doc_id long, score double"
+        all_terms = sorted({t for q in queries.values() for t in tokenize_py(q)})
+        dfs = self.lookup(all_terms)
+        n, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
+        idf = {t: log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+               for t, dfv in dfs.items()}
+        qinfo: dict[str, tuple] = {}
+        for qid, q in queries.items():
+            terms = tokenize_py(q)
+            uniq = sorted(set(terms))
+            if not terms or any(t not in dfs for t in uniq):
+                continue  # unindexed term -> phrase matches nothing
+            idf_sum = 0.0
+            for t in terms:  # duplicates counted, phrase order (oracle twin)
+                idf_sum += idf[t]
+            instances = [(term_id(t), i) for i, t in enumerate(terms)]
+            tids_q = sorted({tid for tid, _ in instances})
+            qinfo[qid] = (instances, tids_q, len(terms), idf_sum)
+        if not qinfo:
+            return empty_df(spark, out_schema)
+        all_tids = sorted({t for _, tids_q, _, _ in qinfo.values() for t in tids_q})
+        shards = sorted({py_shard(t, self.num_shards)
+                         for t in dfs if term_id(t) in set(all_tids)})
+        range_size = self.range_size
+        n_queries = len(qinfo)
+
+        def score_impl(key, pdf, dead_pdf):
+            _limit_arrow_threads()
+            empty = pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype({"query_id": "object", "doc_id": "int64",
+                      "score": "float64"})
+            if pdf.empty:
+                return empty
+            base = int(key[0]) * range_size
+            amask = _range_mask(dead_pdf, base, range_size, inverted=True)
+            per_tid = _decode_positional_range(pdf, base)
+            frames = []
+            for qid, (instances, tids_q, m, idf_sum) in qinfo.items():
+                if any(t not in per_tid for t in tids_q):
+                    continue  # a term of this phrase is absent from the range
+                hf = _phrase_hits(per_tid, instances, tids_q, slop, m)
+                if hf is None:
+                    continue
+                hit_docs, freqs = hf
+                if amask is not None:
+                    keep = amask[hit_docs]
+                    hit_docs, freqs = hit_docs[keep], freqs[keep]
+                    if hit_docs.size == 0:
+                        continue
+                d0, dl0 = per_tid[instances[0][0]][0], per_tid[instances[0][0]][1]
+                order0 = np.argsort(d0)
+                dl = dl0[order0[np.searchsorted(d0[order0], hit_docs)]].astype(np.float64)
+                f = freqs.astype(np.float64)
+                tfn = f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avgdl))
+                scores = idf_sum * tfn
+                idx, scores = _cut_topk(hit_docs, scores, k)
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "doc_id": (base + idx).astype("int64"),
+                    "score": scores,
+                }))
+            return pd.concat(frames, ignore_index=True) if frames else empty
+
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin(all_tids)
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            dead = _dead_ranges(tomb, range_size)
+            scored = (
+                postings.groupBy("range_id")
+                .cogroup(dead.groupBy("range_id"))
+                .applyInPandas(lambda key, l, r: score_impl(key, l, r), out_schema)
+            )
+        else:
+            scored = postings.groupBy("range_id").applyInPandas(
+                lambda key, pdf: score_impl(key, pdf, None), out_schema
+            )
+        # same adaptive cross-range reduction as search_many
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        n_ranges = self.n_docs // range_size + 1
+        small = n_ranges * n_queries * k <= 200_000
+        if small:
+            scored = scored.repartition(1)
+        ranked = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        if small:
+            return ranked.sortWithinPartitions(
+                "query_id", F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return ranked.orderBy(
+            "query_id", F.col("score").desc(), F.col("doc_id").asc()
+        )
+
+    def search_many_parsed(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Batched parsed serving (r3 VERDICT stretch #9, second half):
+        each query string is parsed and routed to the cheapest batch
+        shape — PURE term queries (SHOULD clauses only: no gates, fields,
+        phrases, expansions, or boosts) share ONE ``search_many`` job
+        (shared decode + adaptive per-query WAND); everything else falls
+        back to per-query ``search_parsed`` (boolean/field/phrase gates
+        are inherently per-query semi-joins). Per-query rows are
+        identical to calling ``search_parsed`` individually
+        (pytest-gated). Returns (query_id, doc_id, score), per query
+        ordered (score desc, doc_id asc), <= k rows each."""
+        from dbsyncer_spark.query.parser import parse_query
+
+        term_batch: dict[str, str] = {}
+        rest: dict[str, str] = {}
+        for qid, q in queries.items():
+            pq = parse_query(q)
+            pure_terms = bool(pq.should) and not (
+                pq.must or pq.must_not or pq.phrases or pq.not_phrases
+                or pq.fields or pq.not_fields or pq.expansions or pq.boosts
+            )
+            if pure_terms:
+                # search_parsed scores sorted-unique SHOULD terms
+                # exhaustively; search_many's shared decode is
+                # rank-identical (pytest-gated), so the rows match
+                term_batch[qid] = " ".join(pq.scored_terms)
+            else:
+                rest[qid] = q
+        parts = []
+        if term_batch:
+            parts.append(self.search_many(term_batch, k=k))
+        for qid, q in rest.items():
+            parts.append(
+                self.search_parsed(q, k=k).select(
+                    F.lit(qid).alias("query_id"), "doc_id", "score"
+                )
+            )
+        if not parts:
+            return empty_df(self.spark, "query_id string, doc_id long, score double")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(
+            "query_id", F.col("score").desc(), F.col("doc_id").asc()
+        )
 
     def fetch(self, topk: DataFrame,
               sort_cols: list[tuple[str, bool]] | None = None) -> DataFrame:

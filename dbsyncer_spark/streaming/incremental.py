@@ -793,6 +793,71 @@ def _written_has_rows(written_dir: str, df: DataFrame) -> bool:
     return bool(out.head(1))
 
 
+def _tomb_data_files(d: str) -> list:
+    """Sorted data-file listing of a tombstone generation dir (markers
+    like _SUCCESS excluded) — the pinned snapshot the optimistic GC /
+    compaction rewrites verify against under the meta lock."""
+    try:
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if not f.startswith(("_", ".")))
+    except FileNotFoundError:
+        return []
+
+
+#: live-generation file-count compaction trigger (r3 VERDICT #4): a
+#: high-frequency CDC delete stream renames a few tiny part files per
+#: batch into the generation; past this many data files every query's
+#: _tombstones() read pays the listing even when no covered-GC flip
+#: ever rewrites the dir
+TOMB_COMPACT_MAX_FILES = 64
+
+
+def _compact_tombstones(spark: SparkSession, index_dir: str,
+                        max_files: int = TOMB_COMPACT_MAX_FILES) -> bool:
+    """Rewrite the live tombstone generation compacted (distinct doc_ids,
+    bounded file count) when its data-file count exceeds ``max_files`` —
+    even when nothing is covered. Same optimistic shape as
+    ``_gc_staged_tombstones``: Spark jobs run OUTSIDE the meta lock from
+    a pinned file listing; the lock is taken only to verify the pointer
+    and listing are unchanged (appends move files in under this lock)
+    and flip. Returns True when a compaction flip happened."""
+    import time as _time
+
+    from dbsyncer_spark.index.build import atomic_write_meta, meta_lock
+
+    for _ in range(3):
+        meta = _read_root_meta(index_dir) or {}
+        cur = _active_tomb_dir(index_dir, meta)
+        pinned = _tomb_data_files(cur)
+        if len(pinned) <= max_files:
+            return False
+        nxt_name = _next_tomb_gen(os.path.basename(cur))
+        nxt = os.path.join(index_dir, nxt_name)
+        tmp = os.path.join(index_dir, f".{nxt_name}.inflight-{os.getpid()}")
+        try:
+            (spark.read.parquet(*pinned).select("doc_id").distinct()
+             .repartition(max(1, len(pinned) // max_files))
+             .write.mode("overwrite").parquet(tmp))
+        except Exception:
+            # generation purged mid-scan by a concurrent run — resnapshot
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        with meta_lock(index_dir):
+            fresh = _read_root_meta(index_dir) or {}
+            if (_active_tomb_dir(index_dir, fresh) == cur
+                    and _tomb_data_files(cur) == pinned):
+                shutil.rmtree(nxt, ignore_errors=True)
+                os.replace(tmp, nxt)
+                fresh["tombstones_dir"] = nxt_name
+                fresh.setdefault("tomb_retired", {})[
+                    os.path.basename(cur)] = _time.time()
+                atomic_write_meta(index_dir, fresh)
+                return True
+        # an append landed (or a flip raced us) — discard and recompute
+        shutil.rmtree(tmp, ignore_errors=True)
+    return False
+
+
 def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> None:
     """The deferred rewrite for expired ``covered_gc`` entries: drop the
     staged covered ids from the live tombstone set. The rewrite NEVER
@@ -1129,6 +1194,14 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
         n for n, ts in meta.get("reserved", {}).items()
         if now - ts >= RESERVATION_TTL_S
     ]
+    # live-generation file-count compaction (r3 VERDICT #4): a delete-
+    # heavy CDC stream accumulates tiny part files that every query's
+    # _tombstones() read must list; compact even when nothing is covered
+    # (the check is one listdir; the rewrite only fires past the
+    # threshold). The flipped-away generation joins tomb_retired and is
+    # purged by a later call on the normal grace clock.
+    if _compact_tombstones(spark, index_dir):
+        meta = _read_root_meta(index_dir) or meta
     if not doomed and not gc_tags and not tomb_doomed and not expired_res:
         return []
     if doomed and meta["segments"]:

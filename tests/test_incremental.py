@@ -207,3 +207,50 @@ def test_update_docs_append_failure_keeps_old_version(spark, tmp_path):
         doc_filter=(F.col("repo") == victim.repo) & (F.col("path") == victim.path), k=5
     ).collect()
     assert len(live) == 1 and live[0].commit == victim.commit
+
+
+def test_tombstone_file_count_compaction(spark, tmp_path_factory):
+    """r3 VERDICT #4: many small delete batches accumulate tiny part
+    files in the live tombstone generation; once the data-file count
+    passes the threshold a maintenance call must compact the generation
+    (pointer flip, masking unchanged) even with nothing covered."""
+    from dbsyncer_spark.streaming.incremental import (
+        _active_tomb_dir, _purge_retired, _tomb_data_files,
+    )
+    import dbsyncer_spark.streaming.incremental as inc
+
+    pdf = gen_corpus_pdf(n_docs=120, seed=7)
+    d = str(tmp_path_factory.mktemp("tomb_compact"))
+    build_index(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, **PARAMS)
+    idx = SearchIndex(spark, d)
+    victims = [r.path for r in idx.docstats().orderBy("doc_id").limit(40)
+               .select("path").collect()]
+    # 20 delete batches of 2 docs each -> >= 20 part files staged in
+    for i in range(0, 40, 2):
+        n = delete_docs(spark, d, spark.createDataFrame(
+            [(victims[i],), (victims[i + 1],)], "path string"))
+        assert n == 2
+    cur = _active_tomb_dir(d)
+    n_before = len(_tomb_data_files(cur))
+    assert n_before >= 20
+    before = sorted(r.doc_id for r in SearchIndex(spark, d)._tombstones()
+                    .select("doc_id").distinct().collect())
+    # force the trigger below the default threshold and run maintenance
+    old = inc.TOMB_COMPACT_MAX_FILES
+    inc.TOMB_COMPACT_MAX_FILES = 8
+    try:
+        assert inc._compact_tombstones(spark, d, max_files=8) is True
+    finally:
+        inc.TOMB_COMPACT_MAX_FILES = old
+    cur2 = _active_tomb_dir(d)
+    assert cur2 != cur, "compaction must flip to a new generation"
+    n_after = len(_tomb_data_files(cur2))
+    assert n_after < n_before and n_after <= 8
+    after = sorted(r.doc_id for r in SearchIndex(spark, d)._tombstones()
+                   .select("doc_id").distinct().collect())
+    assert after == before, "compaction must not change the masked set"
+    # below threshold: no-op
+    assert inc._compact_tombstones(spark, d, max_files=64) is False
+    # the maintenance sweep purges the retired generation on the grace clock
+    _purge_retired(spark, d, grace_s=0.0)
+    assert not os.path.exists(cur)

@@ -243,3 +243,24 @@ def test_expansion_zero_match_returns_empty(spark, parsed_idx):
     """A scoring expansion matching zero dictionary terms = Lucene's
     empty rewritten BooleanQuery: no rows, NOT match_all."""
     assert parsed_idx.search_parsed("zzzzqx*", k=5).count() == 0
+
+
+def test_search_many_parsed_routes_and_matches(spark, parsed_idx):
+    """Batched parsed serving: pure-term queries share one search_many
+    job, complex ones fall back per-query — every query's rows must be
+    identical to calling search_parsed individually."""
+    batch = {
+        "t1": "merge offset",                  # pure terms -> shared batch
+        "t2": "import token",                  # pure terms -> shared batch
+        "c1": "merge +scan lang:python",       # gated -> per-query
+        "c2": "mer* offset",                   # expansion -> per-query
+        "m": "zzzqqq",                         # miss
+    }
+    got = parsed_idx.search_many_parsed(batch, k=7).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 9)))
+    for qid, q in batch.items():
+        want = [(r.doc_id, round(r.score, 9))
+                for r in parsed_idx.search_parsed(q, k=7).collect()]
+        assert by_q.get(qid, []) == want, qid

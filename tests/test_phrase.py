@@ -210,3 +210,31 @@ def test_phrase_tombstones_and_compaction(spark, pidx):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_search_many_phrase_rank_identical(spark, pidx):
+    """Batched phrase serving (shared positional decode, r3 VERDICT
+    stretch #9) must return exactly the per-query search_phrase rows —
+    including misses, duplicate-term phrases, and (because this test
+    runs after the tombstone test mutated the fixture) dead-doc
+    masking."""
+    idx = SearchIndex(spark, pidx)
+    batch = {
+        "a": "big car",
+        "b": "big car again",
+        "c": "big big",
+        "d": "big zzznothere",
+        "e": "car",
+        "f": "",
+    }
+    for slop in (0, 1, 2):
+        got = idx.search_many_phrase(batch, k=5, slop=slop).collect()
+        by_q: dict[str, list] = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 12)))
+        for qid, q in batch.items():
+            want = [
+                (r.doc_id, round(r.score, 12))
+                for r in idx.search_phrase(q, k=5, slop=slop).collect()
+            ]
+            assert by_q.get(qid, []) == want, (qid, slop)
