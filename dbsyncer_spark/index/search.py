@@ -103,9 +103,11 @@ def _dead_ranges(tomb: DataFrame, range_size: int) -> DataFrame:
 
 #: search_many: engage per-query WAND pruning only when one range's
 #: union-of-query-terms posting volume reaches this (below it the
-#: bookkeeping costs more than the skipped decodes — measured r3→r4
-#: A/B at 100k docs; see search_many docstring)
-_BATCH_PRUNE_MIN_POSTINGS = 2_000_000
+#: bookkeeping costs more than the skipped decodes). Tuned by r4 idle-
+#: host A/B at the 100k-doc bench (ranges of 1.29M/0.68M postings):
+#: always-WAND 13.35 q/s, always-TAAT 13.05, mixed at this threshold
+#: 14.02 — WAND pays off on the hot range, TAAT on the light one.
+_BATCH_PRUNE_MIN_POSTINGS = 1_000_000
 #: search_many: per-query dense accumulators (needed for WAND theta /
 #: segmax) are capped — above this many queries a range uses sparse
 #: TAAT, bounding range-task memory at O(decoded postings) instead of
