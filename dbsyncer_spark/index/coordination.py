@@ -144,11 +144,21 @@ class LeaseFileLock:
 
     def _release(self, path: str, token: str) -> None:
         cur = self._read(path)
-        if cur is not None and cur.get("token") == token:
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
+        if cur is None or cur.get("token") != token:
+            return  # stolen (or already gone) — no-op
+        if time.time() - float(cur.get("ts", 0)) > self.ttl_s:
+            # OUR lease already expired: a stealer may be mid-replace
+            # between this read and an unlink — removing could delete
+            # THEIR freshly-written live lease and let a third process
+            # O_EXCL-create while they hold (review r4 TOCTOU). Leave
+            # the expired file; the next acquirer steals it. (A live
+            # lease can't be stolen, so the unlink below is safe up to
+            # cross-host clock skew — the documented lease caveat.)
+            return
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 class PosixRenameCommitter:

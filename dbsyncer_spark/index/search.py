@@ -814,8 +814,28 @@ class SearchIndex:
         # prefix/wildcard/fuzzy units -> dictionary expansion (reference
         # F10 Prefix/Wildcard/FuzzyQuery inside the parsed surface,
         # LuceneFactoryTest.java:338-405); shared fold with the wide twin
-        expanded = [self._expand_unit(e, MAX_EXPANSIONS)
-                    for e in pq.expansions]
+        try:
+            expanded = [self._expand_unit(e, MAX_EXPANSIONS)
+                        for e in pq.expansions]
+        except ValueError as err:
+            if "terms table" not in str(err):
+                raise
+            # index built without store_terms (the default): degrade each
+            # expansion unit to its tokenized literal text — the pre-r4
+            # behavior — instead of crashing the query (review r4: a
+            # stray '?' in user text like "what is this?" is common, and
+            # a serving surface that 500s on every default-built index is
+            # worse than literal-term semantics; rebuild with
+            # store_terms=True for true Lucene wildcard semantics)
+            for e in pq.expansions:
+                lit_terms = tokenize_py(e.pattern)
+                dest = {"": pq.should, "+": pq.must, "-": pq.must_not}[e.mod]
+                dest.extend(lit_terms)
+                if e.mod != "-" and e.boost != 1.0:
+                    for t in lit_terms:
+                        pq.boosts[t] = max(pq.boosts.get(t, 1.0), e.boost)
+            pq.expansions = []
+            expanded = []
         extra_scored, must_any, not_any = fold_expansions(pq, expanded)
         scored = sorted(set(pq.scored_terms) | extra_scored)
         allowed: DataFrame | None = None
@@ -1080,20 +1100,13 @@ class SearchIndex:
         against the terms table; raises past ``limit`` like Lucene's
         BooleanQuery.TooManyClauses (the plain expand_* APIs cap
         silently — the parsed surface matches Lucene instead)."""
-        from dbsyncer_spark.query.parser import wildcard_to_like
+        from dbsyncer_spark.query.parser import (
+            expansion_predicate, too_many_clauses,
+        )
 
-        if exp.kind == "prefix":
-            pred = F.col("term").startswith(exp.pattern)
-        elif exp.kind == "wildcard":
-            pred = F.col("term").like(wildcard_to_like(exp.pattern))
-        else:
-            pred = F.levenshtein(F.col("term"), F.lit(exp.pattern)) <= exp.max_edits
-        terms = self._expand(pred, limit + 1)
+        terms = self._expand(expansion_predicate(exp), limit + 1)
         if len(terms) > limit:
-            raise ValueError(
-                f"{exp.kind} '{exp.pattern}' expands to more than {limit} "
-                "terms (maxClauseCount) — narrow the pattern"
-            )
+            raise too_many_clauses(exp, limit)
         return terms
 
     def _docs_with_any_term(self, terms: list[str]) -> DataFrame:
@@ -1403,14 +1416,15 @@ class SearchIndex:
         # scale (many ranges × many queries) the hash-window shuffle
         # shape distributes the reduction.
         n_ranges = self.n_docs // range_size + 1
-        if n_ranges * n_queries * k <= 200_000:
+        small = n_ranges * n_queries * k <= 200_000
+        if small:
             scored = scored.repartition(1)
         ranked = (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )
-        if n_ranges * n_queries * k <= 200_000:
+        if small:
             return ranked.sortWithinPartitions(
                 "query_id", F.col("score").desc(), F.col("doc_id").asc()
             )

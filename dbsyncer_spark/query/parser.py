@@ -252,6 +252,29 @@ def wildcard_to_like(pattern: str) -> str:
     return like.replace("*", "%").replace("?", "_")
 
 
+def expansion_predicate(exp: Expansion):
+    """Column predicate over a ``term`` column matching this Expansion —
+    THE one definition of which dictionary terms a prefix/wildcard/fuzzy
+    unit matches, shared by the index path (``SearchIndex._expand_unit``
+    over the terms table) and the DataFrame twin (``expand_wide`` over
+    the corpus vocabulary) so the two can never drift."""
+    from pyspark.sql import functions as F
+
+    if exp.kind == "prefix":
+        return F.col("term").startswith(exp.pattern)
+    if exp.kind == "wildcard":
+        return F.col("term").like(wildcard_to_like(exp.pattern))
+    return F.levenshtein(F.col("term"), F.lit(exp.pattern)) <= exp.max_edits
+
+
+def too_many_clauses(exp: Expansion, limit: int) -> ValueError:
+    """The shared TooManyClauses error (Lucene maxClauseCount analog)."""
+    return ValueError(
+        f"{exp.kind} '{exp.pattern}' expands to more than {limit} "
+        "terms (maxClauseCount) — narrow the pattern"
+    )
+
+
 def expand_wide(docs, text_col: str, exp: Expansion,
                 limit: int = MAX_EXPANSIONS) -> list[str]:
     """Resolve an Expansion against the corpus's own token vocabulary
@@ -265,18 +288,10 @@ def expand_wide(docs, text_col: str, exp: Expansion,
     base = docs.select(
         F.explode(tokens_col(text_col)).alias("term")
     ).distinct()
-    if exp.kind == "prefix":
-        pred = F.col("term").startswith(exp.pattern)
-    elif exp.kind == "wildcard":
-        pred = F.col("term").like(wildcard_to_like(exp.pattern))
-    else:
-        pred = F.levenshtein(F.col("term"), F.lit(exp.pattern)) <= exp.max_edits
-    rows = base.filter(pred).orderBy("term").limit(limit + 1).collect()
+    rows = (base.filter(expansion_predicate(exp))
+            .orderBy("term").limit(limit + 1).collect())
     if len(rows) > limit:
-        raise ValueError(
-            f"{exp.kind} '{exp.pattern}' expands to more than {limit} "
-            "terms (maxClauseCount) — narrow the pattern"
-        )
+        raise too_many_clauses(exp, limit)
     return [r.term for r in rows]
 
 
@@ -284,10 +299,20 @@ def fold_expansions(pq: ParsedQuery, expanded: list[list[str]]):
     """Fold resolved expansion term lists into (extra scored terms,
     any-of MUST gates, any-of MUST_NOT gates) and merge expansion boosts
     into ``pq.boosts`` — shared by the wide twin and the index path so
-    the two can never diverge on modifier semantics."""
+    the two can never diverge on modifier semantics.
+
+    Boost merge keeps the parser's invariant: the LARGEST boost wins,
+    INCLUDING the implicit 1.0 of any unboosted scoring clause — plain
+    term or expansion (review r4: merging with a 0.0 default re-opened
+    the r2 down-boost bug for 'merge mer*^0.5', scoring the plain term
+    at half weight)."""
     extra_scored: set[str] = set()
     must_any: list[list[str]] = []
     not_any: list[list[str]] = []
+    # terms carrying an implicit 1.0: plain scoring clauses + every term
+    # matched by an UNBOOSTED scoring expansion
+    implicit: set[str] = set(pq.should) | set(pq.must)
+    boosted: list[tuple[list[str], float]] = []
     for exp, terms in zip(pq.expansions, expanded):
         if exp.mod == "-":
             not_any.append(terms)
@@ -297,8 +322,13 @@ def fold_expansions(pq: ParsedQuery, expanded: list[list[str]]):
             must_any.append(terms)
         extra_scored.update(terms)
         if exp.boost != 1.0:
-            for t in terms:
-                pq.boosts[t] = max(pq.boosts.get(t, 0.0), exp.boost)
+            boosted.append((terms, exp.boost))
+        else:
+            implicit.update(terms)
+    for terms, bst in boosted:
+        for t in terms:
+            cur = max(pq.boosts.get(t, 0.0), 1.0 if t in implicit else 0.0)
+            pq.boosts[t] = max(cur, bst)
     return extra_scored, must_any, not_any
 
 

@@ -894,12 +894,10 @@ def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> No
         return [d for d in (os.path.join(cov_root, t) for t in tags)
                 if os.path.exists(d)]
 
-    def _data_files(d: str) -> list:
-        try:
-            return sorted(os.path.join(d, f) for f in os.listdir(d)
-                          if not f.startswith(("_", ".")))
-        except FileNotFoundError:
-            return []
+    # one definition of the listing both optimistic rewriters verify
+    # against — see _tomb_data_files (review r4: a drifted copy here
+    # would silently break the compaction/GC pinned-listing compare)
+    _data_files = _tomb_data_files
 
     def _compute(dirs: list, pinned: list, tmp: str) -> bool:
         """Anti-join the PINNED file listing (not the dir — a mid-scan

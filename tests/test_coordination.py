@@ -114,3 +114,19 @@ def test_meta_lock_and_commit_route_through_injected_seam(tmp_path):
     # defaults restored: flock path works again
     with meta_lock(d):
         assert os.path.exists(os.path.join(d, "meta.lock"))
+
+
+def test_release_after_own_expiry_leaves_lease(tmp_path):
+    """review r4 TOCTOU: a holder releasing PAST its TTL must not unlink
+    (a stealer may be mid-replace); the expired file is left for the
+    next acquirer to steal."""
+    d = str(tmp_path)
+    path = os.path.join(d, "meta.lease")
+    lk = co.LeaseFileLock(ttl_s=0.2, settle_s=0.0)
+    lk._acquire(path, "slow")
+    time.sleep(0.3)  # lease expires while "working"
+    lk._release(path, "slow")
+    assert os.path.exists(path), "expired-own-lease release must be a no-op"
+    # and the next acquirer steals it cleanly
+    with lk.lock(d):
+        assert json.load(open(path))["token"] != "slow"

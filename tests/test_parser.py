@@ -264,3 +264,37 @@ def test_search_many_parsed_routes_and_matches(spark, parsed_idx):
         want = [(r.doc_id, round(r.score, 9))
                 for r in parsed_idx.search_parsed(q, k=7).collect()]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_expansion_degrades_to_literal_terms_without_terms_table(spark, corpus, tmp_path):
+    """review r4: a stray '?' / '*' in user text must not crash
+    search_parsed on an index built WITHOUT store_terms (the default) —
+    the unit degrades to its tokenized literal text, the pre-r4
+    behavior."""
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.search import SearchIndex
+
+    d = str(tmp_path / "noterms")
+    build_index(spark, corpus, d, num_shards=4, range_size=256, num_id_buckets=8)
+    idx = SearchIndex(spark, d)
+    got = [(r.doc_id, round(r.score, 9))
+           for r in idx.search_parsed("what is merge?", k=5).collect()]
+    want = [(r.doc_id, round(r.score, 9))
+            for r in idx.search_parsed("what is merge", k=5).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_expansion_boost_never_downboosts_plain_terms():
+    """review r4 (r2 bug reopened): an expansion boost < 1 must not
+    override the implicit 1.0 of a plain clause term it also matches;
+    largest-boost-wins includes unboosted expansions too."""
+    from dbsyncer_spark.query.parser import fold_expansions, parse_query
+
+    pq = parse_query("merge mer*^0.5")
+    fold_expansions(pq, [["merge", "merger"]])
+    assert pq.boosts["merge"] == 1.0   # plain clause's implicit 1.0 wins
+    assert pq.boosts["merger"] == 0.5  # expansion-only term takes the boost
+    # unboosted expansion's implicit 1.0 also floors a boosted one
+    pq2 = parse_query("mer* mer*^0.5")
+    fold_expansions(pq2, [["merge"], ["merge"]])
+    assert pq2.boosts.get("merge", 1.0) == 1.0
