@@ -514,6 +514,66 @@ def q_update_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: batched serving contract: one search_many job; every query's rows must
+#: equal its per-query BM25 oracle (vocabulary-present term sets)
+BATCH_QUERIES = {"q1": FLAGSHIP_QUERY, "q2": "hash join",
+                 "q3": "group order stream"}
+BATCH_PHRASES = {"p1": "fast merge", "p2": "table scan"}
+
+
+def q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched term serving UNDER THE ORACLE GATE (r4): all queries run
+    in ONE Spark job through search_many's adaptive per-query-WAND /
+    sparse-TAAT scorer; per query the rows must hash-match the same
+    DuckDB BM25 oracle the single-query contracts use. This is the
+    high-throughput serving shape (BASELINE.md: 13.4-14.5 q/s)."""
+    from pyspark.sql import Window as W
+
+    idx = _entry_index(spark, sf_dir)
+    out = idx.search_many(BATCH_QUERIES, k=20 + _TIE_SLACK)
+    stats = idx.docstats().select("doc_id", "path")
+    mapped = out.join(stats, "doc_id").select(
+        "query_id",
+        F.substring("path", 2, 12).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        mapped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched PHRASE serving under the oracle gate (r4 stretch): both
+    phrases share one positional decode per docId-range
+    (search_many_phrase); per query the rows must hash-match the
+    single-phrase DuckDB oracle."""
+    from pyspark.sql import Window as W
+
+    idx = _entry_index(spark, sf_dir, positional=True)
+    out = idx.search_many_phrase(BATCH_PHRASES, k=20 + _TIE_SLACK, slop=0)
+    stats = idx.docstats().select("doc_id", "path")
+    mapped = out.join(stats, "doc_id").select(
+        "query_id",
+        F.substring("path", 2, 12).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        mapped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
 PARSED_WILDCARD_QUERY = "s* merge -windo?"
 
 
@@ -1116,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query": q_parsed_query,
         "parsed_wildcard": q_parsed_wildcard,
         "update_merge_search": q_update_merge_search,
+        "batch_search": q_batch_search,
+        "batch_phrase": q_batch_phrase,
         "boosted_query": q_boosted_query,
         "sorted_match": q_sorted_match,
         "facet_lang_counts": q_facet_lang_counts,
@@ -1195,6 +1257,14 @@ ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
   SELECT doc_id, text FROM documents WHERE doc_id % 37 = 1 AND doc_id % 7 <> 0
 )"""
     sql["update_merge_search"] = _bm25_oracle(FLAGSHIP_QUERY, 20, src=lifecycle_src)
+    sql["batch_search"] = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, * FROM ({_bm25_oracle(q, 20)})"
+        for qid, q in BATCH_QUERIES.items()
+    ) + "\nORDER BY query_id, score DESC, doc_id ASC"
+    sql["batch_phrase"] = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, * FROM ({_phrase_oracle(p, 20)})"
+        for qid, p in BATCH_PHRASES.items()
+    ) + "\nORDER BY query_id, score DESC, doc_id ASC"
     sql["boosted_query"] = _bm25_oracle(
         BOOSTED_QUERY.replace("^2.5", "").replace("^0.5", ""), 20,
         boosts={"merge": 2.5, "table": 0.5},
