@@ -521,16 +521,14 @@ BATCH_QUERIES = {"q1": FLAGSHIP_QUERY, "q2": "hash join",
 BATCH_PHRASES = {"p1": "fast merge", "p2": "table scan"}
 
 
-def q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched term serving UNDER THE ORACLE GATE (r4): all queries run
-    in ONE Spark job through search_many's adaptive per-query-WAND /
-    sparse-TAAT scorer; per query the rows must hash-match the same
-    DuckDB BM25 oracle the single-query contracts use. This is the
-    high-throughput serving shape (BASELINE.md: 13.4-14.5 q/s)."""
+def _batch_docid_rerank(idx, out: DataFrame, k: int) -> DataFrame:
+    """Shared tail of the batched contracts (the per-query analog of
+    ``_docid_from_path``): map index docIds back to the original
+    documents.doc_id via the synthetic path, then re-cut each query at k
+    under the ORACLE's order (rounded-6dp score desc, doc_id asc) — the
+    callers search with ``_TIE_SLACK`` for the same rounded-tie reason."""
     from pyspark.sql import Window as W
 
-    idx = _entry_index(spark, sf_dir)
-    out = idx.search_many(BATCH_QUERIES, k=20 + _TIE_SLACK)
     stats = idx.docstats().select("doc_id", "path")
     mapped = out.join(stats, "doc_id").select(
         "query_id",
@@ -542,9 +540,21 @@ def q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mapped.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 20)
+        .filter(F.col("_rn") <= k)
         .drop("_rn")
         .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched term serving UNDER THE ORACLE GATE (r4): all queries run
+    in ONE Spark job through search_many's adaptive per-query-WAND /
+    sparse-TAAT scorer; per query the rows must hash-match the same
+    DuckDB BM25 oracle the single-query contracts use. This is the
+    high-throughput serving shape (BASELINE.md: 13.4-14.5 q/s)."""
+    idx = _entry_index(spark, sf_dir)
+    return _batch_docid_rerank(
+        idx, idx.search_many(BATCH_QUERIES, k=20 + _TIE_SLACK), k=20
     )
 
 
@@ -553,24 +563,10 @@ def q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases share one positional decode per docId-range
     (search_many_phrase); per query the rows must hash-match the
     single-phrase DuckDB oracle."""
-    from pyspark.sql import Window as W
-
     idx = _entry_index(spark, sf_dir, positional=True)
-    out = idx.search_many_phrase(BATCH_PHRASES, k=20 + _TIE_SLACK, slop=0)
-    stats = idx.docstats().select("doc_id", "path")
-    mapped = out.join(stats, "doc_id").select(
-        "query_id",
-        F.substring("path", 2, 12).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        mapped.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
-        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    return _batch_docid_rerank(
+        idx, idx.search_many_phrase(BATCH_PHRASES, k=20 + _TIE_SLACK, slop=0),
+        k=20,
     )
 
 

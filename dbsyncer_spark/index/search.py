@@ -827,13 +827,26 @@ class SearchIndex:
             # a serving surface that 500s on every default-built index is
             # worse than literal-term semantics; rebuild with
             # store_terms=True for true Lucene wildcard semantics)
+            # boost merge follows parse_query's rule exactly: largest
+            # boost wins including the implicit 1.0 of unboosted clauses
+            # — a 1.0 default would silently drop down-boosts on
+            # expansion-only terms (review r4 pass 2)
+            unboosted = {t for t in (*pq.should, *pq.must)
+                         if t not in pq.boosts}
             for e in pq.expansions:
                 lit_terms = tokenize_py(e.pattern)
                 dest = {"": pq.should, "+": pq.must, "-": pq.must_not}[e.mod]
                 dest.extend(lit_terms)
-                if e.mod != "-" and e.boost != 1.0:
+                if e.mod == "-":
+                    continue
+                if e.boost != 1.0:
                     for t in lit_terms:
-                        pq.boosts[t] = max(pq.boosts.get(t, 1.0), e.boost)
+                        pq.boosts[t] = max(pq.boosts.get(t, 0.0), e.boost)
+                else:
+                    unboosted.update(lit_terms)
+            for t in unboosted:
+                if t in pq.boosts:
+                    pq.boosts[t] = max(pq.boosts[t], 1.0)
             pq.expansions = []
             expanded = []
         extra_scored, must_any, not_any = fold_expansions(pq, expanded)

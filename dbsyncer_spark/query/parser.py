@@ -309,9 +309,15 @@ def fold_expansions(pq: ParsedQuery, expanded: list[list[str]]):
     extra_scored: set[str] = set()
     must_any: list[list[str]] = []
     not_any: list[list[str]] = []
-    # terms carrying an implicit 1.0: plain scoring clauses + every term
-    # matched by an UNBOOSTED scoring expansion
-    implicit: set[str] = set(pq.should) | set(pq.must)
+    # terms carrying an implicit 1.0: UNBOOSTED plain scoring clauses
+    # (a plain term WITH a boosts entry was already floored by
+    # parse_query iff it also appeared unboosted — including boosted
+    # plain terms here would phantom-floor 'merge^0.5 merg*^0.7' to 1.0,
+    # review r4 pass 2) + every term matched by an UNBOOSTED scoring
+    # expansion
+    implicit: set[str] = {
+        t for t in (*pq.should, *pq.must) if t not in pq.boosts
+    }
     boosted: list[tuple[list[str], float]] = []
     for exp, terms in zip(pq.expansions, expanded):
         if exp.mod == "-":
@@ -327,8 +333,15 @@ def fold_expansions(pq: ParsedQuery, expanded: list[list[str]]):
             implicit.update(terms)
     for terms, bst in boosted:
         for t in terms:
-            cur = max(pq.boosts.get(t, 0.0), 1.0 if t in implicit else 0.0)
+            cur = pq.boosts.get(t, 1.0 if t in implicit else 0.0)
             pq.boosts[t] = max(cur, bst)
+    # the implicit 1.0 also floors EXISTING entries (e.g. 'merge^0.5
+    # merg*' — the unboosted expansion matches the down-boosted plain
+    # term; review r4 pass 2: the floor only fired inside the boosted
+    # loop, so it never applied when no boosted expansion matched)
+    for t in implicit:
+        if t in pq.boosts:
+            pq.boosts[t] = max(pq.boosts[t], 1.0)
     return extra_scored, must_any, not_any
 
 

@@ -298,3 +298,21 @@ def test_expansion_boost_never_downboosts_plain_terms():
     pq2 = parse_query("mer* mer*^0.5")
     fold_expansions(pq2, [["merge"], ["merge"]])
     assert pq2.boosts.get("merge", 1.0) == 1.0
+
+
+def test_expansion_boost_merge_edge_cases():
+    """review r4 pass 2: the implicit-1.0 floor must apply to (and ONLY
+    to) UNBOOSTED clauses — boosted plain terms keep largest-boost-wins
+    against boosted expansions, and an unboosted expansion floors a
+    down-boosted plain term it matches."""
+    from dbsyncer_spark.query.parser import fold_expansions, parse_query
+
+    # boosted plain 0.5 vs boosted expansion 0.7 -> 0.7 (no phantom 1.0)
+    pq = parse_query("merge^0.5 merg*^0.7")
+    fold_expansions(pq, [["merge"]])
+    assert pq.boosts["merge"] == 0.7
+    # UNBOOSTED expansion matching a down-boosted plain term floors it
+    pq = parse_query("merge^0.5 merg*")
+    fold_expansions(pq, [["merge", "merger"]])
+    assert pq.boosts["merge"] == 1.0
+    assert "merger" not in pq.boosts  # implicit 1.0 needs no entry
