@@ -275,19 +275,25 @@ def too_many_clauses(exp: Expansion, limit: int) -> ValueError:
     )
 
 
-def expand_wide(docs, text_col: str, exp: Expansion,
-                limit: int = MAX_EXPANSIONS) -> list[str]:
-    """Resolve an Expansion against the corpus's own token vocabulary
-    (DataFrame twin of ``SearchIndex.expand_prefix/wildcard/fuzzy``):
-    distinct matching tokens, term-sorted. Exceeding ``limit`` raises —
-    Lucene's BooleanQuery.TooManyClauses, not a silent truncation."""
+def corpus_vocab(docs, text_col: str):
+    """The corpus's distinct token vocabulary — the expansion target of
+    the DataFrame twin (the index path uses the terms table instead)."""
     from pyspark.sql import functions as F
 
     from dbsyncer_spark.functions.tokenizer import tokens_col
 
-    base = docs.select(
-        F.explode(tokens_col(text_col)).alias("term")
-    ).distinct()
+    return docs.select(F.explode(tokens_col(text_col)).alias("term")).distinct()
+
+
+def expand_wide(docs, text_col: str, exp: Expansion,
+                limit: int = MAX_EXPANSIONS, vocab=None) -> list[str]:
+    """Resolve an Expansion against the corpus's own token vocabulary
+    (DataFrame twin of ``SearchIndex.expand_prefix/wildcard/fuzzy``):
+    distinct matching tokens, term-sorted. Exceeding ``limit`` raises —
+    Lucene's BooleanQuery.TooManyClauses, not a silent truncation.
+    ``vocab``: optional prebuilt (e.g. persisted) ``corpus_vocab`` so a
+    multi-expansion query tokenizes the corpus once, not per unit."""
+    base = vocab if vocab is not None else corpus_vocab(docs, text_col)
     rows = (base.filter(expansion_predicate(exp))
             .orderBy("term").limit(limit + 1).collect())
     if len(rows) > limit:
@@ -363,8 +369,17 @@ def parsed_topk_wide(spark, docs, query: str, k: int = 10,
 
     pq = parse_query(query)
     check_fields(pq, docs.columns)
-    expanded = [expand_wide(docs, text_col, e, max_expansions)
-                for e in pq.expansions]
+    if len(pq.expansions) > 1:
+        # tokenize the corpus ONCE for all units, not once per unit
+        vocab = corpus_vocab(docs, text_col).persist()
+        try:
+            expanded = [expand_wide(docs, text_col, e, max_expansions, vocab=vocab)
+                        for e in pq.expansions]
+        finally:
+            vocab.unpersist()
+    else:
+        expanded = [expand_wide(docs, text_col, e, max_expansions)
+                    for e in pq.expansions]
     extra_scored, must_any, not_any = fold_expansions(pq, expanded)
     scored = sorted(set(pq.scored_terms) | extra_scored)
     if not scored:
