@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from dbsyncer_spark.functions.tokenizer import tokenize_py
 from dbsyncer_spark.index.build import _limit_arrow_threads, py_shard, term_id
-from dbsyncer_spark.index.codec import unpack_blocks, unpack_row_positions
+from dbsyncer_spark.index.codec import unpack_blocks
 from dbsyncer_spark.session import empty_df
 
 _SCORE_SCHEMA = "doc_id long, score double"
@@ -993,7 +993,6 @@ class SearchIndex:
         tids = sorted({tid for tid, _ in instances})
         shards = sorted({py_shard(t, self.num_shards) for t in uniq})
         range_size, m = self.range_size, len(terms)
-        from dbsyncer_spark.index.codec import POS_CAP  # build enforces the cap
         tomb = None if ids_only else self._tombstones()
         # adaptive mask side (same rationale as search(), see _mask_plan):
         # dead set inverted for tombstones-only, complement inverted for
