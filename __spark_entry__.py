@@ -558,6 +558,19 @@ def q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving with a BATCH-WIDE MUST filter under the oracle
+    gate (r4): one search_many job, a lang='en' gate shared by every
+    query in the batch — the adaptive mask side (_mask_plan) is planned
+    and counted once per batch; per query the rows hash-match the
+    filtered single-query oracle (candidates gated, stats corpus-global,
+    reference MUST-clause semantics)."""
+    idx = _entry_index(spark, sf_dir)
+    out = idx.search_many(BATCH_QUERIES, k=20 + _TIE_SLACK,
+                          doc_filter=(F.col("lang") == "en"))
+    return _batch_docid_rerank(idx, out, k=20)
+
+
 def q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched PHRASE serving under the oracle gate (r4 stretch): both
     phrases share one positional decode per docId-range
@@ -1173,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_wildcard": q_parsed_wildcard,
         "update_merge_search": q_update_merge_search,
         "batch_search": q_batch_search,
+        "batch_filtered": q_batch_filtered,
         "batch_phrase": q_batch_phrase,
         "boosted_query": q_boosted_query,
         "sorted_match": q_sorted_match,
@@ -1255,6 +1269,10 @@ ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
     sql["update_merge_search"] = _bm25_oracle(FLAGSHIP_QUERY, 20, src=lifecycle_src)
     sql["batch_search"] = " UNION ALL ".join(
         f"SELECT '{qid}' AS query_id, * FROM ({_bm25_oracle(q, 20)})"
+        for qid, q in BATCH_QUERIES.items()
+    ) + "\nORDER BY query_id, score DESC, doc_id ASC"
+    sql["batch_filtered"] = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, * FROM ({_bm25_oracle(q, 20, lang='en')})"
         for qid, q in BATCH_QUERIES.items()
     ) + "\nORDER BY query_id, score DESC, doc_id ASC"
     sql["batch_phrase"] = " UNION ALL ".join(

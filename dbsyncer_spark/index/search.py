@@ -1160,7 +1160,9 @@ class SearchIndex:
 
     def search_many(self, queries: dict[str, str], k: int = 10,
                     mode: str = "wand",
-                    prune_min_postings: int | None = None) -> DataFrame:
+                    prune_min_postings: int | None = None,
+                    doc_filter=None,
+                    filter_selectivity: float | None = None) -> DataFrame:
         """Batched top-k for many queries in ONE Spark job — the high-
         throughput serving shape (per-query jobs waste scheduler overhead;
         at cluster scale a query front-end batches by arrival window).
@@ -1197,6 +1199,12 @@ class SearchIndex:
         pruning path needs per-query dense running scores (theta/segmax),
         hence its ``_BATCH_PRUNE_MAX_QUERIES`` cap — above it the range
         falls back to sparse TAAT (memory-bounded, still shared-decode).
+
+        ``doc_filter`` (r4): one MUST filter over docstats columns shared
+        by the WHOLE batch (the common front-end shape: many queries, one
+        tenant/lang/repo gate) — the adaptive mask side (``_mask_plan``)
+        is planned and counted once per batch, not per query;
+        ``filter_selectivity`` skips the count like in ``search``.
 
         Returns DataFrame(query_id string, doc_id long, score double),
         per query ordered (score desc, doc_id asc), <= k rows each.
@@ -1374,14 +1382,18 @@ class SearchIndex:
                 }))
             return pd.concat(frames, ignore_index=True) if frames else _empty_out()
 
-        def score_impl(key, pdf, dead_pdf):
+        def score_impl(key, pdf, mask_pdf):
             _limit_arrow_threads()
             if pdf.empty:
                 return _empty_out()
             base = int(key[0]) * range_size
-            # allowed-mask via the shared helper (inverted dead set), not
-            # a fourth hand-rolled copy (r3 review)
-            allowed = _range_mask(dead_pdf, base, range_size, inverted=True)
+            # allowed-mask via the shared helpers (adaptive side choice,
+            # see _mask_plan), not a fourth hand-rolled copy (r3 review).
+            # mask_pdf is None ONLY in the no-cogroup branch (no masking
+            # at all); an EMPTY cogrouped side is meaningful (no allowed
+            # docs in this range under a filter / no dead docs inverted)
+            allowed = (None if mask_pdf is None else
+                       _range_mask(mask_pdf, base, range_size, mask_inverted))
             # per-term block upper bounds; global processing order
             # (-max UB, tid) is a total order — heaviest terms first
             # raises thetas early, and the fixed order pins float
@@ -1407,11 +1419,16 @@ class SearchIndex:
             F.col("shard").isin(shards) & F.col("tid").isin(list(idfs))
         )
         tomb = self._tombstones()
-        if tomb is not None:
-            dead = _dead_ranges(tomb, range_size)
+        # ONE mask side serves the whole batch: a front-end batching
+        # queries under a common MUST filter (e.g. lang) pays the
+        # adaptive mask-plan count once per batch, not per query (r4)
+        mask_side, mask_inverted = self._mask_plan(
+            doc_filter, None, tomb, filter_selectivity
+        )
+        if mask_side is not None:
             scored = (
                 postings.groupBy("range_id")
-                .cogroup(dead.groupBy("range_id"))
+                .cogroup(mask_side.groupBy("range_id"))
                 .applyInPandas(lambda key, l, r: score_impl(key, l, r), out_schema)
             )
         else:
@@ -1443,7 +1460,8 @@ class SearchIndex:
         return ranked.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
 
     def search_many_phrase(self, queries: dict[str, str], k: int = 10,
-                           slop: int = 0) -> DataFrame:
+                           slop: int = 0, doc_filter=None,
+                           filter_selectivity: float | None = None) -> DataFrame:
         """Batched phrase top-k in ONE Spark job — the positional analog
         of ``search_many`` (r3 VERDICT stretch #9): positional postings
         for the union of every phrase's terms are read and DECODED once
@@ -1490,7 +1508,7 @@ class SearchIndex:
         range_size = self.range_size
         n_queries = len(qinfo)
 
-        def score_impl(key, pdf, dead_pdf):
+        def score_impl(key, pdf, mask_pdf):
             _limit_arrow_threads()
             empty = pd.DataFrame(
                 {"query_id": [], "doc_id": [], "score": []}
@@ -1499,7 +1517,10 @@ class SearchIndex:
             if pdf.empty:
                 return empty
             base = int(key[0]) * range_size
-            amask = _range_mask(dead_pdf, base, range_size, inverted=True)
+            # None only in the no-cogroup branch; an EMPTY cogrouped side
+            # is meaningful (see search_many)
+            amask = (None if mask_pdf is None else
+                     _range_mask(mask_pdf, base, range_size, mask_inverted))
             per_tid = _decode_positional_range(pdf, base)
             frames = []
             for qid, (instances, tids_q, m, idf_sum) in qinfo.items():
@@ -1532,11 +1553,14 @@ class SearchIndex:
             F.col("shard").isin(shards) & F.col("tid").isin(all_tids)
         )
         tomb = self._tombstones()
-        if tomb is not None:
-            dead = _dead_ranges(tomb, range_size)
+        # one adaptive mask side for the whole batch (see search_many)
+        mask_side, mask_inverted = self._mask_plan(
+            doc_filter, None, tomb, filter_selectivity
+        )
+        if mask_side is not None:
             scored = (
                 postings.groupBy("range_id")
-                .cogroup(dead.groupBy("range_id"))
+                .cogroup(mask_side.groupBy("range_id"))
                 .applyInPandas(lambda key, l, r: score_impl(key, l, r), out_schema)
             )
         else:

@@ -221,3 +221,26 @@ def test_search_many_thousand_query_batch_sparse(spark, index):
         want = [(r.doc_id, round(r.score, 12))
                 for r in index.search(batch[qid], k=5, mode="exhaustive").collect()]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_search_many_with_shared_doc_filter(spark, index):
+    """r4: a batch-wide MUST filter must make every query's rows
+    identical to per-query search(doc_filter=...) — on BOTH adaptive
+    mask sides (forced via filter_selectivity) and both scorer modes."""
+    from pyspark.sql import functions as F
+
+    batch = {"a": "merge offset", "b": "import", "c": "token shard batch"}
+    flt = F.col("lang") == "python"
+    for sel in (None, 0.01, 0.9):
+        for mode in ("wand", "exhaustive"):
+            got = index.search_many(batch, k=7, mode=mode, doc_filter=flt,
+                                    filter_selectivity=sel).collect()
+            by_q: dict[str, list] = {}
+            for r in got:
+                by_q.setdefault(r.query_id, []).append(
+                    (r.doc_id, round(r.score, 12)))
+            for qid, q in batch.items():
+                want = [(r.doc_id, round(r.score, 12))
+                        for r in index.search(q, k=7, mode="exhaustive",
+                                              doc_filter=flt).collect()]
+                assert by_q.get(qid, []) == want, (qid, sel, mode)

@@ -238,3 +238,22 @@ def test_search_many_phrase_rank_identical(spark, pidx):
                 for r in idx.search_phrase(q, k=5, slop=slop).collect()
             ]
             assert by_q.get(qid, []) == want, (qid, slop)
+
+
+def test_search_many_phrase_with_shared_doc_filter(spark, pidx):
+    """r4: batched phrases honor a batch-wide MUST filter identically to
+    per-query search_phrase(doc_filter=...), on both mask sides."""
+    idx = SearchIndex(spark, pidx)
+    batch = {"a": "big car", "b": "car"}
+    flt = F.col("path") != "f3.txt"
+    for sel in (None, 0.01, 0.9):
+        got = idx.search_many_phrase(batch, k=5, slop=0, doc_filter=flt,
+                                     filter_selectivity=sel).collect()
+        by_q: dict[str, list] = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 12)))
+        for qid, q in batch.items():
+            want = [(r.doc_id, round(r.score, 12))
+                    for r in idx.search_phrase(q, k=5, slop=0,
+                                               doc_filter=flt).collect()]
+            assert by_q.get(qid, []) == want, (qid, sel)
