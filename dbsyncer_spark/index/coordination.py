@@ -22,10 +22,11 @@ caveat. This module makes the primitives injectable:
   dir-fsync (crash-safe on POSIX).
 
 Inject with ``set_lock_provider`` / ``set_meta_committer`` (process-
-global, before opening the index). The lease TTL must exceed the
-longest critical section — the engine holds the lock only for
+global, before opening the index). The engine holds the lock only for
 pointer flips and staged-file moves (the expensive Spark rewrites run
-OUTSIDE it, r4), so the 30 s default is generous.
+OUTSIDE it, r4), so the 30 s default TTL is generous — and a heartbeat
+renews the lease while held (r4), so even a stalled critical section
+does not lose it unless the whole process freezes past the TTL.
 
 Reference analog: DBSyncer serializes writer access per shard with an
 in-process ReentrantReadWriteLock (``Shard.java:60-75``); a distributed
@@ -37,6 +38,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -72,17 +74,24 @@ class LeaseFileLock:
     becomes a no-op and the work it committed past its TTL is the
     operator's signal to raise ``ttl_s``).
 
-    No background renewal: ``ttl_s`` must exceed the longest critical
-    section. The engine's sections are pointer flips and staged-file
-    moves (Spark rewrites run outside the lock), so seconds suffice.
-    Timestamps use wall clock (``time.time``) — hosts sharing a lease
-    must be NTP-sane within the TTL, the standard lease caveat."""
+    While held, a daemon heartbeat refreshes ``ts`` every
+    ``renew_every_s`` (default ttl/3) so a critical section longer than
+    the TTL keeps the lease live instead of getting stolen mid-flip; the
+    renewal rewrite is atomic (tmp + rename) and stops the moment the
+    on-disk token is no longer ours. The remaining hazard window is a
+    holder stalled longer than ttl - renew_every_s between heartbeats
+    (then a stealer wins, and our next heartbeat detects it and stands
+    down — release becomes a no-op). Pass ``renew_every_s=0`` to disable
+    and restore the plain ttl-must-exceed-section contract. Timestamps
+    use wall clock (``time.time``) — hosts sharing a lease must be
+    NTP-sane within the TTL, the standard lease caveat."""
 
     def __init__(self, ttl_s: float = 30.0, poll_s: float = 0.05,
-                 settle_s: float = 0.02):
+                 settle_s: float = 0.02, renew_every_s: float | None = None):
         self.ttl_s = ttl_s
         self.poll_s = poll_s
         self.settle_s = settle_s
+        self.renew_every_s = ttl_s / 3.0 if renew_every_s is None else renew_every_s
 
     def _read(self, path: str) -> dict | None:
         try:
@@ -103,10 +112,32 @@ class LeaseFileLock:
         path = os.path.join(index_dir, "meta.lease")
         token = uuid.uuid4().hex
         self._acquire(path, token)
+        stop = threading.Event()
+        beat = None
+        if self.renew_every_s and self.renew_every_s > 0:
+            beat = threading.Thread(
+                target=self._renew_loop, args=(path, token, stop), daemon=True
+            )
+            beat.start()
         try:
             yield
         finally:
+            stop.set()
+            if beat is not None:
+                beat.join()
             self._release(path, token)
+
+    def _renew_loop(self, path: str, token: str, stop: threading.Event) -> None:
+        while not stop.wait(self.renew_every_s):
+            cur = self._read(path)
+            if cur is None or cur.get("token") != token:
+                return  # lost the lease (stall past TTL): stand down
+            # atomic replace; safe because a live (just-read, < ttl-old)
+            # lease can't be stolen between the read and this rename —
+            # up to cross-host clock skew, the documented caveat
+            tmp = f"{path}.renew-{token}"
+            self._write_json(tmp, {**cur, "ts": time.time()})
+            os.replace(tmp, path)
 
     def _acquire(self, path: str, token: str) -> None:
         while True:

@@ -89,6 +89,51 @@ def test_slow_holder_release_is_noop_after_steal(tmp_path):
         "release after a steal must not clobber the thief's lease"
 
 
+def test_lease_renewal_survives_long_critical_section(tmp_path):
+    """A critical section LONGER than the TTL keeps the lock: the
+    heartbeat (ttl/3) refreshes ts, so a polling contender never steals
+    a held lease (the r4 renewal fix for the ttl-bounds-section caveat)."""
+    d = str(tmp_path)
+    path = os.path.join(d, "meta.lease")
+    lk = co.LeaseFileLock(ttl_s=0.3, poll_s=0.01, settle_s=0.0)
+    acquired = []
+
+    def contender():
+        with lk.lock(d):
+            acquired.append(time.time())
+
+    th = threading.Thread(target=contender)
+    released_at = None
+    with lk.lock(d):
+        th.start()
+        time.sleep(1.0)  # > 3x TTL inside the section
+        assert not acquired, "contender stole a renewed (live) lease"
+        assert time.time() - json.load(open(path))["ts"] <= 0.3, \
+            "heartbeat did not refresh the lease ts"
+        released_at = time.time()
+    th.join()
+    assert acquired and acquired[0] >= released_at
+
+
+def test_lease_renewal_disabled_restores_ttl_contract(tmp_path):
+    """renew_every_s=0 opts out: a section longer than the TTL is
+    stealable again (the documented pre-renewal contract)."""
+    d = str(tmp_path)
+    lk = co.LeaseFileLock(ttl_s=0.2, poll_s=0.01, settle_s=0.0, renew_every_s=0)
+    stolen = []
+
+    def contender():
+        with lk.lock(d):
+            stolen.append(time.time())
+
+    th = threading.Thread(target=contender)
+    with lk.lock(d):
+        th.start()
+        time.sleep(0.6)
+        assert stolen, "expired un-renewed lease was not stolen"
+    th.join()
+
+
 def test_meta_lock_and_commit_route_through_injected_seam(tmp_path):
     d = str(tmp_path)
     committed = []
