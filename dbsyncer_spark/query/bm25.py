@@ -56,24 +56,37 @@ def bm25_scored_terms(
     text_col: str = "content",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    doc_filter=None,
 ) -> DataFrame:
     """Per-(doc, term) BM25 partial scores for the given query terms.
 
     Returns (id_col, term, partial) — shared by the exhaustive scorer and
-    the deterministic wide-sum scorer below."""
-    base = docs.select(
-        F.col(id_col).cast("long").alias(id_col), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
+    the deterministic wide-sum scorer below.
+
+    ``doc_filter`` restricts which docs get partials, evaluated as a
+    ``_keep`` column inside the SAME corpus scan (one pass — a separate
+    ``docs.filter`` branch would tokenize the corpus a second time for a
+    semi-join). df/avgdl/n_docs stay corpus-global: the filter drops
+    rows only AFTER df_stats aggregates over the unfiltered tf, matching
+    how a filtered Lucene query scores (index-level stats,
+    ``DiskStorageService.java:294-346``)."""
+    cols = [F.col(id_col).cast("long").alias(id_col),
+            tokens_col(text_col).alias("_toks")]
+    if doc_filter is not None:
+        cols.append(doc_filter.cast("boolean").alias("_keep"))
+    base = docs.select(*cols).withColumn("_dl", F.size("_toks"))
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl"))
+    keep = ["_keep"] if doc_filter is not None else []
     tf = (
-        base.select(id_col, "_dl", F.explode("_toks").alias("term"))
+        base.select(id_col, "_dl", *keep, F.explode("_toks").alias("term"))
         .filter(F.col("term").isin(q_terms))
-        .groupBy(id_col, "_dl", "term")
+        .groupBy(id_col, "_dl", *keep, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf if doc_filter is None else tf.filter(F.col("_keep"))
     return (
-        tf.join(F.broadcast(df_stats), "term")
+        scored.join(F.broadcast(df_stats), "term")
         .join(F.broadcast(stats))
         .select(
             id_col,
@@ -114,20 +127,17 @@ def bm25_topk_wide(
     if not q_terms:
         return empty_df(spark, f"{id_col} long, score double")
     boosts = boosts or {}
-    partials = bm25_scored_terms(docs, q_terms, id_col, text_col, k1, b)
+    # filter restricts CANDIDATES only; df/avgdl stay corpus-global —
+    # evaluated inside the scoring scan (see bm25_scored_terms), not as
+    # a second corpus scan + semi-join
+    partials = bm25_scored_terms(docs, q_terms, id_col, text_col, k1, b,
+                                 doc_filter=doc_filter)
     aggs = [
         (F.sum(F.when(F.col("term") == t, F.col("partial")))
          * F.lit(float(boosts.get(t, 1.0)))).alias(f"_s{i}")
         for i, t in enumerate(q_terms)
     ]
     wide = partials.groupBy(id_col).agg(*aggs)
-    if doc_filter is not None:
-        # filter restricts CANDIDATES only; df/avgdl stay corpus-global
-        # (reference MUST-clause semantics, DiskStorageService.java:294-346)
-        allowed = docs.filter(doc_filter).select(F.col(id_col).cast("long").alias(id_col))
-        # no broadcast hint: the allowed set's size depends on filter
-        # selectivity — AQE picks broadcast vs shuffle at runtime
-        wide = wide.join(allowed, id_col, "left_semi")
     score = F.coalesce(F.col("_s0"), F.lit(0.0))
     for i in range(1, len(q_terms)):
         score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))

@@ -275,14 +275,24 @@ def too_many_clauses(exp: Expansion, limit: int) -> ValueError:
     )
 
 
-def corpus_vocab(docs, text_col: str):
+def corpus_vocab(docs, text_col: str, candidates=None):
     """The corpus's distinct token vocabulary — the expansion target of
-    the DataFrame twin (the index path uses the terms table instead)."""
+    the DataFrame twin (the index path uses the terms table instead).
+
+    ``candidates``: optional Column predicate on ``term`` applied BELOW
+    the distinct. A multi-unit query persists the vocab, and the persist
+    boundary stops Catalyst from pushing the units' LIKE filters through
+    the aggregate — so the caller passes the OR of all units' predicates
+    here and the hash-agg only ever sees candidate tokens, not the whole
+    token stream's vocabulary."""
     from pyspark.sql import functions as F
 
     from dbsyncer_spark.functions.tokenizer import tokens_col
 
-    return docs.select(F.explode(tokens_col(text_col)).alias("term")).distinct()
+    toks = docs.select(F.explode(tokens_col(text_col)).alias("term"))
+    if candidates is not None:
+        toks = toks.filter(candidates)
+    return toks.distinct()
 
 
 def expand_wide(docs, text_col: str, exp: Expansion,
@@ -370,8 +380,12 @@ def parsed_topk_wide(spark, docs, query: str, k: int = 10,
     pq = parse_query(query)
     check_fields(pq, docs.columns)
     if len(pq.expansions) > 1:
-        # tokenize the corpus ONCE for all units, not once per unit
-        vocab = corpus_vocab(docs, text_col).persist()
+        # tokenize the corpus ONCE for all units, not once per unit —
+        # and pre-filter to the union of the units' candidate sets so
+        # the persisted distinct is over candidates, not the full vocab
+        any_unit = reduce(lambda a, b: a | b,
+                          [expansion_predicate(e) for e in pq.expansions])
+        vocab = corpus_vocab(docs, text_col, candidates=any_unit).persist()
         try:
             expanded = [expand_wide(docs, text_col, e, max_expansions, vocab=vocab)
                         for e in pq.expansions]
