@@ -78,10 +78,13 @@ class LeaseFileLock:
     ``renew_every_s`` (default ttl/3) so a critical section longer than
     the TTL keeps the lease live instead of getting stolen mid-flip; the
     renewal rewrite is atomic (tmp + rename) and stops the moment the
-    on-disk token is no longer ours. The remaining hazard window is a
-    holder stalled longer than ttl - renew_every_s between heartbeats
-    (then a stealer wins, and our next heartbeat detects it and stands
-    down — release becomes a no-op). Pass ``renew_every_s=0`` to disable
+    on-disk token is no longer ours. A heartbeat that stalls (fsync
+    hang, VM pause) re-checks lease freshness AFTER the stall-prone tmp
+    write and stands down rather than rename over a lease a contender
+    may have legitimately stolen; it then settle-verifies its own
+    renewal like ``_acquire`` does a steal. The residual unsafe window
+    is a stall inside the rename syscall itself — irreducible without a
+    store-side CAS. Pass ``renew_every_s=0`` to disable renewal
     and restore the plain ttl-must-exceed-section contract. Timestamps
     use wall clock (``time.time``) — hosts sharing a lease must be
     NTP-sane within the TTL, the standard lease caveat."""
@@ -124,7 +127,15 @@ class LeaseFileLock:
         finally:
             stop.set()
             if beat is not None:
-                beat.join()
+                # bounded join: a heartbeat wedged in fsync on a hung
+                # filesystem must not pin the holder in the with-block
+                # forever. If it is still alive past the timeout we
+                # proceed to release; a late renewal landing AFTER the
+                # release can only recreate a lease file bearing our
+                # (now-dead) token, which the next acquirer steals once
+                # the TTL lapses — liveness degraded by <= ttl_s, never
+                # mutual exclusion.
+                beat.join(timeout=self.renew_every_s + 1.0)
             self._release(path, token)
 
     def _renew_loop(self, path: str, token: str, stop: threading.Event) -> None:
@@ -132,12 +143,32 @@ class LeaseFileLock:
             cur = self._read(path)
             if cur is None or cur.get("token") != token:
                 return  # lost the lease (stall past TTL): stand down
-            # atomic replace; safe because a live (just-read, < ttl-old)
-            # lease can't be stolen between the read and this rename —
-            # up to cross-host clock skew, the documented caveat
+            expiry = float(cur.get("ts", 0)) + self.ttl_s
+            if time.time() >= expiry:
+                # already expired at read time: a contender may be
+                # mid-steal — renewing could clobber their live lease
+                return
             tmp = f"{path}.renew-{token}"
             self._write_json(tmp, {**cur, "ts": time.time()})
+            # the tmp-file fsync above is the stall-prone step (slow
+            # shared fs / VM pause): re-check freshness AFTER it, so the
+            # replace below cannot land on a lease a contender has
+            # legitimately stolen during the stall. The residual unsafe
+            # window is the rename syscall itself — same class as
+            # _acquire's steal replace, which settle-and-verify (below)
+            # arbitrates when the OTHER side replaced after us; a stall
+            # inside the rename itself remains the documented caveat of
+            # a CAS-less store.
+            if time.time() >= expiry - self.settle_s:
+                with contextlib.suppress(OSError):
+                    os.remove(tmp)
+                return  # too close to expiry to renew safely: stand down
             os.replace(tmp, path)
+            if self.settle_s:
+                time.sleep(self.settle_s)
+                cur = self._read(path)
+                if cur is None or cur.get("token") != token:
+                    return  # a concurrent stealer won the settle round
 
     def _acquire(self, path: str, token: str) -> None:
         while True:

@@ -267,6 +267,22 @@ def expansion_predicate(exp: Expansion):
     return F.levenshtein(F.col("term"), F.lit(exp.pattern)) <= exp.max_edits
 
 
+def expansion_prefilter(exp: Expansion):
+    """Cheap SUPERSET of ``expansion_predicate`` for pushdown BELOW the
+    vocab distinct, where it runs per token OCCURRENCE (100-1000x the
+    distinct-term count). Exact for prefix/wildcard (a LIKE is cheap);
+    for fuzzy, a length band — |len(term) - len(pattern)| <= max_edits —
+    instead of per-occurrence levenshtein. ``expand_wide`` re-applies
+    the exact predicate on the distinct vocab, so a superset here can
+    only admit extra candidates, never change results."""
+    from pyspark.sql import functions as F
+
+    if exp.kind in ("prefix", "wildcard"):
+        return expansion_predicate(exp)
+    n = len(exp.pattern)
+    return F.length(F.col("term")).between(n - exp.max_edits, n + exp.max_edits)
+
+
 def too_many_clauses(exp: Expansion, limit: int) -> ValueError:
     """The shared TooManyClauses error (Lucene maxClauseCount analog)."""
     return ValueError(
@@ -381,10 +397,12 @@ def parsed_topk_wide(spark, docs, query: str, k: int = 10,
     check_fields(pq, docs.columns)
     if len(pq.expansions) > 1:
         # tokenize the corpus ONCE for all units, not once per unit —
-        # and pre-filter to the union of the units' candidate sets so
-        # the persisted distinct is over candidates, not the full vocab
+        # and pre-filter to the union of the units' CHEAP candidate
+        # supersets so the persisted distinct is over candidates, not
+        # the full vocab (expand_wide re-applies the exact predicates
+        # on the distinct terms)
         any_unit = reduce(lambda a, b: a | b,
-                          [expansion_predicate(e) for e in pq.expansions])
+                          [expansion_prefilter(e) for e in pq.expansions])
         vocab = corpus_vocab(docs, text_col, candidates=any_unit).persist()
         try:
             expanded = [expand_wide(docs, text_col, e, max_expansions, vocab=vocab)

@@ -95,7 +95,11 @@ def test_lease_renewal_survives_long_critical_section(tmp_path):
     a held lease (the r4 renewal fix for the ttl-bounds-section caveat)."""
     d = str(tmp_path)
     path = os.path.join(d, "meta.lease")
-    lk = co.LeaseFileLock(ttl_s=0.3, poll_s=0.01, settle_s=0.0)
+    # generous ttl vs renew cadence: each heartbeat fsyncs, and shared-
+    # host disk latency can spike past 200 ms (see bench notes) — a
+    # sub-second ttl races the scheduler, not the property under test
+    lk = co.LeaseFileLock(ttl_s=1.5, poll_s=0.05, settle_s=0.0,
+                          renew_every_s=0.2)
     acquired = []
 
     def contender():
@@ -106,9 +110,9 @@ def test_lease_renewal_survives_long_critical_section(tmp_path):
     released_at = None
     with lk.lock(d):
         th.start()
-        time.sleep(1.0)  # > 3x TTL inside the section
+        time.sleep(3.5)  # > 2x TTL inside the section
         assert not acquired, "contender stole a renewed (live) lease"
-        assert time.time() - json.load(open(path))["ts"] <= 0.3, \
+        assert time.time() - json.load(open(path))["ts"] <= 1.5, \
             "heartbeat did not refresh the lease ts"
         released_at = time.time()
     th.join()
@@ -175,3 +179,56 @@ def test_release_after_own_expiry_leaves_lease(tmp_path):
     # and the next acquirer steals it cleanly
     with lk.lock(d):
         assert json.load(open(path))["token"] != "slow"
+
+
+def test_renew_stands_down_after_stall_past_expiry(tmp_path):
+    """A heartbeat that stalls past the lease expiry INSIDE the tmp-file
+    write (the fsync is the stall-prone step) must NOT rename over the
+    lease — a contender may have legitimately stolen it during the
+    stall. The post-write freshness re-check stands down instead."""
+    d = str(tmp_path)
+    path = os.path.join(d, "meta.lease")
+    lk = co.LeaseFileLock(ttl_s=0.3, poll_s=0.01, settle_s=0.0,
+                          renew_every_s=0.05)
+    orig_write = lk._write_json
+
+    def stalling_write(p, payload):
+        orig_write(p, payload)
+        if ".renew-" in p:
+            time.sleep(0.5)  # stall past ttl_s AFTER writing the tmp
+
+    lk._write_json = stalling_write
+    lk._acquire(path, "holder")
+    stop = threading.Event()
+    beat = threading.Thread(
+        target=lk._renew_loop, args=(path, "holder", stop), daemon=True)
+    beat.start()
+    time.sleep(0.15)  # let one heartbeat enter the stall window
+    # a contender steals the (by now expired) lease mid-stall
+    time.sleep(0.3)
+    lk._write_json = orig_write  # thief's own writes are not stalled
+    lk._acquire(path, "thief")
+    beat.join(timeout=2.0)
+    assert not beat.is_alive(), "heartbeat must stand down, not loop"
+    cur = json.load(open(path))
+    assert cur["token"] == "thief", \
+        "stalled renewal must not clobber a stolen live lease"
+    assert not os.path.exists(f"{path}.renew-holder"), \
+        "abandoned renewal tmp file must be cleaned up"
+
+
+def test_renew_stands_down_on_expired_read(tmp_path):
+    """A heartbeat waking to an ALREADY-expired own lease must stand
+    down without renewing: a stealer may be mid-replace."""
+    d = str(tmp_path)
+    path = os.path.join(d, "meta.lease")
+    lk = co.LeaseFileLock(ttl_s=0.1, settle_s=0.0, renew_every_s=0.25)
+    lk._acquire(path, "holder")
+    stop = threading.Event()
+    beat = threading.Thread(
+        target=lk._renew_loop, args=(path, "holder", stop), daemon=True)
+    beat.start()  # first wake at t=0.25 > ttl=0.1: lease already expired
+    beat.join(timeout=2.0)
+    assert not beat.is_alive()
+    assert json.load(open(path))["ts"] + 0.1 < time.time(), \
+        "expired lease must not have been renewed"
