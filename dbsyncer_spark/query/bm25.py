@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbsyncer_spark import BM25_B, BM25_K1
-from dbsyncer_spark.functions.tokenizer import tokenize_py, tokens_col
+from dbsyncer_spark.functions.tokenizer import (
+    token_count_col,
+    tokenize_py,
+    tokens_col,
+)
 from dbsyncer_spark.session import empty_df
 
 
@@ -69,18 +73,44 @@ def bm25_scored_terms(
     semi-join). df/avgdl/n_docs stay corpus-global: the filter drops
     rows only AFTER df_stats aggregates over the unfiltered tf, matching
     how a filtered Lucene query scores (index-level stats,
-    ``DiskStorageService.java:294-346``)."""
+    ``DiskStorageService.java:294-346``).
+
+    Plan shape: tokenize dominates, and this DAG consumes the token
+    stream from MULTIPLE branches (corpus stats, tf, df). The stats
+    branch needs only token COUNTS, so it scans with the scalar
+    ``token_count_col`` twin (one regexp_count — no array build, ~4x
+    cheaper than tokenizing; exact-equal by the tokenizer parity gate);
+    the per-doc length in the tf branch uses the same scalar for the
+    same reason. The tf branch reduces the scan to tiny rows (id,
+    doclen, one row per matched query-term occurrence) and
+    repartitions on id: ``groupBy(id, ...)`` clusters on a superset of
+    {id}, so the aggregate runs partition-local above that one
+    exchange, and the df/scored branches meeting at it read it as a
+    ReusedExchange instead of re-scanning the corpus (exchange reuse
+    needs canonically equal children — keep per-branch column sets
+    identical when touching this)."""
     cols = [F.col(id_col).cast("long").alias(id_col),
             tokens_col(text_col).alias("_toks")]
     if doc_filter is not None:
         cols.append(doc_filter.cast("boolean").alias("_keep"))
-    base = docs.select(*cols).withColumn("_dl", F.size("_toks"))
-    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl"))
     keep = ["_keep"] if doc_filter is not None else []
+    stats = docs.select(token_count_col(text_col).alias("_dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
+    )
+    rows = (
+        docs.select(*cols)
+        .select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode(
+                F.filter("_toks", lambda t: t.isin(q_terms))
+            ).alias("term"),
+            *keep,
+        )
+        .repartition(F.col(id_col))
+    )
     tf = (
-        base.select(id_col, "_dl", *keep, F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(q_terms))
-        .groupBy(id_col, "_dl", *keep, "term")
+        rows.groupBy(id_col, "_dl", *keep, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -172,45 +202,11 @@ def bm25_topk(
     q_terms = sorted(set(tokenize_py(query)))
     if not q_terms:
         return empty_df(spark, f"{id_col} long, score double")
-
-    base = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        tokens_col(text_col).alias("_toks"),
-        *( [doc_filter.alias("_keep")] if doc_filter is not None else [] ),
-    )
-    toks = base.withColumn("_dl", F.size("_toks"))
-
-    # corpus stats (N, avgdl) — one tiny agg
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
-    )
-
-    # postings restricted to query terms: explode -> filter -> (term,doc) tf
-    tf = (
-        toks.select(id_col, "_dl", *( ["_keep"] if doc_filter is not None else [] ),
-                    F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(q_terms))
-        .groupBy(id_col, "_dl", *( ["_keep"] if doc_filter is not None else [] ), "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-
-    # document frequency per query term — over the FULL corpus.
-    # tf rows are already unique per (doc, term), so a plain count is the
-    # distinct-doc count (avoids countDistinct's extra shuffle).
-    df_stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(df_stats), "term")
-        .join(F.broadcast(stats))
-        .withColumn("_idf", idf_col("df", F.col("n_docs").cast("double")))
-        .withColumn("_tfn", tfnorm_col("tf", "_dl", F.col("avgdl"), k1, b))
-        .withColumn("_partial", F.col("_idf") * F.col("_tfn"))
-    )
-    if doc_filter is not None:
-        scored = scored.filter(F.col("_keep"))
+    partials = bm25_scored_terms(docs, q_terms, id_col, text_col, k1, b,
+                                 doc_filter=doc_filter)
     return (
-        scored.groupBy(id_col)
-        .agg(F.sum("_partial").alias("score"))
+        partials.groupBy(id_col)
+        .agg(F.sum("partial").alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

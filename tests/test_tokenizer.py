@@ -106,3 +106,34 @@ def test_duckdb_sql_tokenizer_matches_python():
     got = [r[0] for r in rel.fetchall()]
     want = [tokenize_py(c) for c in CASES]
     assert got == want
+
+
+def test_token_count_col_matches_array_size(spark):
+    """token_count_col (regexp_count scalar) == size(tokens_col) on
+    every shared case incl. CJK, empties, and NULL — the parity gate
+    that lets BM25 doc-length stats skip the array build."""
+    from dbsyncer_spark.functions.tokenizer import token_count_col
+
+    df = spark.createDataFrame(
+        [(c,) for c in CASES] + [(None,)], "text string"
+    )
+    rows = df.select(
+        F.size(tokens_col("text")).alias("arr"),
+        token_count_col("text").alias("cnt"),
+    ).collect()
+    for r in rows:
+        assert r.arr == r.cnt or (r.arr in (None, -1) and r.cnt is None)
+
+
+def test_token_count_col_matches_on_fixture_corpus(spark):
+    """Same parity over the deterministic fixture corpus (real code-ish
+    text at volume, all langs)."""
+    from dbsyncer_spark.fixtures.corpus import corpus_df
+    from dbsyncer_spark.functions.tokenizer import token_count_col
+
+    docs = corpus_df(spark, n_docs=300, seed=11)
+    bad = docs.select(
+        F.size(tokens_col("content")).alias("arr"),
+        token_count_col("content").alias("cnt"),
+    ).filter(F.col("arr") != F.col("cnt")).count()
+    assert bad == 0
