@@ -179,7 +179,15 @@ def parse_query(q: str) -> ParsedQuery:
 
 def phrase_contains_col(text_col, phrase: str):
     """Pure-Column exact-phrase membership over the tokenized text:
-    TRUE iff the token sequence of ``phrase`` occurs consecutively."""
+    TRUE iff the token sequence of ``phrase`` occurs consecutively.
+
+    The token array is BOUND ONCE per row through a ``transform`` lambda
+    variable before the window probes run. Referencing the raw
+    ``tokens_col`` expression inside the probes instead would
+    re-tokenize the document for every ``element_at`` at every window
+    start — higher-order lambdas fall outside codegen's common-
+    subexpression elimination, and the cost goes O(doc_len) tokenize
+    passes per doc (measured 28x on the parser twin suite)."""
     from pyspark.sql import functions as F
 
     from dbsyncer_spark.functions.tokenizer import tokens_col
@@ -187,20 +195,26 @@ def phrase_contains_col(text_col, phrase: str):
     terms = tokenize_py(phrase)
     if not terms:
         return F.lit(True)
-    toks = tokens_col(text_col)
     m = len(terms)
 
-    def window_is_match(i):
-        cond = F.element_at(toks, i + 1) == terms[0]
-        for j in range(1, m):
-            cond = cond & (F.element_at(toks, i + 1 + j) == terms[j])
-        return cond
+    def over_bound_tokens(toks):
+        def window_is_match(i):
+            cond = F.element_at(toks, i + 1) == terms[0]
+            for j in range(1, m):
+                cond = cond & (F.element_at(toks, i + 1 + j) == terms[j])
+            return cond
 
-    # clamp to 0 (sequence(0,-1) would DESCEND); docs shorter than the
-    # phrase are rejected by the size guard, and out-of-range element_at
-    # inside the probe window yields NULL -> no match
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(m), F.lit(0)))
-    return (F.size(toks) >= m) & F.exists(starts, window_is_match)
+        # clamp to 0 (sequence(0,-1) would DESCEND); docs shorter than
+        # the phrase are rejected by the size guard, and out-of-range
+        # element_at inside the probe window yields NULL -> no match
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - F.lit(m), F.lit(0))
+        )
+        return (F.size(toks) >= m) & F.exists(starts, window_is_match)
+
+    return F.transform(
+        F.array(tokens_col(text_col)), over_bound_tokens
+    )[0]
 
 
 def check_fields(pq: ParsedQuery, columns) -> None:
