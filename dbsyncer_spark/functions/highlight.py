@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from dbsyncer_spark.functions.hof import bind_once
 from dbsyncer_spark.functions.tokenizer import CJK_CLASS, tokenize_py
 
 PRE_TAG = "<span style='color:red'>"
@@ -75,22 +76,37 @@ def best_fragment_col(
     terms = sorted(set(tokenize_py(query)))
     if not terms:
         return F.array_join(F.slice(_pieces(c), 1, width), "")
-    pieces = _pieces(c)
-    hits = F.transform(pieces, lambda p: F.lower(p).isin(*terms).cast("int"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(hits) - F.lit(width - 1), F.lit(1))
-    )
-    win_scores = F.transform(
-        starts,
-        lambda i: F.aggregate(
-            F.slice(hits, i, width), F.lit(0), lambda acc, x: acc + x
-        ),
-    )
-    best = F.array_position(win_scores, F.array_max(win_scores)).cast("int")
-    frag = F.transform(
-        F.slice(pieces, best, width), lambda p: _wrap(p, terms, pre, post)
-    )
-    return F.array_join(frag, "")
+
+    # bind pieces / hits / win_scores once each: hits is probed at every
+    # window start and win_scores is referenced twice (array_position +
+    # array_max) — unbound, each reference re-runs the full-text regex
+    # extraction per window, O(n^2) per row (see functions/hof.py)
+    def over_pieces(pieces):
+        def over_hits(hits):
+            starts = F.sequence(
+                F.lit(1), F.greatest(F.size(hits) - F.lit(width - 1), F.lit(1))
+            )
+            win_scores = F.transform(
+                starts,
+                lambda i: F.aggregate(
+                    F.slice(hits, i, width), F.lit(0), lambda acc, x: acc + x
+                ),
+            )
+
+            def over_scores(ws):
+                best = F.array_position(ws, F.array_max(ws)).cast("int")
+                frag = F.transform(
+                    F.slice(pieces, best, width),
+                    lambda p: _wrap(p, terms, pre, post),
+                )
+                return F.array_join(frag, "")
+
+            return bind_once(win_scores, over_scores)
+
+        hits = F.transform(pieces, lambda p: F.lower(p).isin(*terms).cast("int"))
+        return bind_once(hits, over_hits)
+
+    return bind_once(_pieces(c), over_pieces)
 
 
 def highlight_sql_exprs(col_sql: str, query: str, width: int = 24,

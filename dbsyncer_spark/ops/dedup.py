@@ -79,12 +79,18 @@ def word_shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Colum
     Documents shorter than n tokens yield their full token string as the
     single shingle (so they still participate in candidate joins).
     """
-    toks = tokens_col(col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(sh) if distinct else sh
+    from dbsyncer_spark.functions.hof import bind_once
+
+    def over_tokens(toks):
+        # toks bound once: an unbound reference re-tokenizes the text at
+        # every shingle position (see functions/hof.py)
+        sh = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.array_distinct(sh) if distinct else sh
+
+    return bind_once(tokens_col(col), over_tokens)
 
 
 def _doc_shingles_col(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

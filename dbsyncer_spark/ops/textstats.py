@@ -121,11 +121,14 @@ def fingerprints_col(
 
     from dbsyncer_spark.ops.dedup import _spread
 
-    toks = tokens_col(text_col)
-    kg = F.transform(
+    from dbsyncer_spark.functions.hof import bind_once
+
+    # toks bound once: an unbound reference re-tokenizes the text at
+    # every k-gram position (see functions/hof.py)
+    kg = bind_once(tokens_col(text_col), lambda toks: F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(kgram), F.lit(0))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, kgram))),
-    )
+    ))
     pos = _spread(docs).select(
         F.col(id_col).alias("doc_id"), F.posexplode(kg).alias("pos", "h")
     )

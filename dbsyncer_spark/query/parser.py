@@ -181,15 +181,14 @@ def phrase_contains_col(text_col, phrase: str):
     """Pure-Column exact-phrase membership over the tokenized text:
     TRUE iff the token sequence of ``phrase`` occurs consecutively.
 
-    The token array is BOUND ONCE per row through a ``transform`` lambda
-    variable before the window probes run. Referencing the raw
-    ``tokens_col`` expression inside the probes instead would
-    re-tokenize the document for every ``element_at`` at every window
-    start — higher-order lambdas fall outside codegen's common-
-    subexpression elimination, and the cost goes O(doc_len) tokenize
-    passes per doc (measured 28x on the parser twin suite)."""
+    The token array is BOUND ONCE per row (``bind_once``) before the
+    window probes run. Referencing the raw ``tokens_col`` expression
+    inside the probes instead would re-tokenize the document for every
+    ``element_at`` at every window start — O(doc_len) tokenize passes
+    per doc (measured 28x on the parser twin suite)."""
     from pyspark.sql import functions as F
 
+    from dbsyncer_spark.functions.hof import bind_once
     from dbsyncer_spark.functions.tokenizer import tokens_col
 
     terms = tokenize_py(phrase)
@@ -212,9 +211,7 @@ def phrase_contains_col(text_col, phrase: str):
         )
         return (F.size(toks) >= m) & F.exists(starts, window_is_match)
 
-    return F.transform(
-        F.array(tokens_col(text_col)), over_bound_tokens
-    )[0]
+    return bind_once(tokens_col(text_col), over_bound_tokens)
 
 
 def check_fields(pq: ParsedQuery, columns) -> None:
