@@ -64,6 +64,39 @@ def test_exhaustive_bm25_plan(spark, corpus):
     assert "BroadcastHashJoin" in p  # df-stats + corpus-stats joins
 
 
+def test_exhaustive_bm25_scan_budget(spark, corpus, tmp_path):
+    """The wide scorer's deterministic scan budget (r4 scan-fusion, see
+    bm25_scored_terms): the stats branch counts tokens via regexp_count
+    and must never build a token array (``split``), and each tf-lineage
+    copy materializes the token array ONCE (``_toks`` stays an attribute
+    between the Generate and the doc-length Project — Catalyst must not
+    inline the split into both consumers). A parquet-backed corpus is
+    required: over a LocalRelation the optimizer constant-folds the
+    whole stats scan away and the plan shows nothing to gate."""
+    from dbsyncer_spark.index.docids import assign_doc_ids
+    from dbsyncer_spark.query.bm25 import bm25_topk_wide
+
+    p = str(tmp_path / "corpus.parquet")
+    assign_doc_ids(corpus.limit(200), num_buckets=8).write.parquet(p)
+    docs = spark.read.parquet(p)
+    r = bm25_topk_wide(spark, docs, "merge offset", k=10)
+    r.collect()
+    # toString appends the pre-AQE plan after "== Initial Plan ==" —
+    # gate the FINAL section only
+    final = (r._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    # regexp_count is RuntimeReplaceable: it prints as
+    # size(regexp_extract_all(...))
+    assert "regexp_extract_all" in final, \
+        f"stats branch must use the scalar count:\n{final[:3000]}"
+    # one split per tf-lineage copy; 1 with AQE exchange reuse (the
+    # steady state), 2 allowed when the concurrent broadcast stages
+    # race past the stage cache. The pre-fusion shape carried 3 full
+    # tokenize subtrees.
+    n_tokenize = final.count("split(")
+    assert 1 <= n_tokenize <= 2, f"{n_tokenize} tokenize subtrees:\n{final[:3000]}"
+
+
 def test_cached_partitioning_elides_exchange(spark, pindex):
     """With warmed caches, the scoring job must not re-shuffle postings:
     the persisted repartition(range_id) satisfies the groupBy."""
