@@ -99,18 +99,26 @@ def tokenize_py(text: str | None, stopwords: frozenset[str] | None = None) -> li
     return toks
 
 
+def _padded_lower(col: Column | str) -> Column:
+    """The shared camel/acronym/CJK padding passes + lowercase — THE one
+    Column-side definition of the pre-split normalization, used by both
+    ``tokens_col`` and ``token_count_col`` so the regexp_count scalar
+    can never drift from the token-array size (BM25 doc-length parity
+    rests on it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in CAMEL_RULES:
+        # java.util.regex replacement uses $1/$2
+        c = F.regexp_replace(c, pat, repl.replace("\\1", "$1").replace("\\2", "$2"))
+    return F.lower(F.regexp_replace(c, CJK_PAD[0], " $1 "))
+
+
 def tokens_col(col: Column | str, stopwords: list[str] | None = None) -> Column:
     """Tokenizer as a pure Column expression (JVM-side, codegen'd).
 
     Returns ``array<string>`` of tokens in document order (duplicates
     preserved — term frequency is derived downstream by groupBy).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    for pat, repl in CAMEL_RULES:
-        # java.util.regex replacement uses $1/$2
-        c = F.regexp_replace(c, pat, repl.replace("\\1", "$1").replace("\\2", "$2"))
-    c = F.regexp_replace(c, CJK_PAD[0], " $1 ")
-    arr = F.split(F.lower(c), rf"[^a-z0-9{CJK_CLASS}]+")
+    arr = F.split(_padded_lower(col), rf"[^a-z0-9{CJK_CLASS}]+")
     arr = F.filter(arr, lambda t: t != F.lit(""))
     if stopwords:
         sw = stopwords
@@ -128,11 +136,9 @@ def token_count_col(col: Column | str) -> Column:
     are not (the array build is ~4x the cost of the count at sf0.1).
     No stopword variant: doc length in BM25 counts all tokens
     (``bm25_scored_terms`` tokenizes without stopwords)."""
-    c = F.col(col) if isinstance(col, str) else col
-    for pat, repl in CAMEL_RULES:
-        c = F.regexp_replace(c, pat, repl.replace("\\1", "$1").replace("\\2", "$2"))
-    c = F.regexp_replace(c, CJK_PAD[0], " $1 ")
-    return F.regexp_count(F.lower(c), F.lit(rf"[a-z0-9]+|[{CJK_CLASS}]"))
+    return F.regexp_count(
+        _padded_lower(col), F.lit(rf"[a-z0-9]+|[{CJK_CLASS}]")
+    )
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -130,11 +130,12 @@ class LeaseFileLock:
                 # bounded join: a heartbeat wedged in fsync on a hung
                 # filesystem must not pin the holder in the with-block
                 # forever. If it is still alive past the timeout we
-                # proceed to release; a late renewal landing AFTER the
-                # release can only recreate a lease file bearing our
-                # (now-dead) token, which the next acquirer steals once
-                # the TTL lapses — liveness degraded by <= ttl_s, never
-                # mutual exclusion.
+                # proceed to release; a late renewal waking after that
+                # re-checks stop + on-disk token ownership right before
+                # its rename (see _renew_loop) and stands down, so it
+                # cannot recreate a dead lease or clobber a successor —
+                # up to the re-read-to-rename gap, the documented
+                # CAS-less caveat.
                 beat.join(timeout=self.renew_every_s + 1.0)
             self._release(path, token)
 
@@ -151,18 +152,28 @@ class LeaseFileLock:
             tmp = f"{path}.renew-{token}"
             self._write_json(tmp, {**cur, "ts": time.time()})
             # the tmp-file fsync above is the stall-prone step (slow
-            # shared fs / VM pause): re-check freshness AFTER it, so the
-            # replace below cannot land on a lease a contender has
-            # legitimately stolen during the stall. The residual unsafe
-            # window is the rename syscall itself — same class as
-            # _acquire's steal replace, which settle-and-verify (below)
-            # arbitrates when the OTHER side replaced after us; a stall
-            # inside the rename itself remains the documented caveat of
-            # a CAS-less store.
-            if time.time() >= expiry - self.settle_s:
+            # shared fs / VM pause): after it, re-verify EVERYTHING
+            # before renaming — still within the ttl, not told to stop
+            # (a wedge past lock-exit's bounded join means release
+            # already ran: renewing now would recreate a dead lease, or
+            # clobber a successor's live one), and the on-disk token is
+            # still ours (a contender may have legitimately stolen an
+            # expired lease during the stall, or a successor may have
+            # O_EXCL-acquired after our release). The residual unsafe
+            # window is the re-read-to-rename gap with no I/O in it —
+            # same class as _acquire's steal replace; irreducible
+            # without a store-side CAS, and settle-and-verify (below)
+            # arbitrates when the OTHER side replaced after us.
+            ondisk = self._read(path)
+            if (
+                stop.is_set()
+                or time.time() >= expiry - self.settle_s
+                or ondisk is None
+                or ondisk.get("token") != token
+            ):
                 with contextlib.suppress(OSError):
                     os.remove(tmp)
-                return  # too close to expiry to renew safely: stand down
+                return  # not safely ours anymore: stand down
             os.replace(tmp, path)
             if self.settle_s:
                 time.sleep(self.settle_s)

@@ -79,9 +79,10 @@ def bm25_scored_terms(
     stream from MULTIPLE branches (corpus stats, tf, df). The stats
     branch needs only token COUNTS, so it scans with the scalar
     ``token_count_col`` twin (one regexp_count — no array build, ~4x
-    cheaper than tokenizing; exact-equal by the tokenizer parity gate);
-    the per-doc length in the tf branch uses the same scalar for the
-    same reason. The tf branch reduces the scan to tiny rows (id,
+    cheaper than tokenizing; exact-equal by the tokenizer parity gate).
+    The tf branch materializes the token array once and takes
+    ``size(_toks)`` for the doc length (the array is already paid for
+    there). It reduces the scan to tiny rows (id,
     doclen, one row per matched query-term occurrence) and
     repartitions on id: ``groupBy(id, ...)`` clusters on a superset of
     {id}, so the aggregate runs partition-local above that one

@@ -232,3 +232,36 @@ def test_renew_stands_down_on_expired_read(tmp_path):
     assert not beat.is_alive()
     assert json.load(open(path))["ts"] + 0.1 < time.time(), \
         "expired lease must not have been renewed"
+
+
+def test_wedged_renewal_cannot_clobber_successor(tmp_path):
+    """review r4 second pass: a heartbeat wedged in its tmp write past
+    lock-exit's bounded join (but well before the TTL) must not rename
+    after release + a successor's O_EXCL acquire — the pre-rename
+    re-read sees the successor's token and stands down."""
+    d = str(tmp_path)
+    path = os.path.join(d, "meta.lease")
+    lk = co.LeaseFileLock(ttl_s=10.0, poll_s=0.01, settle_s=0.0,
+                          renew_every_s=0.05)
+    orig_write = lk._write_json
+
+    def stalling_write(p, payload):
+        orig_write(p, payload)
+        if ".renew-" in p:
+            time.sleep(1.6)  # wedge past join timeout (0.05 + 1.0)
+
+    lk._write_json = stalling_write
+    t0 = time.time()
+    with lk.lock(d):
+        time.sleep(0.2)  # let the heartbeat enter the wedge
+    exited = time.time() - t0
+    assert exited < 1.5, f"lock exit not bounded: {exited:.2f}s"
+    lk._write_json = orig_write
+    # release ran (token was ours and fresh) -> lease gone; successor
+    # acquires immediately
+    lk._acquire(path, "successor")
+    time.sleep(1.8)  # wedged heartbeat resumes and must stand down
+    assert json.load(open(path))["token"] == "successor", \
+        "wedged renewal clobbered the successor's live lease"
+    assert not any(f.startswith("meta.lease.renew-")
+                   for f in os.listdir(d)), "renewal tmp not cleaned up"
