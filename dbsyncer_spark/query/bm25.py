@@ -98,18 +98,23 @@ def bm25_scored_terms(
     stats = docs.select(token_count_col(text_col).alias("_dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
     )
-    rows = (
-        docs.select(*cols)
-        .select(
-            id_col,
-            F.size("_toks").alias("_dl"),
-            F.explode(
-                F.filter("_toks", lambda t: t.isin(q_terms))
-            ).alias("term"),
-            *keep,
-        )
-        .repartition(F.col(id_col))
+    rows = docs.select(*cols).select(
+        id_col,
+        F.size("_toks").alias("_dl"),
+        F.explode(
+            F.filter("_toks", lambda t: t.isin(q_terms))
+        ).alias("term"),
+        *keep,
     )
+    if doc_filter is None:
+        # the exchange the df/scored consumers meet at (ReusedExchange).
+        # NOT worth it when filtered: the `_keep` filter on the scored
+        # branch pushes below the repartition, the two exchange children
+        # stop being canonically equal, reuse never fires, and the
+        # shuffle is pure cost — there the scored branch's pushed filter
+        # pruning the scan IS the win (df stays corpus-global on its own
+        # unfiltered lineage).
+        rows = rows.repartition(F.col(id_col))
     tf = (
         rows.groupBy(id_col, "_dl", *keep, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
