@@ -164,11 +164,15 @@ class LeaseFileLock:
             # same class as _acquire's steal replace; irreducible
             # without a store-side CAS, and settle-and-verify (below)
             # arbitrates when the OTHER side replaced after us.
+            if stop.is_set() or time.time() >= expiry - self.settle_s:
+                with contextlib.suppress(OSError):
+                    os.remove(tmp)
+                return  # released or too close to expiry: stand down
+            # the ownership re-read is I/O on the possibly-hung store —
+            # checked last, after the free short-circuits above
             ondisk = self._read(path)
             if (
-                stop.is_set()
-                or time.time() >= expiry - self.settle_s
-                or ondisk is None
+                ondisk is None
                 or ondisk.get("token") != token
             ):
                 with contextlib.suppress(OSError):

@@ -68,12 +68,15 @@ def bm25_scored_terms(
     the deterministic wide-sum scorer below.
 
     ``doc_filter`` restricts which docs get partials, evaluated as a
-    ``_keep`` column inside the SAME corpus scan (one pass — a separate
-    ``docs.filter`` branch would tokenize the corpus a second time for a
-    semi-join). df/avgdl/n_docs stay corpus-global: the filter drops
-    rows only AFTER df_stats aggregates over the unfiltered tf, matching
-    how a filtered Lucene query scores (index-level stats,
-    ``DiskStorageService.java:294-346``).
+    ``_keep`` column alongside the tokenize (no semi-join back to the
+    corpus). df/avgdl/n_docs stay corpus-global: the filter drops rows
+    only AFTER df_stats aggregates over the unfiltered tf, matching how
+    a filtered Lucene query scores (index-level stats,
+    ``DiskStorageService.java:294-346``). Scan budget when filtered:
+    the pushed ``_keep`` predicate prunes the scored branch's scan, but
+    df keeps its own unfiltered lineage — two tokenize subtrees plus
+    the cheap stats scan (the shared exchange below only exists for
+    unfiltered queries; see the repartition comment).
 
     Plan shape: tokenize dominates, and this DAG consumes the token
     stream from MULTIPLE branches (corpus stats, tf, df). The stats

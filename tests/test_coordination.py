@@ -243,24 +243,29 @@ def test_wedged_renewal_cannot_clobber_successor(tmp_path):
     path = os.path.join(d, "meta.lease")
     lk = co.LeaseFileLock(ttl_s=10.0, poll_s=0.01, settle_s=0.0,
                           renew_every_s=0.05)
+    join_timeout = lk.renew_every_s + 1.0  # LeaseFileLock.lock's bound
     orig_write = lk._write_json
 
     def stalling_write(p, payload):
         orig_write(p, payload)
         if ".renew-" in p:
-            time.sleep(1.6)  # wedge past join timeout (0.05 + 1.0)
+            time.sleep(join_timeout + 0.55)  # wedge past the bounded join
 
     lk._write_json = stalling_write
     t0 = time.time()
     with lk.lock(d):
         time.sleep(0.2)  # let the heartbeat enter the wedge
     exited = time.time() - t0
-    assert exited < 1.5, f"lock exit not bounded: {exited:.2f}s"
+    # bounded path is >= 0.2 + join_timeout by construction; generous
+    # slack for shared-host scheduling/fsync noise (must still exit
+    # well before the wedge ends)
+    assert exited < join_timeout + 0.5, f"lock exit not bounded: {exited:.2f}s"
     lk._write_json = orig_write
     # release ran (token was ours and fresh) -> lease gone; successor
     # acquires immediately
     lk._acquire(path, "successor")
-    time.sleep(1.8)  # wedged heartbeat resumes and must stand down
+    # wait past the wedge's end for the heartbeat to resume + stand down
+    time.sleep(join_timeout + 1.0)
     assert json.load(open(path))["token"] == "successor", \
         "wedged renewal clobbered the successor's live lease"
     assert not any(f.startswith("meta.lease.renew-")
