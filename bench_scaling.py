@@ -137,13 +137,24 @@ def main() -> None:
         check=True, capture_output=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    # best-of-3 per level: single-shot local wall times vary ~20-40%
+    # best-of-N per level: single-shot local wall times vary ~20-40%
     # (shared-host noise, page cache, JIT); min is the steady-state
     # estimator. Writes go to tmpfs (_scratch_dir) to keep the shared
-    # virtio disk out of the measurement entirely.
+    # virtio disk out of the measurement entirely. Reps INTERLEAVE the
+    # two levels (N, 4N, N, 4N, ...) so both sample the same co-tenant
+    # windows — running all N reps then all 4N reps lets a noise window
+    # tax one level only and swing the efficiency ratio either way.
+    # Per-rep 1-min loadavg is recorded for disclosure.
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-    small = min((run_level(N_SMALL) for _ in range(reps)), key=lambda r: r["build_s"])
-    big = min((run_level(4 * N_SMALL) for _ in range(reps)), key=lambda r: r["build_s"])
+    runs = {N_SMALL: [], 4 * N_SMALL: []}
+    loads = []
+    for _ in range(reps):
+        for cpus in (N_SMALL, 4 * N_SMALL):
+            with open("/proc/loadavg") as f:
+                loads.append(float(f.read().split()[0]))
+            runs[cpus].append(run_level(cpus))
+    small = min(runs[N_SMALL], key=lambda r: r["build_s"])
+    big = min(runs[4 * N_SMALL], key=lambda r: r["build_s"])
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / 4.0
     result = {
         "n_docs": N_DOCS,
@@ -152,6 +163,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "criterion": ">=0.8",
         "pass": eff >= 0.8,
+        "loadavg_per_rep": loads,
     }
     print(json.dumps(result))
     if "--update-baseline" in sys.argv:
@@ -169,7 +181,9 @@ deterministic corpus, two parallelism levels (no real cluster in the
 sandbox; `local[N]` stands in for N executors, and each level is pinned
 to exactly its core budget with `taskset -c 0..N-1` so the small level
 cannot borrow the big level's cores through its Python UDF workers).
-Each level is best-of-{os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")} and
+Each level is best-of-{os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")},
+reps interleave the two levels so both sample the same co-tenant noise
+windows (1-min loadavg at rep starts: {result.get('loadavg_per_rep')}), and
 writes (index output + Spark local dirs) go to tmpfs: the VM's shared
 virtio disk adds up to 40% run-to-run wall noise that a real cluster's
 executor-local SSDs would not (a cold run is NOT the steady state being
