@@ -36,6 +36,12 @@ import time
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 
+try:
+    with open("/proc/loadavg") as _f:
+        LOAD_START: float | None = float(_f.read().split()[0])
+except OSError:
+    LOAD_START = None
+
 
 def _materialize(df) -> None:
     """Force full execution of every column (noop sink, no driver collect)."""
@@ -173,6 +179,15 @@ def main() -> None:
             print(f"bench: query {name} failed: {e}", file=sys.stderr)
 
     total = time.perf_counter() - t_suite
+    # measurement-window disclosure: wall numbers on this shared host
+    # swing 2-3x with co-tenant windows (BASELINE.md adjudications in
+    # r3 and r4 both traced apparent regressions to this) — record the
+    # window so a reader can tell a noisy run from a code change
+    try:
+        with open("/proc/loadavg") as f:
+            load_end = float(f.read().split()[0])
+    except OSError:
+        load_end = None
     out = {
         "metric": "index-build docs/sec + BM25 top-k query p95 + contract-query wall time",
         "value": round(total, 3),
@@ -180,6 +195,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "cpus": cpus,
+        "loadavg_start": LOAD_START,
+        "loadavg_end": load_end,
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "index_build_n_docs": N_BENCH_DOCS,
         "query_p50_ms": round(1000 * statistics.median(lat), 1),
