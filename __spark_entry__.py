@@ -15,7 +15,11 @@ order (`bm25_topk_wide`); the only cross-engine wiggle left is libm
 
 from __future__ import annotations
 
+import functools
+import glob
+import hashlib
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -30,6 +34,25 @@ from dbsyncer_spark.query.bm25 import bm25_topk_wide
 # ---------------------------------------------------------------------------
 
 FLAGSHIP_QUERY = "slow merge scan"  # multi-term; exercises idf spread
+
+
+@functools.lru_cache(maxsize=1)
+def _engine_code_hash() -> str:
+    """Content hash of every engine source file (plus this entry file) —
+    keys on-disk caches like the lifecycle work dir so code changes
+    invalidate them (r4 ADVICE: a corpus-only key froze the mutation
+    path after its first run)."""
+    import dbsyncer_spark
+
+    pkg_dir = os.path.dirname(dbsyncer_spark.__file__)
+    h = hashlib.sha256()
+    for path in sorted(
+        glob.glob(os.path.join(pkg_dir, "**", "*.py"), recursive=True)
+    ) + [os.path.abspath(__file__)]:
+        h.update(path.encode())
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
 
 _TOK = tokenize_sql_expr("text")  # DuckDB tokens expr over documents.text
 
@@ -478,9 +501,18 @@ def q_update_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("text") if content is None else content).alias("content"),
         )
 
+    # the DONE-marker cache is keyed on the ENGINE CODE HASH as well as
+    # the corpus (r4 ADVICE): without it, the first run pins the mutated
+    # index forever and later changes to build/append/update/delete/
+    # merge/GC code would silently never be re-exercised by this gate
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    code = _engine_code_hash()
+    for stale in glob.glob(os.path.join(
+            tempfile.gettempdir(), f"dbsyncer_lifecycle_*_{sf_base}")):
+        if f"_{code}_" not in os.path.basename(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     work = os.path.join(
-        tempfile.gettempdir(),
-        f"dbsyncer_lifecycle_v1_{os.path.basename(os.path.normpath(sf_dir))}",
+        tempfile.gettempdir(), f"dbsyncer_lifecycle_{code}_{sf_base}",
     )
     done = os.path.join(work, "_LIFECYCLE_DONE")
     if not os.path.exists(done):

@@ -69,6 +69,14 @@ class LeaseFileLock:
     can replace back-to-back, every acquisition path ends with a
     settle-and-verify round: sleep ``settle_s``, re-read, and only the
     holder whose token survived owns the lock — the loser goes around.
+    For that arbitration to be sound, ``settle_s`` must EXCEED a
+    contender's worst-case steal latency (tmp write + fsync + rename):
+    a second stealer that read the expired lease before our replace can
+    still be mid-fsync when we verify, and its later rename would give
+    two holders. The default is therefore ``ttl_s / 10`` (seconds-order
+    for the 30 s default TTL, far above fsync latency on the slow
+    shared filesystems this lock targets) — lower it only if the
+    store's write+fsync tail is known to be shorter (r4 ADVICE).
     Release deletes the lease only if the token is still ours (a steal
     after OUR expiry must not be clobbered: the slow holder's release
     becomes a no-op and the work it committed past its TTL is the
@@ -90,10 +98,12 @@ class LeaseFileLock:
     NTP-sane within the TTL, the standard lease caveat."""
 
     def __init__(self, ttl_s: float = 30.0, poll_s: float = 0.05,
-                 settle_s: float = 0.02, renew_every_s: float | None = None):
+                 settle_s: float | None = None, renew_every_s: float | None = None):
         self.ttl_s = ttl_s
         self.poll_s = poll_s
-        self.settle_s = settle_s
+        # must exceed a contender's tmp-write+fsync+rename tail — see
+        # class docstring; ttl/10 keeps it seconds-order by default
+        self.settle_s = ttl_s / 10.0 if settle_s is None else settle_s
         self.renew_every_s = ttl_s / 3.0 if renew_every_s is None else renew_every_s
 
     def _read(self, path: str) -> dict | None:

@@ -42,6 +42,15 @@ from dbsyncer_spark.index.build import _limit_arrow_threads, py_shard, term_id
 from dbsyncer_spark.index.codec import unpack_blocks
 from dbsyncer_spark.session import empty_df
 
+
+class TermsTableMissing(ValueError):
+    """The index was built without ``store_terms=True``, so wildcard /
+    prefix / fuzzy expansion has no dictionary to expand against.
+    Subclasses ValueError for callers that caught the old generic
+    raise; ``search_parsed`` catches THIS type (not a message
+    substring, r4 ADVICE) to route its documented literal-term
+    degrade."""
+
 _SCORE_SCHEMA = "doc_id long, score double"
 
 
@@ -817,9 +826,17 @@ class SearchIndex:
         try:
             expanded = [self._expand_unit(e, MAX_EXPANSIONS)
                         for e in pq.expansions]
-        except ValueError as err:
-            if "terms table" not in str(err):
-                raise
+        except TermsTableMissing:
+            import warnings
+
+            warnings.warn(
+                "index has no terms table (store_terms=False): wildcard/"
+                "prefix/fuzzy units degrade to their literal tokens — "
+                "rebuild with store_terms=True for Lucene expansion "
+                "semantics",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             # index built without store_terms (the default): degrade each
             # expansion unit to its tokenized literal text — the pre-r4
             # behavior — instead of crashing the query (review r4: a
@@ -1061,7 +1078,7 @@ class SearchIndex:
     def _terms_table(self) -> DataFrame:
         dirs = [d for d in self._seg_dirs if os.path.exists(os.path.join(d, "terms"))]
         if not dirs:
-            raise ValueError(
+            raise TermsTableMissing(
                 "term expansion needs the terms table — build with store_terms=True"
             )
         dfs = [self.spark.read.parquet(os.path.join(d, "terms")) for d in dirs]

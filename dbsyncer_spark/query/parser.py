@@ -142,7 +142,20 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         if fz:
             unit = fz.group(1)  # strip the ~0
-        elif "*" in unit or "?" in unit:
+            mm = None
+        else:
+            # a tilde in fuzzy position with a non-integer suffix
+            # ('roam~1.5', 'roam~x') is a malformed fuzzy unit: Lucene's
+            # QueryParser rejects it, and tokenizing through it would
+            # silently score 'roam', '1', '5' as separate SHOULD terms
+            # (r4 ADVICE) — raise instead of guessing
+            mm = re.match(r"^([^\s~*?]+)~(.+)$", unit)
+        if mm:
+            raise ValueError(
+                f"malformed fuzzy unit {unit!r}: expected <term>~ or "
+                f"<term>~<int edits>, got suffix {mm.group(2)!r}"
+            )
+        if "*" in unit or "?" in unit:
             pat = unit.lower()
             if re.fullmatch(r"[^*?]+\*", pat):
                 out.expansions.append(

@@ -1127,10 +1127,24 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
     # _gc_staged_tombstones writes ".{gen}.inflight-{pid}" temp dirs
     # before taking the lock; a crash before the flip leaves them.
     # Leading dot keeps them out of the reader's generation-detection
-    # listdir; swept here by age.
+    # listdir; swept here by age AND owner liveness (r4 ADVICE): a
+    # rewrite slower than the TTL is still only a liveness hazard (the
+    # owner retries), but sweeping it mid-write wastes its whole Spark
+    # job, so when the embedded pid is alive on THIS host we skip it —
+    # same-host concurrent maintenance is the default deployment. A
+    # recycled or foreign-host pid degrades to the age-only sweep,
+    # which is where the 24 h TTL (not minutes) earns its size.
     for n in os.listdir(index_dir):
         if n.startswith(".tombstones") and ".inflight-" in n:
             p = os.path.join(index_dir, n)
+            try:
+                pid = int(n.rsplit(".inflight-", 1)[1])
+                os.kill(pid, 0)  # raises if no such local process
+                continue  # owner still running here: not orphaned
+            except (ValueError, ProcessLookupError):
+                pass  # unparsable or dead pid: age decides
+            except PermissionError:
+                continue  # alive but not ours: still a live owner
             try:
                 if now - os.path.getmtime(p) >= RESERVATION_TTL_S:
                     shutil.rmtree(p, ignore_errors=True)

@@ -270,3 +270,13 @@ def test_wedged_renewal_cannot_clobber_successor(tmp_path):
         "wedged renewal clobbered the successor's live lease"
     assert not any(f.startswith("meta.lease.renew-")
                    for f in os.listdir(d)), "renewal tmp not cleaned up"
+
+
+def test_settle_default_scales_with_ttl():
+    """r4 ADVICE: the settle-and-verify window must exceed a contender's
+    steal write+fsync tail; a fixed 20 ms default was smaller than slow
+    shared-fs fsync latency. Default is ttl/10, explicit values win."""
+    assert co.LeaseFileLock(ttl_s=30.0).settle_s == 3.0
+    assert co.LeaseFileLock(ttl_s=1.0).settle_s == 0.1
+    assert co.LeaseFileLock(ttl_s=30.0, settle_s=0.5).settle_s == 0.5
+    assert co.LeaseFileLock(ttl_s=30.0, settle_s=0.0).settle_s == 0.0

@@ -5,6 +5,7 @@ live document set."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -254,3 +255,35 @@ def test_tombstone_file_count_compaction(spark, tmp_path_factory):
     # the maintenance sweep purges the retired generation on the grace clock
     _purge_retired(spark, d, grace_s=0.0)
     assert not os.path.exists(cur)
+
+
+def test_inflight_sweep_spares_live_owner(spark, tmp_path_factory):
+    """r4 ADVICE: the age-based sweep of '.tombstones*.inflight-<pid>'
+    rewrite temp dirs must skip dirs whose embedded pid is still alive
+    on this host (a slow-but-running rewrite), and still reap dirs left
+    by dead pids once past the TTL."""
+    import subprocess
+
+    from dbsyncer_spark.streaming.incremental import _purge_retired
+
+    pdf = gen_corpus_pdf(n_docs=30, seed=11)
+    d = str(tmp_path_factory.mktemp("inflight_sweep"))
+    build_index(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, **PARAMS)
+    old = time.time() - (25 * 3600)  # past RESERVATION_TTL_S (24 h)
+
+    def mk(name):
+        p = os.path.join(d, name)
+        os.makedirs(p)
+        os.utime(p, (old, old))
+        return p
+
+    live = mk(f".tombstones_g1.inflight-{os.getpid()}")
+    # a pid that existed and is now gone: a reaped child is guaranteed dead
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead = mk(f".tombstones_g2.inflight-{child.pid}")
+    junk = mk(".tombstones_g3.inflight-notapid")
+    _purge_retired(spark, d, grace_s=0.0)
+    assert os.path.isdir(live), "live owner's rewrite dir was swept"
+    assert not os.path.exists(dead), "dead owner's dir must be reaped"
+    assert not os.path.exists(junk), "unparsable pid degrades to age sweep"

@@ -316,3 +316,43 @@ def test_expansion_boost_merge_edge_cases():
     fold_expansions(pq, [["merge", "merger"]])
     assert pq.boosts["merge"] == 1.0
     assert "merger" not in pq.boosts  # implicit 1.0 needs no entry
+
+
+def test_malformed_fuzzy_raises():
+    """r4 ADVICE: 'roam~1.5' / 'roam~x' used to fall through _FUZZY_RE
+    and silently score as separate SHOULD terms ('roam','1','5');
+    Lucene's parser rejects them — so do we."""
+    import pytest
+
+    from dbsyncer_spark.query.parser import parse_query
+
+    for bad in ("roam~1.5", "roam~x", "roam~-1", "a~b~c"):
+        with pytest.raises(ValueError, match="malformed fuzzy"):
+            parse_query(bad)
+    # the well-formed shapes still parse
+    pq = parse_query("roam~ spot~1 exact~0")
+    assert {(e.pattern, e.max_edits) for e in pq.expansions} == {
+        ("roam", 2), ("spot", 1)}
+    assert "exact" in pq.should
+
+
+def test_terms_table_missing_is_typed_and_warns(spark, corpus, tmp_path):
+    """r4 ADVICE: the degrade route is keyed on the TermsTableMissing
+    exception type (not an error-message substring) and emits a
+    RuntimeWarning so the semantic downgrade is visible to callers."""
+    import warnings
+
+    import pytest
+
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.search import SearchIndex, TermsTableMissing
+
+    d = str(tmp_path / "noterms_typed")
+    build_index(spark, corpus, d, num_shards=4, range_size=256, num_id_buckets=8)
+    idx = SearchIndex(spark, d)
+    with pytest.raises(TermsTableMissing):
+        idx._terms_table()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        idx.search_parsed("merge*", k=3).collect()
+    assert any("terms table" in str(w.message) for w in caught)
