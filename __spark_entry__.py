@@ -86,14 +86,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _bm25_oracle(query: str, k: int, lang: str | None = None,
                  src: str = "documents", token_pred: str | None = None,
-                 boosts: dict[str, float] | None = None) -> str:
+                 boosts: dict[str, float] | None = None,
+                 meta_pred: str | None = None) -> str:
     """DuckDB twin of bm25_topk_wide — identical formula, parenthesization
     and per-sorted-term summation order (k1=1.2, b=0.75). ``lang``
     restricts the CANDIDATES only (df/avgdl stay corpus-global, matching
     filtered Lucene queries — reference MUST clauses). ``src`` is the
     FROM-able corpus (table name or parenthesized subquery with doc_id,
     text[, lang]). ``token_pred``: extra SQL condition over the token
-    array ``t`` (candidate gate — e.g. the parsed-query MUST clauses)."""
+    array ``t`` (candidate gate — e.g. the parsed-query MUST clauses).
+    ``meta_pred``: arbitrary SQL condition over ``src``'s metadata
+    columns (field equality/range clauses — generalizes ``lang``)."""
     terms = sorted(set(tokenize_py(query)))
     inlist = ", ".join(f"'{t}'" for t in terms)
     boosts = boosts or {}
@@ -106,6 +109,8 @@ def _bm25_oracle(query: str, k: int, lang: str | None = None,
     preds = []
     if lang:
         preds.append(f"doc_id IN (SELECT doc_id FROM {src} WHERE lang = '{lang}')")
+    if meta_pred:
+        preds.append(f"doc_id IN (SELECT doc_id FROM {src} WHERE {meta_pred})")
     if token_pred:
         preds.append(f"doc_id IN (SELECT doc_id FROM base WHERE {token_pred})")
     lang_pred = ("WHERE " + "\n  AND ".join(preds)) if preds else ""
@@ -615,6 +620,29 @@ def q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_PARSED = {
+    "g1": FLAGSHIP_QUERY,                # pure terms -> search_many route
+    "g2": PARSED_QUERY,                  # +MUST / -MUST_NOT / lang:en field
+    "g3": BOOSTED_QUERY,                 # ^boost clauses
+    "g4": "(merge OR scan) AND table",   # r5: OR-group + AND operator
+    "g5": "slow lang:[de TO es]",        # r5: field range (de/en/es langs)
+}
+
+
+def q_batch_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched GATED/parsed serving under the oracle gate (r4 VERDICT #2
+    + #7): a mixed batch — pure terms, MUST/MUST_NOT + field gates,
+    boosts, an (a OR b) AND c group, a field:[x TO y] range — runs in
+    ONE shared job per route (search_many for the pure query,
+    _search_many_gated for every gated one: shared postings decode,
+    per-query range-local gates); per query the rows must hash-match the
+    parser-generated DuckDB oracle. Replaces the r4 per-query fallback
+    (one Spark job per gated query at the scheduling floor)."""
+    idx = _entry_index(spark, sf_dir)
+    out = idx.search_many_parsed(BATCH_PARSED, k=20 + _TIE_SLACK)
+    return _batch_docid_rerank(idx, out, k=20)
+
+
 PARSED_WILDCARD_QUERY = "s* merge -windo?"
 
 
@@ -699,19 +727,47 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 def _parsed_oracle(q: str, k: int) -> str:
     """Oracle generated FROM the parser itself, so the SQL tracks whatever
     the query string means: MUST/MUST_NOT -> token-array membership
-    conditions, field clauses -> metadata predicates, scored set =
-    SHOULD ∪ MUST through the standard wide-BM25 skeleton."""
+    conditions, (a OR b) groups -> list_intersect any-of gates, field
+    equality AND field:[x TO y] ranges -> metadata predicates, ^boosts ->
+    per-term partial multipliers, scored set = SHOULD ∪ MUST through the
+    standard wide-BM25 skeleton."""
     from dbsyncer_spark.query.parser import parse_query
 
     pq = parse_query(q)
     conds = [f"list_contains(t, '{t}')" for t in pq.must] + [
         f"NOT list_contains(t, '{t}')" for t in pq.must_not
     ]
+
+    def any_of(terms: list[str]) -> str:
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        return f"len(list_intersect(t, [{inlist}])) > 0"
+
+    conds += [any_of(g) for g in pq.must_groups]
+    conds += [f"NOT ({any_of(g)})" for g in pq.not_groups]
     assert not (pq.phrases or pq.not_phrases), "phrase clauses: use bm25_phrase"
+    assert not pq.expansions, "expansion units: use _parsed_wildcard_oracle"
     token_pred = " AND ".join(conds) or None
+
+    def range_sql(f: str, lo, hi) -> str:
+        if lo is None and hi is None:
+            return f"{f} IS NOT NULL"
+        if lo is None:
+            return f"{f} <= '{hi}'"
+        if hi is None:
+            return f"{f} >= '{lo}'"
+        return f"({f} >= '{lo}' AND {f} <= '{hi}')"
+
+    meta = [f"{f} = '{v}'" for f, v in pq.fields.items()]
+    meta += [f"NOT ({f} IS NOT DISTINCT FROM '{v}')"
+             for f, v in pq.not_fields.items()]
+    meta += [range_sql(f, lo, hi) for f, lo, hi in pq.field_ranges]
+    meta += [f"NOT COALESCE({range_sql(f, lo, hi)}, FALSE)"
+             for f, lo, hi in pq.not_field_ranges]
     return _bm25_oracle(
-        " ".join(pq.scored_terms), k, lang=pq.fields.get("lang"),
+        " ".join(pq.scored_terms), k,
+        meta_pred=" AND ".join(meta) or None,
         token_pred=token_pred,
+        boosts=pq.boosts or None,
     )
 
 
@@ -1190,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_search": q_batch_search,
         "batch_filtered": q_batch_filtered,
         "batch_phrase": q_batch_phrase,
+        "batch_parsed": q_batch_parsed,
         "boosted_query": q_boosted_query,
         "sorted_match": q_sorted_match,
         "facet_lang_counts": q_facet_lang_counts,
@@ -1273,6 +1330,10 @@ ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
     sql["batch_phrase"] = " UNION ALL ".join(
         f"SELECT '{qid}' AS query_id, * FROM ({_phrase_oracle(p, 20)})"
         for qid, p in BATCH_PHRASES.items()
+    ) + "\nORDER BY query_id, score DESC, doc_id ASC"
+    sql["batch_parsed"] = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, * FROM ({_parsed_oracle(q, 20)})"
+        for qid, q in BATCH_PARSED.items()
     ) + "\nORDER BY query_id, score DESC, doc_id ASC"
     sql["boosted_query"] = _bm25_oracle(
         BOOSTED_QUERY.replace("^2.5", "").replace("^0.5", ""), 20,

@@ -815,14 +815,73 @@ class SearchIndex:
         False)])`` — the default fetch sort tie-breaks doc_id ASC and
         would flip the page oldest-first."""
         from dbsyncer_spark.query.parser import (
-            MAX_EXPANSIONS, check_fields, fold_expansions, parse_query,
+            check_fields, field_filter, parse_query,
         )
 
         pq = parse_query(query)
         check_fields(pq, self.docstats().columns)
-        # prefix/wildcard/fuzzy units -> dictionary expansion (reference
-        # F10 Prefix/Wildcard/FuzzyQuery inside the parsed surface,
-        # LuceneFactoryTest.java:338-405); shared fold with the wide twin
+        scored, must_any, not_any = self._fold_parsed(pq)
+        allowed: DataFrame | None = None
+
+        def intersect(df: DataFrame | None, other: DataFrame, anti: bool = False):
+            base = self.docstats().select("doc_id") if df is None else df
+            return base.join(
+                other.select("doc_id"), "doc_id", "left_anti" if anti else "left_semi"
+            )
+
+        for t in pq.must:
+            allowed = intersect(allowed, self._docs_with_term(t))
+        for t in pq.must_not:
+            allowed = intersect(allowed, self._docs_with_term(t), anti=True)
+        for p in pq.phrases:
+            allowed = intersect(allowed, self._phrase_match_ids(p))
+        for p in pq.not_phrases:
+            allowed = intersect(allowed, self._phrase_match_ids(p), anti=True)
+        for terms in must_any:
+            allowed = intersect(
+                allowed,
+                self._docs_with_any_term(terms) if terms
+                # empty expansion on a MUST clause: unsatisfiable gate
+                else self.docstats().select("doc_id").limit(0),
+            )
+        for terms in not_any:
+            if terms:
+                allowed = intersect(
+                    allowed, self._docs_with_any_term(terms), anti=True
+                )
+
+        doc_filter = field_filter(pq)
+
+        if not scored:
+            if any(e.mod != "-" for e in pq.expansions):
+                # a scoring expansion that matched ZERO dictionary terms:
+                # Lucene's rewritten empty BooleanQuery matches nothing —
+                # routing to match_all would invert the semantics
+                return empty_df(self.spark, _SCORE_SCHEMA)
+            rows = self.match_all(doc_filter=doc_filter, allowed_docs=allowed, k=k)
+            return rows.select("doc_id", F.lit(1.0).alias("score"))
+        return self.search(
+            " ".join(scored), k=k, mode="exhaustive",
+            doc_filter=doc_filter, allowed_docs=allowed,
+            boosts=pq.boosts or None,
+        )
+
+
+    def _fold_parsed(self, pq):
+        """Resolve ``pq.expansions`` against the terms table and fold the
+        matches into the query: returns ``(scored_terms, must_any,
+        not_any)``. Shared by ``search_parsed`` and the batched
+        ``search_many_parsed`` so modifier/expansion semantics can never
+        diverge between the per-query and batch paths.
+
+        Prefix/wildcard/fuzzy units -> dictionary expansion (reference
+        F10 Prefix/Wildcard/FuzzyQuery inside the parsed surface,
+        ``LuceneFactoryTest.java:338-405``); shared fold with the wide
+        twin (``fold_expansions``). On an index without a terms table the
+        units degrade to their literal tokens with a RuntimeWarning (and
+        ``pq.expansions`` is cleared)."""
+        from dbsyncer_spark.query.parser import MAX_EXPANSIONS, fold_expansions
+
         try:
             expanded = [self._expand_unit(e, MAX_EXPANSIONS)
                         for e in pq.expansions]
@@ -867,57 +926,7 @@ class SearchIndex:
             pq.expansions = []
             expanded = []
         extra_scored, must_any, not_any = fold_expansions(pq, expanded)
-        scored = sorted(set(pq.scored_terms) | extra_scored)
-        allowed: DataFrame | None = None
-
-        def intersect(df: DataFrame | None, other: DataFrame, anti: bool = False):
-            base = self.docstats().select("doc_id") if df is None else df
-            return base.join(
-                other.select("doc_id"), "doc_id", "left_anti" if anti else "left_semi"
-            )
-
-        for t in pq.must:
-            allowed = intersect(allowed, self._docs_with_term(t))
-        for t in pq.must_not:
-            allowed = intersect(allowed, self._docs_with_term(t), anti=True)
-        for p in pq.phrases:
-            allowed = intersect(allowed, self._phrase_match_ids(p))
-        for p in pq.not_phrases:
-            allowed = intersect(allowed, self._phrase_match_ids(p), anti=True)
-        for terms in must_any:
-            allowed = intersect(
-                allowed,
-                self._docs_with_any_term(terms) if terms
-                # empty expansion on a MUST clause: unsatisfiable gate
-                else self.docstats().select("doc_id").limit(0),
-            )
-        for terms in not_any:
-            if terms:
-                allowed = intersect(
-                    allowed, self._docs_with_any_term(terms), anti=True
-                )
-
-        doc_filter = None
-        for f, v in pq.fields.items():
-            cond = F.col(f) == v
-            doc_filter = cond if doc_filter is None else (doc_filter & cond)
-        for f, v in pq.not_fields.items():
-            cond = ~F.col(f).eqNullSafe(v)
-            doc_filter = cond if doc_filter is None else (doc_filter & cond)
-
-        if not scored:
-            if any(e.mod != "-" for e in pq.expansions):
-                # a scoring expansion that matched ZERO dictionary terms:
-                # Lucene's rewritten empty BooleanQuery matches nothing —
-                # routing to match_all would invert the semantics
-                return empty_df(self.spark, _SCORE_SCHEMA)
-            rows = self.match_all(doc_filter=doc_filter, allowed_docs=allowed, k=k)
-            return rows.select("doc_id", F.lit(1.0).alias("score"))
-        return self.search(
-            " ".join(scored), k=k, mode="exhaustive",
-            doc_filter=doc_filter, allowed_docs=allowed,
-            boosts=pq.boosts or None,
-        )
+        return sorted(set(pq.scored_terms) | extra_scored), must_any, not_any
 
     def _phrase_match_ids(self, query: str, slop: int = 0) -> DataFrame:
         """All doc_ids matching the phrase — UNSORTED, no top-k cut, no
@@ -1606,37 +1615,64 @@ class SearchIndex:
         )
 
     def search_many_parsed(self, queries: dict[str, str], k: int = 10) -> DataFrame:
-        """Batched parsed serving (r3 VERDICT stretch #9, second half):
-        each query string is parsed and routed to the cheapest batch
-        shape — PURE term queries (SHOULD clauses only: no gates, fields,
-        phrases, expansions, or boosts) share ONE ``search_many`` job
-        (shared decode + adaptive per-query WAND); everything else falls
-        back to per-query ``search_parsed`` (boolean/field/phrase gates
-        are inherently per-query semi-joins). Per-query rows are
-        identical to calling ``search_parsed`` individually
-        (pytest-gated). Returns (query_id, doc_id, score), per query
-        ordered (score desc, doc_id asc), <= k rows each."""
-        from dbsyncer_spark.query.parser import parse_query
+        """Batched parsed serving: each query string is parsed and routed
+        to the cheapest batch shape —
 
+        - PURE term queries (SHOULD clauses only) share ONE
+          ``search_many`` job (shared decode + adaptive per-query WAND);
+        - GATED/boosted/phrase queries (MUST/MUST_NOT terms, expansion
+          gates, ``field:value`` clauses, ``"phrases"``, ``^boosts``)
+          share ONE ``_search_many_gated`` job (r4 VERDICT #2: this shape
+          — ``+term lang:en`` — is the most common production batch and
+          previously fell back to one Spark job per query at the ~250 ms
+          scheduling floor each);
+        - only filter-only queries (no scored term: ``match_all`` routing)
+          fall back to per-query ``search_parsed`` — their result is a
+          docstats TakeOrdered, not a postings scan, so there is no
+          decode to share.
+
+        Expansion units are resolved against the terms table at PLANNING
+        time (one bounded dictionary job per unit — the same cost the
+        per-query path pays); the scoring/gating work is what batches.
+        Per-query rows are identical to calling ``search_parsed``
+        individually (pytest-gated, exact float equality). Returns
+        (query_id, doc_id, score), per query ordered (score desc, doc_id
+        asc), <= k rows each. One documented divergence: filter-only
+        queries return the same ROWS as ``search_parsed`` but re-ordered
+        into this batch contract — their constant-score match_all pages
+        are doc_id-DESC (the reference UI's newest-first default) on the
+        per-query path, which the batch's (score desc, doc_id asc) order
+        flips; call ``search_parsed`` directly when that page order
+        matters."""
+        from dbsyncer_spark.query.parser import check_fields, parse_query
+
+        cols = self.docstats().columns
         term_batch: dict[str, str] = {}
-        rest: dict[str, str] = {}
+        gated: dict[str, tuple] = {}
+        fallback: dict[str, str] = {}
         for qid, q in queries.items():
             pq = parse_query(q)
-            pure_terms = bool(pq.should) and not (
-                pq.must or pq.must_not or pq.phrases or pq.not_phrases
-                or pq.fields or pq.not_fields or pq.expansions or pq.boosts
-            )
-            if pure_terms:
+            check_fields(pq, cols)
+            scored, must_any, not_any = self._fold_parsed(pq)
+            if not scored:
+                fallback[qid] = q
+                continue
+            if not (pq.must or pq.must_not or pq.phrases or pq.not_phrases
+                    or pq.fields or pq.not_fields or pq.boosts
+                    or pq.field_ranges or pq.not_field_ranges
+                    or must_any or not_any):
                 # search_parsed scores sorted-unique SHOULD terms
                 # exhaustively; search_many's shared decode is
                 # rank-identical (pytest-gated), so the rows match
-                term_batch[qid] = " ".join(pq.scored_terms)
+                term_batch[qid] = " ".join(scored)
             else:
-                rest[qid] = q
+                gated[qid] = (pq, scored, must_any, not_any)
         parts = []
         if term_batch:
             parts.append(self.search_many(term_batch, k=k))
-        for qid, q in rest.items():
+        if gated:
+            parts.append(self._search_many_gated(gated, k=k))
+        for qid, q in fallback.items():
             parts.append(
                 self.search_parsed(q, k=k).select(
                     F.lit(qid).alias("query_id"), "doc_id", "score"
@@ -1648,6 +1684,411 @@ class SearchIndex:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.orderBy(
+            "query_id", F.col("score").desc(), F.col("doc_id").asc()
+        )
+
+    def _search_many_gated(self, gated: dict[str, tuple], k: int) -> DataFrame:
+        """ONE Spark job for a batch of gated parsed queries (r4 VERDICT
+        #2): postings for the union of every query's scored AND gate
+        terms are read and decoded once per docId-range; each query then
+        evaluates its own gates RANGE-LOCALLY against the shared decode
+        and scores exhaustively in its own summation order.
+
+        Range-local gate equivalence: every gate ``search_parsed``
+        evaluates with a global semi-join is a per-document property —
+        "contains term t" (MUST/MUST_NOT), "contains >= 1 of set S"
+        (expansion gates), "matches phrase p" (positional streams never
+        cross documents), "field f = v" (a docstats row), "is live"
+        (tombstones) — and a document lives in exactly one range, so
+        intersecting boolean masks inside the range task yields exactly
+        the semi-join's candidate set without any gate shuffle.
+
+        Bit-identity to per-query ``search_parsed`` (pytest-gated): per
+        query, present scored terms are accumulated in that query's own
+        (-boosted_upper_bound, tid) order — the same total order
+        ``_make_scorer``'s exhaustive path uses — with contributions
+        computed by the same expression ``(boost*idf) * tfn``; gating
+        before vs after accumulation cannot change a surviving doc's sum.
+        ``max(idf*bounds) == idf*max(bounds)`` exactly (multiplication by
+        a positive constant is monotone in IEEE754), so the order key
+        matches too.
+
+        Scale shape: the only per-query state is O(its own postings)
+        references plus transient O(range_size) gate masks — same sparse
+        profile as ``search_many``'s TAAT path. The cogrouped mask side
+        ships the dead set (inverted) when no query has field clauses;
+        when any does, it ships live docstats ids + ONLY the referenced
+        field columns once per batch — the per-batch analog of
+        ``_mask_plan``'s allowed side (per-query adaptive complements
+        don't compose across differing predicates; amortized over the
+        whole batch this is already far below one mask-plan count job
+        per query). Field values are compared in pandas after casting
+        the literal to the column dtype (docstats metadata columns are
+        strings in practice; a non-castable literal matches nothing,
+        like the Spark cast yielding NULL)."""
+        from pyspark.sql import Window as W
+
+        spark = self.spark
+        out_schema = "query_id string, doc_id long, score double"
+        n, avgdl, k1, b = self.n_docs, self.avgdl, self.k1, self.b
+        range_size = self.range_size
+
+        all_terms = set()
+        for pq, scored, must_any, not_any in gated.values():
+            all_terms.update(scored, pq.must, pq.must_not)
+            for g in must_any:
+                all_terms.update(g)
+            for g in not_any:
+                all_terms.update(g)
+            for p in (*pq.phrases, *pq.not_phrases):
+                all_terms.update(tokenize_py(p))
+        dfs = self.lookup(sorted(all_terms))
+        tid_of = {t: term_id(t) for t in all_terms}
+
+        if any(pq.phrases or pq.not_phrases for pq, *_ in gated.values()) \
+                and not self.params.get("store_positions"):
+            raise ValueError(
+                "phrase clauses need a positional index — build with "
+                "store_positions=True"
+            )
+
+        plans: dict[str, dict] = {}
+        scoring_tids: set[int] = set()
+        gate_tids: set[int] = set()
+        pos_tids: set[int] = set()
+        for qid, (pq, scored, must_any, not_any) in gated.items():
+            boosts = pq.boosts or {}
+            qidf = {
+                tid_of[t]: boosts.get(t, 1.0)
+                * log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                for t in scored if t in dfs
+            }
+            if not qidf:
+                continue  # no scored term indexed -> empty (like search())
+            # driver-known unsatisfiable gates -> the query yields nothing
+            if any(t not in dfs for t in pq.must):
+                continue
+            any_groups = []
+            dead = False
+            for g in must_any:
+                tids = sorted({tid_of[t] for t in g if t in dfs})
+                if not tids:
+                    dead = True  # empty/unindexed MUST expansion
+                    break
+                any_groups.append(tids)
+            if dead:
+                continue
+            phrases = []
+            for p in pq.phrases:
+                toks = tokenize_py(p)
+                if any(t not in dfs for t in toks):
+                    dead = True  # unindexed term -> phrase matches nothing
+                    break
+                inst = [(term_id(t), i) for i, t in enumerate(toks)]
+                phrases.append((inst, sorted({t for t, _ in inst}), len(toks)))
+            if dead:
+                continue
+            not_phrases = []
+            for p in pq.not_phrases:
+                toks = tokenize_py(p)
+                if not toks or any(t not in dfs for t in toks):
+                    continue  # matches nothing -> exclusion is a no-op
+                inst = [(term_id(t), i) for i, t in enumerate(toks)]
+                not_phrases.append((inst, sorted({t for t, _ in inst}), len(toks)))
+            plan = {
+                "qidf": qidf,
+                "must": sorted({tid_of[t] for t in pq.must}),
+                "must_not": sorted({tid_of[t] for t in pq.must_not if t in dfs}),
+                "any": any_groups,
+                "not_any": [
+                    tids for g in not_any
+                    if (tids := sorted({tid_of[t] for t in g if t in dfs}))
+                ],
+                "phrases": phrases,
+                "not_phrases": not_phrases,
+                "fields": [(f, v, False) for f, v in pq.fields.items()]
+                + [(f, v, True) for f, v in pq.not_fields.items()],
+                "ranges": [(f, lo, hi, False) for f, lo, hi in pq.field_ranges]
+                + [(f, lo, hi, True) for f, lo, hi in pq.not_field_ranges],
+            }
+            plans[qid] = plan
+            scoring_tids.update(qidf)
+            gate_tids.update(plan["must"], plan["must_not"])
+            for g in plan["any"] + plan["not_any"]:
+                gate_tids.update(g)
+            for _, tids, _ in plan["phrases"] + plan["not_phrases"]:
+                pos_tids.update(tids)
+        if not plans:
+            return empty_df(spark, out_schema)
+
+        decode_tids = scoring_tids | gate_tids
+        all_tids = sorted(decode_tids | pos_tids)
+        shards = sorted({py_shard(t, self.num_shards)
+                         for t in dfs if tid_of[t] in set(all_tids)})
+        field_cols = sorted(
+            {f for p in plans.values() for f, _, _ in p["fields"]}
+            | {f for p in plans.values() for f, _, _, _ in p["ranges"]}
+        )
+        n_queries = len(plans)
+
+        def _empty_out():
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "object", "doc_id": "int64", "score": "float64"}
+            )
+
+        def score_impl(key, pdf, side_pdf):
+            _limit_arrow_threads()
+            if pdf.empty:
+                return _empty_out()
+            base = int(key[0]) * range_size
+            srid = None
+            if side_mode == "dead":
+                live = _range_mask(side_pdf, base, range_size, True)
+            elif side_mode == "live":
+                live = np.zeros(range_size, dtype=bool)
+                if side_pdf is not None and len(side_pdf):
+                    srid = side_pdf["doc_id"].to_numpy() - base
+                    live[srid] = True
+            else:
+                live = None
+
+            fmask_cache: dict[tuple, np.ndarray] = {}
+
+            def field_mask(f, v):
+                m = fmask_cache.get((f, v))
+                if m is None:
+                    m = np.zeros(range_size, dtype=bool)
+                    if srid is not None:
+                        ser = side_pdf[f]
+                        if ser.dtype == object:
+                            eq = ser.to_numpy() == v
+                        else:
+                            try:
+                                vv = ser.dtype.type(v)
+                            except (ValueError, TypeError):
+                                eq = None  # uncastable literal: matches nothing
+                            else:
+                                eq = ser.to_numpy() == vv
+                        if eq is not None:
+                            m[srid[eq]] = True
+                    fmask_cache[(f, v)] = m
+                return m
+
+            def range_mask_of(f, lo, hi):
+                """docs whose field value is inside the inclusive range
+                (NULL never matches — like the Spark/Lucene predicate);
+                mirrors parser._range_cond on pandas columns."""
+                key_ = (f, lo, hi)
+                m = fmask_cache.get(key_)
+                if m is None:
+                    m = np.zeros(range_size, dtype=bool)
+                    if srid is not None:
+                        ser = side_pdf[f]
+                        ok = ser.notna().to_numpy()
+                        vals = ser[ok]
+                        inr = np.ones(int(ok.sum()), dtype=bool)
+                        try:
+                            if ser.dtype != object:
+                                lo = None if lo is None else ser.dtype.type(lo)
+                                hi = None if hi is None else ser.dtype.type(hi)
+                            if lo is not None:
+                                inr &= (vals >= lo).to_numpy()
+                            if hi is not None:
+                                inr &= (vals <= hi).to_numpy()
+                        except (ValueError, TypeError):
+                            inr[:] = False  # uncastable endpoint: matches nothing
+                        m[srid[ok][inr]] = True
+                    fmask_cache[key_] = m
+                return m
+
+            # shared decode: ids for gate terms, ids+tfn for scored terms,
+            # positional streams for phrase terms ((tid, range) rows are
+            # unique — ranges never straddle segments)
+            idx_of: dict[int, np.ndarray] = {}
+            tfn_of: dict[int, np.ndarray] = {}
+            ubmax_of: dict[int, float] = {}
+            for r in pdf.itertuples(index=False):
+                tid = int(r.tid)
+                if tid not in decode_tids:
+                    continue
+                d, tf, dl = unpack_blocks(
+                    r.blob, r.block_off, r.block_n, r.block_first, keep=None
+                )
+                idx_of[tid] = (d - np.uint64(base)).astype(np.int64)
+                if tid in scoring_tids:
+                    tf = tf.astype(np.float64)
+                    dl = dl.astype(np.float64)
+                    tfn_of[tid] = tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
+                    )
+                    ubmax_of[tid] = float(_tfnorm_bound(
+                        np.asarray(r.block_max_tf), np.asarray(r.block_min_dl),
+                        k1, b, avgdl,
+                    ).max())
+            per_tid_pos: dict = {}
+            if pos_tids:
+                sub = pdf[pdf["tid"].isin(list(pos_tids))]
+                if len(sub):
+                    per_tid_pos = _decode_positional_range(sub, base)
+
+            def member(idxs):
+                m = np.zeros(range_size, dtype=bool)
+                m[idxs] = True
+                return m
+
+            def phrase_docs(inst, tids, m_len):
+                """range-local doc offsets matching the phrase, or None"""
+                if any(t not in per_tid_pos for t in tids):
+                    return None
+                hf = _phrase_hits(per_tid_pos, inst, tids, 0, m_len)
+                return None if hf is None else hf[0]
+
+            frames = []
+            for qid, plan in plans.items():
+                g = live.copy() if live is not None else None
+                dead_q = False
+                for tid in plan["must"]:
+                    ii = idx_of.get(tid)
+                    if ii is None:
+                        dead_q = True
+                        break
+                    m = member(ii)
+                    g = m if g is None else (g & m)
+                if dead_q:
+                    continue
+                for tids in plan["any"]:
+                    pres = [idx_of[t] for t in tids if t in idx_of]
+                    if not pres:
+                        dead_q = True
+                        break
+                    m = member(np.concatenate(pres) if len(pres) > 1 else pres[0])
+                    g = m if g is None else (g & m)
+                if dead_q:
+                    continue
+                for inst, tids, m_len in plan["phrases"]:
+                    hd = phrase_docs(inst, tids, m_len)
+                    if hd is None:
+                        dead_q = True
+                        break
+                    m = member(hd)
+                    g = m if g is None else (g & m)
+                if dead_q:
+                    continue
+                for f, v, neg in plan["fields"]:
+                    if not neg:
+                        m = field_mask(f, v)
+                        g = m.copy() if g is None else (g & m)
+                for f, lo, hi, neg in plan["ranges"]:
+                    if not neg:
+                        m = range_mask_of(f, lo, hi)
+                        g = m.copy() if g is None else (g & m)
+                # exclusions clear bits — materialize the mask lazily
+                for tid in plan["must_not"]:
+                    ii = idx_of.get(tid)
+                    if ii is not None and ii.size:
+                        if g is None:
+                            g = np.ones(range_size, dtype=bool)
+                        g[ii] = False
+                for tids in plan["not_any"]:
+                    for t in tids:
+                        ii = idx_of.get(t)
+                        if ii is not None and ii.size:
+                            if g is None:
+                                g = np.ones(range_size, dtype=bool)
+                            g[ii] = False
+                for inst, tids, m_len in plan["not_phrases"]:
+                    hd = phrase_docs(inst, tids, m_len)
+                    if hd is not None and hd.size:
+                        if g is None:
+                            g = np.ones(range_size, dtype=bool)
+                        g[hd] = False
+                for f, v, neg in plan["fields"]:
+                    if neg:
+                        if g is None:
+                            g = np.ones(range_size, dtype=bool)
+                        g &= ~field_mask(f, v)
+                for f, lo, hi, neg in plan["ranges"]:
+                    if neg:
+                        if g is None:
+                            g = np.ones(range_size, dtype=bool)
+                        g &= ~range_mask_of(f, lo, hi)
+                if g is not None and not g.any():
+                    continue
+
+                qidf = plan["qidf"]
+                pres = [t for t in qidf if t in tfn_of]
+                if not pres:
+                    continue
+                # the query's OWN summation order: (-boosted ub, tid) —
+                # matches the single-query exhaustive scorer bit-for-bit
+                pres.sort(key=lambda t: (-(qidf[t] * ubmax_of[t]), t))
+                if len(pres) == 1:
+                    cat_idx = idx_of[pres[0]]
+                    cat_c = qidf[pres[0]] * tfn_of[pres[0]]
+                else:
+                    cat_idx = np.concatenate([idx_of[t] for t in pres])
+                    cat_c = np.concatenate(
+                        [qidf[t] * tfn_of[t] for t in pres]
+                    )
+                S = np.bincount(cat_idx, weights=cat_c)
+                uniq = np.unique(cat_idx)
+                if g is not None:
+                    uniq = uniq[g[uniq]]
+                if uniq.size == 0:
+                    continue
+                fidx, scores = _cut_topk(uniq, S[uniq], k)
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "doc_id": (base + fidx).astype("int64"),
+                    "score": scores,
+                }))
+            return pd.concat(frames, ignore_index=True) if frames else _empty_out()
+
+        postings = self._postings().filter(
+            F.col("shard").isin(shards) & F.col("tid").isin(all_tids)
+        )
+        tomb = self._tombstones()
+        if field_cols:
+            # doc_id/range_id already ride along (a field clause on them
+            # is odd but legal — check_fields allows any docstats column)
+            extra = [c for c in field_cols if c not in ("range_id", "doc_id")]
+            side = self.docstats().select("range_id", "doc_id", *extra)
+            if tomb is not None:
+                side = side.join(tomb.select("doc_id"), "doc_id", "left_anti")
+            side_mode = "live"
+        elif tomb is not None:
+            side = _dead_ranges(tomb, self.range_size)
+            side_mode = "dead"
+        else:
+            side, side_mode = None, "none"
+        if side is not None:
+            scored_df = (
+                postings.groupBy("range_id")
+                .cogroup(side.groupBy("range_id"))
+                .applyInPandas(lambda key, l, r: score_impl(key, l, r), out_schema)
+            )
+        else:
+            scored_df = postings.groupBy("range_id").applyInPandas(
+                lambda key, pdf: score_impl(key, pdf, None), out_schema
+            )
+        # same adaptive cross-range reduction as search_many
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        n_ranges = self.n_docs // range_size + 1
+        small = n_ranges * n_queries * k <= 200_000
+        if small:
+            scored_df = scored_df.repartition(1)
+        ranked = (
+            scored_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        if small:
+            return ranked.sortWithinPartitions(
+                "query_id", F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return ranked.orderBy(
             "query_id", F.col("score").desc(), F.col("doc_id").asc()
         )
 

@@ -47,6 +47,26 @@ Syntax (whitespace-separated units, quotes group):
                     analyzer). A ``field:value*`` wildcard on a metadata
                     field is not supported (fields are equality filters).
 
+- ``A AND B`` / ``A OR B`` / ``NOT B`` (also ``&&``/``||``) — Lucene's
+                    flat boolean operators, uppercase only (lowercase
+                    and/or/not stay ordinary terms): ``AND`` upgrades both
+                    operands to MUST (explicit +/- win), ``OR`` leaves
+                    SHOULD, ``NOT`` excludes the next unit — left-to-right
+                    like the classic QueryParser, no precedence tree.
+- ``(a OR b)``      token-level OR group. Bare = plain SHOULD terms;
+                    ``+(a OR b)`` / ``(a OR b) AND c`` requires >= 1
+                    group token (and the tokens score); ``-(a OR b)``
+                    excludes docs containing any. Only OR inside parens
+                    (AND/NOT there raises — nested boolean trees are
+                    beyond the reference's usage). ``(a OR b)^2`` spreads
+                    the boost to the group's tokens.
+- ``field:[x TO y]`` inclusive range filter on a metadata column
+                    (Lucene TermRangeQuery): ``*`` = open endpoint,
+                    ``[* TO *]`` = field exists; ``-field:[x TO y]``
+                    excludes in-range docs (NULL fields kept). Endpoints
+                    are verbatim strings (binary collation on string
+                    columns, cast to the column type on numeric ones).
+
 Every unit's text runs through the engine tokenizer (camelCase split,
 lowercase, CJK unigrams), so ``+getUserName`` requires all three of
 get/user/name. A unit that tokenizes to nothing (punctuation, stop-only)
@@ -63,12 +83,22 @@ from dataclasses import dataclass, field
 from dbsyncer_spark.functions.tokenizer import tokenize_py
 from dbsyncer_spark.session import empty_df
 
-# unit = optional +/- prefix, then quoted phrase (with optional ^boost)
-# or bare run
-_UNIT_RE = re.compile(r'([+-]?)("([^"]*)"(?:\^[0-9]*\.?[0-9]+)?|\S+)')
-_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
-_BOOST_RE = re.compile(r"^(.+)\^([0-9]*\.?[0-9]+)$")
+# unit = optional +/- prefix, then field range / parenthesized group /
+# quoted phrase (each may carry spaces) or bare run
+_UNIT_RE = re.compile(
+    r'([+-]?)('
+    r'[A-Za-z_][A-Za-z0-9_]*:\[[^\]]*\]'            # field:[x TO y]
+    r'|\([^()]*\)(?:\^[0-9]*\.?[0-9]+)?'            # (a OR b) group
+    r'|"([^"]*)"(?:\^[0-9]*\.?[0-9]+)?'             # "a phrase"
+    r'|\S+)'
+)
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.DOTALL)
+_BOOST_RE = re.compile(r"^(.+)\^([0-9]*\.?[0-9]+)$", re.DOTALL)
 _FUZZY_RE = re.compile(r"^([^\s~*?]+)~(\d*)$")
+_RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$")
+#: standalone boolean operator tokens (Lucene QueryParser: uppercase
+#: AND/OR/NOT plus the &&/|| aliases; lowercase and/or/not stay terms)
+_OPERATORS = {"AND", "&&", "OR", "||", "NOT"}
 
 #: Lucene BooleanQuery.maxClauseCount — the default expansion cap for
 #: prefix/wildcard/fuzzy units; exceeding it raises (TooManyClauses)
@@ -97,6 +127,15 @@ class ParsedQuery:
     not_fields: dict[str, str] = field(default_factory=dict)  # -field:value
     boosts: dict[str, float] = field(default_factory=dict)  # term -> ^boost
     expansions: list = field(default_factory=list)  # prefix/wildcard/fuzzy units
+    # (a OR b) groups: required groups gate (doc contains >= 1 group
+    # term) AND score; excluded groups exclude. Bare groups are plain
+    # SHOULD terms and never land here.
+    must_groups: list[list[str]] = field(default_factory=list)
+    not_groups: list[list[str]] = field(default_factory=list)
+    # field:[lo TO hi] inclusive ranges (Lucene TermRangeQuery); None
+    # endpoint = open ('*'); both None = field-exists (Lucene [* TO *])
+    field_ranges: list[tuple] = field(default_factory=list)
+    not_field_ranges: list[tuple] = field(default_factory=list)
 
     @property
     def scored_terms(self) -> list[str]:
@@ -107,15 +146,46 @@ class ParsedQuery:
         return not (
             self.should or self.must or self.must_not
             or self.phrases or self.not_phrases or self.fields or self.not_fields
-            or self.expansions
+            or self.expansions or self.must_groups or self.not_groups
+            or self.field_ranges or self.not_field_ranges
         )
+
+
+def _apply_operators(units: list[tuple]) -> list[tuple]:
+    """Lucene-style flat boolean operators: standalone uppercase AND/OR/
+    NOT (and &&/||) rewrite their operand modifiers left-to-right the way
+    the classic QueryParser does — ``AND`` upgrades the PREVIOUS clause
+    (if unmodified) and the next one to MUST, ``OR`` leaves the next
+    clause SHOULD, ``NOT`` makes the next clause MUST_NOT. Explicit +/-
+    prefixes always win. Lowercase and/or/not stay ordinary terms, and a
+    quoted "AND" stays a phrase."""
+    resolved: list[tuple] = []
+    pending_must = pending_not = False
+    for mod, unit, quoted in units:
+        if mod == "" and not quoted and unit in _OPERATORS:
+            if unit == "NOT":
+                pending_not = True
+            elif unit in ("AND", "&&"):
+                pending_must = True
+                if resolved and resolved[-1][0] == "":
+                    resolved[-1] = ("+", resolved[-1][1], resolved[-1][2])
+            else:  # OR / ||
+                pending_must = False
+            continue
+        if pending_not:
+            mod = mod or "-"
+        elif pending_must:
+            mod = mod or "+"
+        pending_must = pending_not = False
+        resolved.append((mod, unit, quoted))
+    return resolved
 
 
 def parse_query(q: str) -> ParsedQuery:
     """Parse a query string into clause lists (see module docstring)."""
     out = ParsedQuery()
     plain: set[str] = set()  # terms that appear unboosted in a scoring clause
-    for mod, unit, quoted in _UNIT_RE.findall(q or ""):
+    for mod, unit, quoted in _apply_operators(_UNIT_RE.findall(q or "")):
         if quoted or unit.startswith('"'):
             phrase = quoted
             if tokenize_py(phrase):
@@ -123,6 +193,17 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         fm = _FIELD_RE.match(unit)
         if fm:
+            rm = _RANGE_RE.match(fm.group(2))
+            if rm:
+                # field:[lo TO hi] — Lucene TermRangeQuery, inclusive;
+                # '*' = open endpoint. Values stay verbatim (multi-term
+                # queries bypass the analyzer, like wildcards).
+                lo = None if rm.group(1) == "*" else rm.group(1)
+                hi = None if rm.group(2) == "*" else rm.group(2)
+                dest = (out.not_field_ranges if mod == "-"
+                        else out.field_ranges)
+                dest.append((fm.group(1), lo, hi))
+                continue
             # +field:value == field:value (filters are MUST);
             # -field:value excludes (r2: previously fell through and the
             # field name itself was tokenized as content terms)
@@ -133,6 +214,37 @@ def parse_query(q: str) -> ParsedQuery:
         bm = _BOOST_RE.match(unit)
         if bm:
             unit, boost = bm.group(1), float(bm.group(2))
+        if unit.startswith("(") and unit.endswith(")"):
+            # (a OR b) group: a token-level disjunction. Bare groups are
+            # plain SHOULD terms (Lucene's default OR makes the parens
+            # decorative); '+'/AND-required groups additionally gate
+            # candidates to docs containing >= 1 group token (the
+            # must_any shape expansions already use); '-' excludes. Only
+            # OR is allowed inside a group — AND/NOT inside parens would
+            # need general nested boolean trees, which the reference
+            # never exercises (it only ever parses plain terms,
+            # LuceneFactoryTest.java:415-428).
+            items = unit[1:-1].split()
+            if any(i in ("AND", "&&", "NOT") for i in items):
+                raise ValueError(
+                    f"group {unit!r}: only OR is supported inside parentheses"
+                )
+            terms = [t for i in items if i not in ("OR", "||")
+                     for t in tokenize_py(i)]
+            if not terms:
+                continue  # empty/punctuation-only group is dropped
+            if mod == "-":
+                out.not_groups.append(terms)
+                continue
+            if mod == "+":
+                out.must_groups.append(terms)
+            out.should.extend(terms)
+            if boost != 1.0:
+                for t in terms:
+                    out.boosts[t] = max(out.boosts.get(t, 0.0), boost)
+            else:
+                plain.update(terms)
+            continue
         fz = _FUZZY_RE.match(unit)
         if fz and fz.group(2) != "0":  # roam~0 = exact term, falls through
             edits = min(int(fz.group(2)) if fz.group(2) else 2, 2)
@@ -232,12 +344,57 @@ def check_fields(pq: ParsedQuery, columns) -> None:
     otherwise F.col('<unknown>') surfaces as an AnalysisException deep in
     plan analysis (e.g. an unquoted URL parsing as ``http://...``)."""
     cols = set(columns)
-    bad = [f for f in (*pq.fields, *pq.not_fields) if f not in cols]
+    range_fields = [f for f, _, _ in (*pq.field_ranges, *pq.not_field_ranges)]
+    bad = [f for f in (*pq.fields, *pq.not_fields, *range_fields)
+           if f not in cols]
     if bad:
         raise ValueError(
             f"unknown field(s) {bad}; known columns: {sorted(cols)} — "
             "quote colon-bearing text to search it as a phrase"
         )
+
+
+def _range_cond(f: str, lo, hi):
+    """Column condition for one inclusive field range (open endpoints
+    skipped; [* TO *] = field exists, Lucene semantics)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(f)
+    if lo is None and hi is None:
+        return c.isNotNull()
+    if lo is None:
+        return c <= hi
+    if hi is None:
+        return c >= lo
+    return (c >= lo) & (c <= hi)
+
+
+def field_filter(pq: ParsedQuery):
+    """Column predicate over METADATA columns only (field equality +
+    ranges; None when the query has none) — THE one lowering of field
+    clauses, shared by the DataFrame twin (``parsed_doc_filter``) and
+    the index path (``SearchIndex.search_parsed``) so their semantics
+    can never diverge. Negated clauses are NULL-safe: a doc whose field
+    is NULL is KEPT by ``-field:v`` / ``-field:[x TO y]`` (Lucene
+    MUST_NOT excludes only actual matches)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    conds = []
+    for f, v in pq.fields.items():
+        conds.append(F.col(f) == v)
+    for f, v in pq.not_fields.items():
+        conds.append(~F.col(f).eqNullSafe(v))
+    for f, lo, hi in pq.field_ranges:
+        conds.append(_range_cond(f, lo, hi))
+    for f, lo, hi in pq.not_field_ranges:
+        conds.append(
+            ~F.coalesce(_range_cond(f, lo, hi).cast("boolean"), F.lit(False))
+        )
+    if not conds:
+        return None
+    return reduce(lambda a, b: a & b, conds)
 
 
 def parsed_doc_filter(pq: ParsedQuery, text_col: str):
@@ -255,12 +412,9 @@ def parsed_doc_filter(pq: ParsedQuery, text_col: str):
         conds.append(F.array_contains(toks, t))
     for t in pq.must_not:
         conds.append(~F.array_contains(toks, t))
-    for f, v in pq.fields.items():
-        conds.append(F.col(f) == v)
-    for f, v in pq.not_fields.items():
-        # eqNullSafe: docs where the field is NULL are KEPT (Lucene
-        # MUST_NOT excludes only actual matches)
-        conds.append(~F.col(f).eqNullSafe(v))
+    ff = field_filter(pq)  # equality + range clauses, NULL-safe negation
+    if ff is not None:
+        conds.append(ff)
     for p in pq.phrases:
         conds.append(phrase_contains_col(text_col, p))
     for p in pq.not_phrases:
@@ -363,8 +517,12 @@ def fold_expansions(pq: ParsedQuery, expanded: list[list[str]]):
     the r2 down-boost bug for 'merge mer*^0.5', scoring the plain term
     at half weight)."""
     extra_scored: set[str] = set()
-    must_any: list[list[str]] = []
-    not_any: list[list[str]] = []
+    # (a OR b) groups share the expansion gates' any-of shape: a required
+    # group gates on >= 1 of its tokens, an excluded one excludes them
+    # (group terms already score via pq.should — parse_query put them
+    # there — so they are NOT re-added to extra_scored)
+    must_any: list[list[str]] = [list(g) for g in pq.must_groups]
+    not_any: list[list[str]] = [list(g) for g in pq.not_groups]
     # terms carrying an implicit 1.0: UNBOOSTED plain scoring clauses
     # (a plain term WITH a boosts entry was already floored by
     # parse_query iff it also appeared unboosted — including boosted

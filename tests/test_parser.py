@@ -178,6 +178,16 @@ def parsed_idx(spark, corpus, tmp_path_factory):
     "m?rge offset",
     "merge~1 offset",
     "tok*^2 offset",
+    # r5: boolean operators, OR-groups, field ranges
+    "merge AND scan",
+    "merge AND NOT scan offset",
+    "(merge OR offset) AND scan",
+    "+(offset OR shard) merge",
+    "merge -(sync OR shard)",
+    "(offset OR shard)^2 merge",
+    "merge lang:[go TO java]",
+    "merge -lang:[go TO java]",
+    "merge repo:[* TO *]",
 ])
 def test_index_path_matches_dataframe_twin(spark, corpus, parsed_idx, q):
     """search_parsed (postings gate + allowed-mask scoring) must return
@@ -246,24 +256,75 @@ def test_expansion_zero_match_returns_empty(spark, parsed_idx):
 
 
 def test_search_many_parsed_routes_and_matches(spark, parsed_idx):
-    """Batched parsed serving: pure-term queries share one search_many
-    job, complex ones fall back per-query — every query's rows must be
-    identical to calling search_parsed individually."""
+    """Batched parsed serving (r4 VERDICT #2): pure-term queries share
+    one search_many job, GATED/boosted/phrase/field queries share one
+    _search_many_gated job, and only filter-only (match_all-routed)
+    queries fall back per-query — every query's rows must be EXACTLY
+    (bit-identical scores) the rows of calling search_parsed
+    individually."""
     batch = {
-        "t1": "merge offset",                  # pure terms -> shared batch
-        "t2": "import token",                  # pure terms -> shared batch
-        "c1": "merge +scan lang:python",       # gated -> per-query
-        "c2": "mer* offset",                   # expansion -> per-query
-        "m": "zzzqqq",                         # miss
+        "t1": "merge offset",                   # pure terms -> search_many
+        "t2": "import token",                   # pure terms -> search_many
+        "c1": "merge +scan lang:python",        # MUST gate + field
+        "c2": "mer* offset",                    # scoring expansion
+        "c3": "token shard +batch -sync lang:go",  # every term-gate kind
+        "c4": "merge^2.5 offset scan^0.5",      # boosts (own sum order)
+        "c5": 'merge +"merge scan"',            # required phrase gate
+        "c6": 'offset -"merge scan"',           # excluded phrase
+        "c7": "+mer* lang:python",              # MUST expansion + field
+        "c8": "merge -shar*",                   # MUST_NOT expansion
+        "c9": "merge -lang:python",             # negated field
+        "c10": "offset +zzzqqqx",               # unsatisfiable MUST -> empty
+        "c11": "(merge OR offset) AND scan",    # r5 group + AND operator
+        "c12": "merge lang:[go TO java]",       # r5 field range
+        "c13": "offset -(sync OR shard)",       # r5 excluded group
+        "m": "zzzqqq",                          # scored-term miss -> empty
+        "f1": "lang:python",                    # filter-only -> fallback
     }
     got = parsed_idx.search_many_parsed(batch, k=7).collect()
     by_q: dict[str, list] = {}
     for r in got:
-        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 9)))
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
     for qid, q in batch.items():
-        want = [(r.doc_id, round(r.score, 9))
+        want = [(r.doc_id, r.score)
                 for r in parsed_idx.search_parsed(q, k=7).collect()]
-        assert by_q.get(qid, []) == want, qid
+        if qid == "f1":
+            # filter-only fallback: same rows, re-ordered into the batch
+            # contract (match_all's constant-score page is doc_id-DESC on
+            # the per-query path — documented divergence)
+            assert sorted(by_q.get(qid, [])) == sorted(want), qid
+        else:
+            assert by_q.get(qid, []) == want, qid
+        if qid.startswith(("c", "t", "f")) and qid != "c10":
+            # every non-miss query must actually MATCH something — an
+            # empty==empty pass would make the equality check vacuous
+            assert want, f"{qid} matched nothing: weak test query"
+
+
+def test_search_many_parsed_batches_gated_queries(spark, parsed_idx, monkeypatch):
+    """r4 VERDICT #2 regression gate: gated/boosted/phrase queries must
+    ride the shared batch job — search_parsed (the per-query fallback)
+    may be called ONLY for filter-only queries."""
+    calls: list[str] = []
+    orig = type(parsed_idx).search_parsed
+
+    def spy(self, q, k=10):
+        calls.append(q)
+        return orig(self, q, k=k)
+
+    monkeypatch.setattr(type(parsed_idx), "search_parsed", spy)
+    out = parsed_idx.search_many_parsed(
+        {
+            "g1": "merge +scan lang:python",
+            "g2": "merge^2 offset",
+            "g3": 'merge +"merge scan"',
+            "t1": "merge offset",
+            "f1": "lang:go",  # filter-only: the one legitimate fallback
+        },
+        k=5,
+    )
+    out.collect()
+    assert calls == ["lang:go"], calls
 
 
 def test_expansion_degrades_to_literal_terms_without_terms_table(spark, corpus, tmp_path):
@@ -316,6 +377,38 @@ def test_expansion_boost_merge_edge_cases():
     fold_expansions(pq, [["merge", "merger"]])
     assert pq.boosts["merge"] == 1.0
     assert "merger" not in pq.boosts  # implicit 1.0 needs no entry
+
+
+def test_parse_operators_groups_ranges():
+    """r5 (r4 VERDICT #7): Lucene flat AND/OR/NOT operators, (a OR b)
+    groups, and field:[x TO y] ranges."""
+    pq = parse_query("merge AND scan OR table NOT window")
+    assert pq.must == ["merge", "scan"]
+    assert pq.should == ["table"] and pq.must_not == ["window"]
+    # explicit modifiers beat operators; lowercase and/or stay terms
+    pq = parse_query("NOT +merge")
+    assert pq.must == ["merge"]
+    assert "or" in parse_query("merge or scan").should  # no operator
+    # groups: bare = plain SHOULD; AND/'+' requires >= 1 token; '-' excludes
+    pq = parse_query("(merge OR scan) table")
+    assert pq.must_groups == [] and pq.should == ["merge", "scan", "table"]
+    pq = parse_query("(merge OR scan) AND table")
+    assert pq.must_groups == [["merge", "scan"]] and pq.must == ["table"]
+    pq = parse_query("+(offset OR shard) -(sync OR window) merge")
+    assert pq.must_groups == [["offset", "shard"]]
+    assert pq.not_groups == [["sync", "window"]]
+    assert pq.should == ["offset", "shard", "merge"]
+    pq = parse_query("(getUser OR scan)^2 merge")  # boost spreads, camel splits
+    assert pq.boosts == {"get": 2.0, "user": 2.0, "scan": 2.0}
+    with pytest.raises(ValueError, match="only OR"):
+        parse_query("(merge AND scan)")
+    # ranges: inclusive, '*' open, [* TO *] = exists, '-' excludes
+    pq = parse_query("lang:[go TO python] -path:[a TO b] repo:[* TO *] merge")
+    assert pq.field_ranges == [("lang", "go", "python"), ("repo", None, None)]
+    assert pq.not_field_ranges == [("path", "a", "b")]
+    assert pq.should == ["merge"]
+    pq = parse_query("lang:[go TO *]")
+    assert pq.field_ranges == [("lang", "go", None)] and not pq.should
 
 
 def test_malformed_fuzzy_raises():
