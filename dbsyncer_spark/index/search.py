@@ -418,6 +418,9 @@ class SearchIndex:
         # makes the adaptive mask-side choice free for repeated filters;
         # staleness after appends/deletes only risks the larger side
         self._sel_cache: dict[str, float] = {}
+        # warm_local() state: driver-resident postings/docstats/dead-set
+        # for the zero-job serving fast path (None = cluster path)
+        self._local: dict | None = None
 
     # -- paths ----------------------------------------------------------
     def _union_read(self, sub: str) -> DataFrame:
@@ -556,6 +559,144 @@ class SearchIndex:
             d = self.docstats().repartition(n_parts, "range_id").persist()
             d.count()
             self._df_cache["docstats"] = d
+
+    def warm_local(self, max_bytes: int = 256 << 20) -> None:
+        """Driver-local serving mode for indexes that fit a driver budget
+        (r4 VERDICT #3): pull the RAW compressed postings rows, the
+        docstats metadata, and the dead set to the driver once; ``search``
+        / ``search_after`` then score entirely driver-side — the same
+        numpy scorer ``_make_scorer`` builds for the executors, zero
+        Spark jobs — and return a LocalRelation DataFrame. This removes
+        the per-query scheduling + Python-runner stage floor (~150-250 ms
+        on the bench host regardless of rows, SURVEY §8.10), which pinned
+        p50 at ~250-300 ms for a 100k-doc index whose actual scoring work
+        is single-digit milliseconds.
+
+        Budget: refuses when the postings' ON-DISK parquet bytes exceed
+        ``max_bytes`` (default 256 MiB — raw blobs stay compressed in
+        driver memory, so resident size is the same order). At 100 TB
+        scale this always refuses and the cluster path — untouched —
+        serves; the fast path is for the reference's single-node serving
+        shape (DiskStorageService keeps its whole index on one node).
+
+        Filtered queries stay zero-job: ``doc_filter`` Columns are
+        evaluated against a LocalRelation copy of docstats (Catalyst's
+        ConvertToLocalRelation folds Filter+Project driver-side), with
+        the allowed id set cached per predicate string. ``allowed_docs``
+        (arbitrary DataFrame lineage) still routes to the cluster path.
+
+        Snapshot semantics like ``warm(cache_postings=True)``: deletes /
+        merges landing after warm_local are not visible — re-open the
+        index (the maintenance path's reader-snapshot rules apply)."""
+        est = 0
+        for seg in self._seg_dirs:
+            p = os.path.join(seg, "postings")
+            for root, _, files in os.walk(p):
+                est += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        if est > max_bytes:
+            raise ValueError(
+                f"postings are {est} bytes on disk > warm_local budget "
+                f"{max_bytes} — serve via the cluster path"
+            )
+        if self._driver_dict is None:
+            self.warm_driver_dictionary()
+        pdf = self._postings().toPandas()
+        rows_by_range: dict[int, tuple] = {}
+        for rid, sub in pdf.groupby("range_id"):
+            sub = sub.reset_index(drop=True)
+            rows_by_range[int(rid)] = (sub, {int(t): i for i, t in enumerate(sub["tid"])})
+        tomb = self._tombstones()
+        dead_by_range: dict[int, pd.DataFrame] = {}
+        if tomb is not None:
+            dead_pdf = tomb.select("doc_id").distinct().toPandas()
+            dead_pdf["range_id"] = dead_pdf["doc_id"] // self.range_size
+            dead_by_range = {
+                int(rid): sub.reset_index(drop=True)
+                for rid, sub in dead_pdf.groupby("range_id")
+            }
+        stats_pdf = self.docstats().toPandas()
+        self._local = {
+            "rows": rows_by_range,
+            "dead": dead_by_range,
+            "dead_ids": (set() if not dead_by_range else {
+                int(i) for sub in dead_by_range.values() for i in sub["doc_id"]
+            }),
+            # LocalRelation twin of docstats: Column predicates fold
+            # driver-side (no job) when filtering it
+            "docstats_df": self.spark.createDataFrame(stats_pdf),
+            "filters": {},  # predicate str -> {range_id: allowed doc_id ndarray}
+        }
+
+    def _search_local(self, query: str, k: int, mode: str, doc_filter,
+                      after, boosts) -> DataFrame:
+        """Zero-job twin of ``search`` over the ``warm_local`` snapshot —
+        same scorer closure, same per-range masking and top-k cut, same
+        final (score desc, doc_id asc) order; rank- and score-identical
+        to the cluster path (pytest-gated)."""
+        terms = sorted(set(tokenize_py(query)))
+        dfs = self.lookup(terms)  # driver dictionary: no job
+        if not dfs:
+            return empty_df(self.spark, _SCORE_SCHEMA)
+        n = self.n_docs
+        boosts = boosts or {}
+        idfs = {
+            term_id(t): boosts.get(t, 1.0) * log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+            for t, df_ in dfs.items()
+        }
+        loc = self._local
+        allowed_of: dict[int, np.ndarray] | None = None
+        if doc_filter is not None:
+            key = str(doc_filter)
+            allowed_of = loc["filters"].get(key)
+            if allowed_of is None:
+                # ConvertToLocalRelation folds this Filter+Project into
+                # the LocalRelation — executeCollect, no Spark job
+                rows = loc["docstats_df"].filter(doc_filter) \
+                    .select("range_id", "doc_id").collect()
+                dead = loc["dead_ids"]
+                allowed_of = {}
+                for r in rows:
+                    if r.doc_id not in dead:
+                        allowed_of.setdefault(int(r.range_id), []).append(r.doc_id)
+                allowed_of = {rid: np.asarray(ids, dtype=np.int64)
+                              for rid, ids in allowed_of.items()}
+                if len(loc["filters"]) > 256:
+                    loc["filters"].clear()
+                loc["filters"][key] = allowed_of
+        use_allowed = doc_filter is not None or bool(loc["dead"])
+        scorer = _make_scorer(
+            idfs, self.k1, self.b, self.avgdl, k, self.range_size,
+            prune=(mode == "wand" and after is None), use_allowed=use_allowed,
+            after=after, mask_is_dead=doc_filter is None,
+        )
+        tids = set(idfs)
+        parts = []
+        for rid in sorted(loc["rows"]):
+            sub, tid_pos = loc["rows"][rid]
+            pos = [tid_pos[t] for t in tids if t in tid_pos]
+            if not pos:
+                continue
+            qsub = sub.iloc[sorted(pos)]
+            if not use_allowed:
+                out = scorer((rid,), qsub)
+            elif doc_filter is not None:
+                ids = (allowed_of.get(rid) if allowed_of is not None else None)
+                allow_pdf = pd.DataFrame(
+                    {"doc_id": ids if ids is not None
+                     else np.empty(0, dtype=np.int64)}
+                )
+                out = scorer((rid,), qsub, allow_pdf)
+            else:
+                out = scorer((rid,), qsub, loc["dead"].get(rid))
+            if len(out):
+                parts.append(out)
+        if not parts:
+            return empty_df(self.spark, _SCORE_SCHEMA)
+        cat = pd.concat(parts, ignore_index=True)
+        order = np.lexsort((cat["doc_id"].to_numpy(),
+                            -cat["score"].to_numpy()))[:k]
+        cat = cat.iloc[order].reset_index(drop=True)
+        return self.spark.createDataFrame(cat, _SCORE_SCHEMA)
 
     def warm_driver_dictionary(self, max_terms: int = 5_000_000) -> None:
         """Pull the whole (tid -> df) dictionary to the driver: term
@@ -704,6 +845,11 @@ class SearchIndex:
         scales WAND's per-block upper bounds by the same factor, so
         block-max pruning stays exact under boosting.
         """
+        if self._local is not None and allowed_docs is None:
+            # warm_local fast path: same scorer, zero Spark jobs
+            # (allowed_docs carries arbitrary DataFrame lineage the
+            # driver can't evaluate — cluster path below handles it)
+            return self._search_local(query, k, mode, doc_filter, after, boosts)
         terms = sorted(set(tokenize_py(query)))
         dfs = self.lookup(terms)
         spark = self.spark

@@ -1,0 +1,123 @@
+"""warm_local driver-side serving fast path (r4 VERDICT #3): rank- and
+score-identity vs the cluster path, the zero-Spark-jobs property that
+removes the scheduling-floor latency, the budget refusal, and tombstone
+masking over the local snapshot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.index.build import build_index
+from dbsyncer_spark.index.search import SearchIndex
+
+QUERIES = [
+    dict(q="merge scan", k=10, mode="wand"),
+    dict(q="merge scan", k=10, mode="exhaustive"),
+    dict(q="offset shard token", k=25, mode="wand"),
+    dict(q="merge", k=10, mode="wand", doc_filter=("lang", "python")),
+    dict(q="merge scan", k=10, mode="wand", boosts={"merge": 2.5, "scan": 0.5}),
+    dict(q="zzzqx", k=5, mode="wand"),  # miss
+]
+
+
+def _rows(df):
+    return [(r.doc_id, r.score) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def pair(spark, corpus, tmp_path_factory):
+    """(cluster SearchIndex, warm_local SearchIndex) over one build."""
+    d = str(tmp_path_factory.mktemp("localidx"))
+    build_index(spark, corpus, d, num_shards=8, range_size=256,
+                num_id_buckets=32)
+    cold = SearchIndex(spark, d)
+    hot = SearchIndex(spark, d)
+    hot.warm_local()
+    return cold, hot
+
+
+@pytest.mark.parametrize("spec", QUERIES)
+def test_local_matches_cluster(pair, spec):
+    cold, hot = pair
+    kw = dict(spec)
+    q, k, mode = kw.pop("q"), kw.pop("k"), kw.pop("mode")
+    if "doc_filter" in kw:
+        col, val = kw.pop("doc_filter")
+        kw["doc_filter"] = F.col(col) == val
+    want = _rows(cold.search(q, k=k, mode=mode, **kw))
+    got = _rows(hot.search(q, k=k, mode=mode, **kw))
+    assert got == want, spec  # exact float equality, not approx
+
+
+def test_local_search_after_page_identity(pair):
+    """Cursor paging through the local path stitches to the same rows as
+    one big cluster top-K (the search_after contract)."""
+    cold, hot = pair
+    big = _rows(cold.search("merge scan offset", k=20, mode="exhaustive"))
+    p1 = _rows(hot.search("merge scan offset", k=10, mode="exhaustive"))
+    last = p1[-1]
+    p2 = _rows(hot.search_after("merge scan offset",
+                                after=(last[1], last[0]), k=10))
+    assert p1 + p2 == big
+
+
+def test_local_serving_runs_zero_spark_jobs(spark, pair):
+    """The point of the fast path: a warm query — term lookup, scoring,
+    filter evaluation, collect — submits NO Spark job (LocalRelation
+    folds drive everything; the ~150-250 ms per-job scheduling floor is
+    gone, SURVEY §8.10)."""
+    _, hot = pair
+    sc = spark.sparkContext
+    # prime the per-predicate allowed-set cache (its first evaluation is
+    # also job-free, but prove steady-state separately from warm-up)
+    hot.search("merge", k=5, doc_filter=F.col("lang") == "go").collect()
+    sc.setJobGroup("local_serving_gate", "must stay empty")
+    try:
+        hot.search("merge scan", k=10).collect()
+        hot.search("merge", k=5, doc_filter=F.col("lang") == "go").collect()
+        hot.search("merge scan", k=10, mode="exhaustive",
+                   boosts={"merge": 2.0}).collect()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+        "local_serving_gate")
+    assert list(jobs) == [], f"fast path submitted Spark jobs: {jobs}"
+
+
+def test_local_budget_refusal(spark, pair, tmp_path_factory):
+    _, hot = pair
+    with pytest.raises(ValueError, match="warm_local budget"):
+        SearchIndex(spark, hot.index_dir).warm_local(max_bytes=1)
+
+
+def test_local_allowed_docs_falls_back_to_cluster(pair):
+    """allowed_docs carries arbitrary DataFrame lineage — the local path
+    must route it to the (identical) cluster path, not drop the gate."""
+    cold, hot = pair
+    gate = cold.docstats().filter(F.col("lang") == "python").select("doc_id")
+    want = _rows(cold.search("merge", k=10, allowed_docs=gate))
+    got = _rows(hot.search("merge", k=10, allowed_docs=gate))
+    assert got == want and len(got) > 0
+
+
+def test_local_masks_tombstones(spark, corpus, tmp_path_factory):
+    """Deletes present at warm_local time are masked by the local
+    scorer's inverted dead-set mask, identical to the cluster path."""
+    from dbsyncer_spark.streaming.incremental import delete_docs
+
+    d = str(tmp_path_factory.mktemp("localtomb"))
+    build_index(spark, corpus, d, num_shards=8, range_size=256,
+                num_id_buckets=32)
+    cold0 = SearchIndex(spark, d)
+    victims = [r.doc_id for r in
+               cold0.search("merge scan", k=3).select("doc_id").collect()]
+    delete_docs(spark, d, cold0.docstats().filter(
+        F.col("doc_id").isin(victims)).select("repo", "path"))
+    cold = SearchIndex(spark, d)
+    hot = SearchIndex(spark, d)
+    hot.warm_local()
+    want = _rows(cold.search("merge scan", k=10))
+    got = _rows(hot.search("merge scan", k=10))
+    assert got == want
+    assert not set(victims) & {i for i, _ in got}
