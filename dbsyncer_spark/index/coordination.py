@@ -248,6 +248,180 @@ class LeaseFileLock:
             pass
 
 
+class InMemoryCasStore:
+    """Reference implementation of the conditional-put (CAS) store
+    interface ``CasLeaseLock`` needs — a thread-safe versioned KV. Each
+    successful write bumps an opaque monotone version; conditional
+    operations succeed only when the caller's expected version still
+    matches. This is exactly the primitive real object stores expose:
+
+    - ``put_if_absent``  = S3 ``If-None-Match: *`` conditional PUT /
+      GCS ``ifGenerationMatch=0`` / DynamoDB ``attribute_not_exists``
+    - ``put_if_version`` = S3 ``If-Match: <etag>`` conditional PUT /
+      GCS ``ifGenerationMatch=<generation>`` / DynamoDB conditional
+      update on a version attribute / etcd compare-and-swap
+    - ``delete_if_version`` = the conditional DELETE analogs
+
+    An adapter to one of those services implements these three methods
+    (plus ``get``) and the whole lease protocol transfers unchanged.
+    ``delay_before_commit``: optional test hook — called as
+    ``(op_name, key)`` before a conditional write takes the store lock,
+    to script race interleavings deterministically."""
+
+    def __init__(self, delay_before_commit=None):
+        self._kv: dict[str, tuple[dict, int]] = {}
+        self._mu = threading.Lock()
+        self._next = 0
+        self.delay_before_commit = delay_before_commit
+
+    def get(self, key: str):
+        """-> (value, version) or None."""
+        with self._mu:
+            got = self._kv.get(key)
+            return (dict(got[0]), got[1]) if got else None
+
+    def _commit(self, key: str, value: dict) -> int:
+        self._next += 1
+        self._kv[key] = (dict(value), self._next)
+        return self._next
+
+    def put_if_absent(self, key: str, value: dict):
+        """-> new version, or None if the key exists."""
+        if self.delay_before_commit:
+            self.delay_before_commit("put_if_absent", key)
+        with self._mu:
+            if key in self._kv:
+                return None
+            return self._commit(key, value)
+
+    def put_if_version(self, key: str, value: dict, expected: int):
+        """-> new version, or None if the key's version moved (or the
+        key vanished) since ``expected`` was read — the CAS reject that
+        makes concurrent steals race-free."""
+        if self.delay_before_commit:
+            self.delay_before_commit("put_if_version", key)
+        with self._mu:
+            got = self._kv.get(key)
+            if got is None or got[1] != expected:
+                return None
+            return self._commit(key, value)
+
+    def delete_if_version(self, key: str, expected: int) -> bool:
+        with self._mu:
+            got = self._kv.get(key)
+            if got is None or got[1] != expected:
+                return False
+            del self._kv[key]
+            return True
+
+
+class CasLeaseLock:
+    """Expiring lease over a conditional-put store — the third lock
+    backend (r4 VERDICT #4), closing ``LeaseFileLock``'s residual
+    windows. Rename-based stealing has an irreducible no-I/O
+    read-to-replace gap (two stealers can both believe they won;
+    settle-and-verify only arbitrates when the timing assumptions hold —
+    r4 ADVICE showed a slow write can outlive any fixed settle window).
+    With CAS there is no gap to arbitrate: every transition — steal,
+    renewal, release — is conditioned on the exact version the holder
+    last observed, so the store itself rejects the loser:
+
+    - acquire: ``put_if_absent``; a live foreign lease is polled; an
+      expired one is replaced with ``put_if_version(expected=read
+      version)`` — of N concurrent stealers exactly one CAS succeeds.
+    - renewal heartbeat: ``put_if_version(expected=our version)`` — a
+      legitimate steal of our expired lease moved the version, so a
+      stalled renewal CANNOT clobber the successor (the lease lock's
+      stand-down heuristics become store-enforced).
+    - release: ``delete_if_version(our version)`` — no expiry TOCTOU:
+      deleting our own expired-but-unstolen lease is safe because any
+      in-flight stealer's CAS expected that same version and now fails
+      over to a fresh ``put_if_absent``.
+
+    The store is injected (see ``InMemoryCasStore`` for the interface
+    and its S3/GCS/DynamoDB mapping); ``key_of`` maps an index dir to
+    its lease key (override when one store serves many indexes). Wall-
+    clock TTL caveats still apply (NTP-sane hosts), but correctness of
+    mutual exclusion no longer depends on clocks or settle timing —
+    clocks only bound how fast a crashed holder's lease is reclaimed."""
+
+    def __init__(self, store, ttl_s: float = 30.0, poll_s: float = 0.05,
+                 renew_every_s: float | None = None):
+        self.store = store
+        self.ttl_s = ttl_s
+        self.poll_s = poll_s
+        self.renew_every_s = ttl_s / 3.0 if renew_every_s is None else renew_every_s
+
+    @staticmethod
+    def key_of(index_dir: str) -> str:
+        return os.path.join(index_dir, "meta.lease")
+
+    @contextlib.contextmanager
+    def lock(self, index_dir: str):
+        key = self.key_of(index_dir)
+        token = uuid.uuid4().hex
+        state = {"ver": self._acquire(key, token)}
+        stop = threading.Event()
+        beat = None
+        if self.renew_every_s and self.renew_every_s > 0:
+            beat = threading.Thread(
+                target=self._renew_loop, args=(key, token, state, stop),
+                daemon=True,
+            )
+            beat.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            if beat is not None:
+                beat.join(timeout=self.renew_every_s + 1.0)
+            # release: read-then-conditional-delete. The read pins the
+            # exact (token, version) we delete; any interleaved steal of
+            # an expired lease moves the version and the delete becomes
+            # a store-enforced no-op — unlike the rename lock, this
+            # needs no expiry heuristic to be TOCTOU-safe
+            cur = self.store.get(key)
+            if cur is not None and cur[0].get("token") == token:
+                self.store.delete_if_version(key, cur[1])
+
+    def _acquire(self, key: str, token: str) -> int:
+        while True:
+            ver = self.store.put_if_absent(
+                key, {"token": token, "ts": time.time()}
+            )
+            if ver is not None:
+                return ver
+            cur = self.store.get(key)
+            if cur is None:
+                continue  # deleted between the put and the get — retry
+            val, cur_ver = cur
+            if time.time() - float(val.get("ts", 0)) <= self.ttl_s:
+                time.sleep(self.poll_s)  # live holder — wait
+                continue
+            ver = self.store.put_if_version(
+                key,
+                {"token": token, "ts": time.time(),
+                 "stolen_from": val.get("token")},
+                cur_ver,
+            )
+            if ver is not None:
+                return ver  # our CAS won; every concurrent stealer lost
+            # version moved: someone else stole (or the holder renewed/
+            # released) — loop and re-evaluate from the fresh state
+
+    def _renew_loop(self, key: str, token: str, state: dict,
+                    stop: threading.Event) -> None:
+        while not stop.wait(self.renew_every_s):
+            if stop.is_set():
+                return
+            ver = self.store.put_if_version(
+                key, {"token": token, "ts": time.time()}, state["ver"]
+            )
+            if ver is None:
+                return  # version moved: stolen after expiry — stand down
+            state["ver"] = ver
+
+
 class PosixRenameCommitter:
     """Default root-meta commit: json to a tmp file, fsync, atomic
     rename, directory fsync (see ``atomic_write_meta`` — r3 crash

@@ -280,3 +280,154 @@ def test_settle_default_scales_with_ttl():
     assert co.LeaseFileLock(ttl_s=1.0).settle_s == 0.1
     assert co.LeaseFileLock(ttl_s=30.0, settle_s=0.5).settle_s == 0.5
     assert co.LeaseFileLock(ttl_s=30.0, settle_s=0.0).settle_s == 0.0
+
+
+# ---------------------------------------------------------------------------
+# CAS backend (r4 VERDICT #4): the steal race rename-based leases cannot
+# close, demonstrated failing under LeaseFileLock timing assumptions and
+# store-rejected under CasLeaseLock on the SAME schedule.
+# ---------------------------------------------------------------------------
+
+class _SlowStealLease(co.LeaseFileLock):
+    """LeaseFileLock whose STEAL tmp-write takes ``delay`` seconds — the
+    slow-shared-fs contender of the r4 ADVICE scenario."""
+
+    def __init__(self, delay: float, **kw):
+        super().__init__(**kw)
+        self._delay = delay
+
+    def _write_json(self, path, payload):
+        if ".steal-" in path:
+            time.sleep(self._delay)
+        super()._write_json(path, payload)
+
+
+def _overlap_of(lock_a, lock_b, d: str, hold_s: float) -> int:
+    """Run two named contenders through lk.lock(d); return the max
+    number of simultaneous holders observed."""
+    state = {"cur": 0, "max": 0}
+    mu = threading.Lock()
+    errs: list = []
+
+    def run(lk):
+        try:
+            with lk.lock(d):
+                with mu:
+                    state["cur"] += 1
+                    state["max"] = max(state["max"], state["cur"])
+                time.sleep(hold_s)
+                with mu:
+                    state["cur"] -= 1
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append(e)
+
+    ta = threading.Thread(target=run, args=(lock_a,), name="A")
+    tb = threading.Thread(target=run, args=(lock_b,), name="B")
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+    return state["max"]
+
+
+def _schedule() -> dict:
+    """One shared schedule: both contenders read the same EXPIRED lease,
+    A's steal write commits at ~0.15 s, B's slow write at ~1.0 s — after
+    A's settle-verify has already passed."""
+    return {"A": 0.15, "B": 1.0}
+
+
+def test_lease_steal_race_double_holds_without_cas(tmp_path):
+    """The documented rename-lock hazard, reproduced deterministically:
+    B's steal write outlives A's settle window (settle_s=0.1 < B's 1.0 s
+    write), so BOTH contenders verify their own token and hold at once.
+    This is the exact failure mode the CAS backend closes — kept as a
+    characterization test so the hazard stays documented-by-execution
+    (with the r4-ADVICE default settle_s=ttl/10 this needs a write
+    slower than the window; any fixed window has such a write)."""
+    d = str(tmp_path)
+    with open(os.path.join(d, "meta.lease"), "w") as f:
+        json.dump({"token": "crashed", "ts": time.time() - 999}, f)
+    sched = _schedule()
+    a = _SlowStealLease(sched["A"], ttl_s=2.0, settle_s=0.1, renew_every_s=0)
+    b = _SlowStealLease(sched["B"], ttl_s=2.0, settle_s=0.1, renew_every_s=0)
+    assert _overlap_of(a, b, d, hold_s=1.6) == 2, \
+        "schedule no longer reproduces the rename-steal double-hold"
+
+
+class _CountingStore(co.InMemoryCasStore):
+    def __init__(self, delay_before_commit=None):
+        super().__init__(delay_before_commit)
+        self.cas_rejects = 0
+
+    def put_if_version(self, key, value, expected):
+        got = super().put_if_version(key, value, expected)
+        if got is None:
+            self.cas_rejects += 1
+        return got
+
+
+def test_cas_backend_single_holder_on_same_schedule(tmp_path):
+    """Same interleaving, CAS store: B's slow conditional put carries
+    the version it read BEFORE A's steal committed, so the store rejects
+    it — exactly one holder, no settle heuristics involved."""
+    d = str(tmp_path)
+    sched = _schedule()
+
+    def delay(op, key):
+        if op == "put_if_version":
+            time.sleep(sched.get(threading.current_thread().name, 0.0))
+
+    store = _CountingStore(delay_before_commit=delay)
+    key = co.CasLeaseLock.key_of(d)
+    assert store.put_if_absent(
+        key, {"token": "crashed", "ts": time.time() - 999}) is not None
+    a = co.CasLeaseLock(store, ttl_s=2.0, poll_s=0.05, renew_every_s=0)
+    b = co.CasLeaseLock(store, ttl_s=2.0, poll_s=0.05, renew_every_s=0)
+    assert _overlap_of(a, b, d, hold_s=1.6) == 1
+    assert store.cas_rejects >= 1, \
+        "B never hit the stale-version reject the schedule scripts"
+    assert store.get(key) is None, "release left the lease behind"
+
+
+def test_cas_lock_basics_and_renewal(tmp_path):
+    """Functional pass: mutual exclusion under contention, crashed-holder
+    steal after TTL, heartbeat renewal keeping a long section alive, and
+    engine integration through the injectable seam."""
+    d = str(tmp_path)
+    store = co.InMemoryCasStore()
+    key = co.CasLeaseLock.key_of(d)
+    # crashed holder: expired lease is stolen after at most ~ttl
+    assert store.put_if_absent(
+        key, {"token": "crashed", "ts": time.time() - 999}) is not None
+    lk = co.CasLeaseLock(store, ttl_s=0.3, poll_s=0.02)
+    t0 = time.time()
+    with lk.lock(d):
+        assert store.get(key)[0]["token"] != "crashed"
+    assert time.time() - t0 < 2.0
+    # renewal: hold far past the TTL; a contender must NOT get in
+    lk_fast = co.CasLeaseLock(store, ttl_s=0.2, poll_s=0.01,
+                              renew_every_s=0.05)
+    got_in = threading.Event()
+
+    def contender():
+        with co.CasLeaseLock(store, ttl_s=0.2, poll_s=0.01).lock(d):
+            got_in.set()
+
+    with lk_fast.lock(d):
+        t = threading.Thread(target=contender, daemon=True)
+        t.start()
+        time.sleep(0.8)  # 4x TTL — without renewal the lease gets stolen
+        assert not got_in.is_set(), "contender entered while held"
+    t.join(timeout=2.0)
+    assert got_in.is_set(), "contender starved after release"
+    # seam integration: the engine's meta_lock/atomic_write_meta go
+    # through the injected provider
+    prev = co.get_lock_provider()
+    co.set_lock_provider(co.CasLeaseLock(store, ttl_s=5.0))
+    try:
+        with meta_lock(d):
+            atomic_write_meta(d, {"params": {}, "segments": {}})
+        assert json.load(open(os.path.join(d, "meta.json"))) == {
+            "params": {}, "segments": {}}
+        assert store.get(key) is None
+    finally:
+        co.set_lock_provider(prev)
