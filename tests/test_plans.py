@@ -261,3 +261,41 @@ def test_broad_filter_cogroups_complement_not_match_set(spark, pindex):
         ).collect()
     ]
     assert a == b and len(a) > 0
+
+
+def test_filtered_wide_one_scan_with_index_stats(spark, corpus, tmp_path):
+    """r4 VERDICT wrong-#2 fix: a FILTERED wide query that is handed
+    index-precomputed stats (n_docs/avgdl/df) must run exactly ONE
+    corpus-content scan — one tokenize subtree, no regexp_count stats
+    scan, no unfiltered df lineage — and return the same rounded rows as
+    the self-derived-stats plan."""
+    from dbsyncer_spark.functions.tokenizer import tokenize_py
+    from dbsyncer_spark.index.build import build_index
+    from dbsyncer_spark.index.docids import assign_doc_ids
+    from dbsyncer_spark.index.search import SearchIndex
+    from dbsyncer_spark.query.bm25 import bm25_topk_wide
+
+    p = str(tmp_path / "corpus.parquet")
+    assign_doc_ids(corpus, num_buckets=8).write.parquet(p)
+    docs = spark.read.parquet(p)
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, corpus, idx_dir, num_shards=4, range_size=256,
+                num_id_buckets=8)
+    idx = SearchIndex(spark, idx_dir)
+    q = "merge offset scan"
+    flt = F.col("lang") == "python"
+    want = [(r.doc_id, r.score) for r in
+            bm25_topk_wide(spark, docs, q, k=10, id_col="doc_id",
+                           text_col="content", doc_filter=flt).collect()]
+    got_df = bm25_topk_wide(
+        spark, docs, q, k=10, id_col="doc_id", text_col="content",
+        doc_filter=flt, stats=idx.corpus_stats(tokenize_py(q)),
+    )
+    got = [(r.doc_id, r.score) for r in got_df.collect()]
+    assert got == want and len(got) == 10
+    final = (got_df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("split(") == 1, \
+        f"{final.count('split(')} tokenize subtrees with stats provided:\n{final[:3000]}"
+    assert "regexp_extract_all" not in final, \
+        f"stats scan still present:\n{final[:3000]}"
