@@ -180,6 +180,14 @@ def main() -> None:
     batch_s = time.perf_counter() - t0
     timings["query_batch"] = round(batch_s, 3)
 
+    # r5: the same batch through the warm_local snapshot (driver-side
+    # shared-decode TAAT, zero jobs; rank-identity pytest-gated)
+    idx_local.search_many(batch, k=10).collect()  # untimed warmup
+    t0 = time.perf_counter()
+    idx_local.search_many(batch, k=10).collect()
+    batch_local_s = time.perf_counter() - t0
+    timings["query_batch_local"] = round(batch_local_s, 3)
+
     # bench index is done: free the pinned caches and the tmpfs dir
     # (leaving it would pin RAM-backed storage until reboot)
     for cached in idx._df_cache.values():
@@ -232,6 +240,7 @@ def main() -> None:
         "query_p95_ms_cluster": round(1000 * p95, 1),
         "n_ref_queries": len(lat),
         "batch_queries_per_sec": round(len(batch) / batch_s, 2),
+        "batch_queries_per_sec_local": round(len(batch) / batch_local_s, 2),
     }
     print(json.dumps(out))
 

@@ -110,6 +110,55 @@ def _dead_ranges(tomb: DataFrame, range_size: int) -> DataFrame:
     )
 
 
+def _shared_taat_range(rows, base: int, allowed, idfs: dict, by_tid: dict,
+                       k1: float, b: float, avgdl: float, k: int) -> list:
+    """Sparse shared-decode TAAT over ONE docId-range: decode every block
+    of every term once; per query hold REFERENCES to the shared
+    (idx, contrib) arrays, then finalize one query at a time with a
+    transient bincount (accumulation order = the fixed global term
+    order, so float sums are bit-identical to the single-query
+    exhaustive scorer's). ``rows`` are (ub_max, tid, row, ub_blocks)
+    already sorted by (-ub_max, tid); ``allowed`` is an optional boolean
+    mask (applied BEFORE the per-query top-k cut — found r2). Returns a
+    list of per-query pandas frames. Shared by ``search_many``'s
+    executor-side scorer and the ``warm_local`` driver-side batch path
+    so the two can never diverge."""
+    hits: dict[str, list] = {}
+    for _, tid_v, r, _ in rows:
+        idf = idfs[tid_v]
+        d, tf, dl = unpack_blocks(
+            r.blob, r.block_off, r.block_n, r.block_first, keep=None
+        )
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        idx = (d - np.uint64(base)).astype(np.int64)
+        contrib = idf * tfn
+        if allowed is not None:
+            m = allowed[idx]
+            idx, contrib = idx[m], contrib[m]
+        if idx.size == 0:
+            continue
+        for qid in by_tid[tid_v]:
+            hits.setdefault(qid, []).append((idx, contrib))
+    frames = []
+    for qid, parts in hits.items():
+        if len(parts) == 1:
+            cat_idx, cat_c = parts[0]
+        else:
+            cat_idx = np.concatenate([p[0] for p in parts])
+            cat_c = np.concatenate([p[1] for p in parts])
+        S = np.bincount(cat_idx, weights=cat_c)
+        uniq = np.unique(cat_idx)
+        fidx, scores = _cut_topk(uniq, S[uniq], k)
+        frames.append(pd.DataFrame({
+            "query_id": qid,
+            "doc_id": (base + fidx).astype("int64"),
+            "score": scores,
+        }))
+    return frames
+
+
 #: search_many: engage per-query WAND pruning only when one range's
 #: union-of-query-terms posting volume reaches this (below it the
 #: bookkeeping costs more than the skipped decodes). Tuned by r4 idle-
@@ -644,25 +693,8 @@ class SearchIndex:
             for t, df_ in dfs.items()
         }
         loc = self._local
-        allowed_of: dict[int, np.ndarray] | None = None
-        if doc_filter is not None:
-            key = str(doc_filter)
-            allowed_of = loc["filters"].get(key)
-            if allowed_of is None:
-                # ConvertToLocalRelation folds this Filter+Project into
-                # the LocalRelation — executeCollect, no Spark job
-                rows = loc["docstats_df"].filter(doc_filter) \
-                    .select("range_id", "doc_id").collect()
-                dead = loc["dead_ids"]
-                allowed_of = {}
-                for r in rows:
-                    if r.doc_id not in dead:
-                        allowed_of.setdefault(int(r.range_id), []).append(r.doc_id)
-                allowed_of = {rid: np.asarray(ids, dtype=np.int64)
-                              for rid, ids in allowed_of.items()}
-                if len(loc["filters"]) > 256:
-                    loc["filters"].clear()
-                loc["filters"][key] = allowed_of
+        allowed_of = (None if doc_filter is None
+                      else self._local_allowed_of(doc_filter))
         use_allowed = doc_filter is not None or bool(loc["dead"])
         scorer = _make_scorer(
             idfs, self.k1, self.b, self.avgdl, k, self.range_size,
@@ -697,6 +729,89 @@ class SearchIndex:
                             -cat["score"].to_numpy()))[:k]
         cat = cat.iloc[order].reset_index(drop=True)
         return self.spark.createDataFrame(cat, _SCORE_SCHEMA)
+
+    def _local_allowed_of(self, doc_filter) -> dict:
+        """range_id -> live doc_ids matching ``doc_filter``, evaluated
+        against the warm_local docstats LocalRelation (no Spark job) and
+        cached per predicate string."""
+        loc = self._local
+        key = str(doc_filter)
+        allowed_of = loc["filters"].get(key)
+        if allowed_of is None:
+            # ConvertToLocalRelation folds this Filter+Project into
+            # the LocalRelation — executeCollect, no Spark job
+            rows = loc["docstats_df"].filter(doc_filter) \
+                .select("range_id", "doc_id").collect()
+            dead = loc["dead_ids"]
+            allowed_of = {}
+            for r in rows:
+                if r.doc_id not in dead:
+                    allowed_of.setdefault(int(r.range_id), []).append(r.doc_id)
+            allowed_of = {rid: np.asarray(ids, dtype=np.int64)
+                          for rid, ids in allowed_of.items()}
+            if len(loc["filters"]) > 256:
+                loc["filters"].clear()
+            loc["filters"][key] = allowed_of
+        return allowed_of
+
+    def _search_many_local(self, idfs: dict, by_tid: dict, k: int,
+                           doc_filter) -> DataFrame:
+        """Zero-job batch twin of ``search_many`` over the warm_local
+        snapshot: per docId-range the SAME sparse shared-decode TAAT
+        kernel (``_shared_taat_range``) the executors run, then the
+        cross-range per-query cut applied driver-side with the same
+        (score desc, doc_id asc) discipline — rank- and score-identical
+        to the cluster batch (pytest-gated). At bench index size the
+        whole batch costs milliseconds per query instead of a shared
+        Spark job; past the warm_local budget the cluster batch is the
+        only path, unchanged."""
+        loc = self._local
+        allowed_of = (None if doc_filter is None
+                      else self._local_allowed_of(doc_filter))
+        k1, b, avgdl, range_size = self.k1, self.b, self.avgdl, self.range_size
+        tids = set(idfs)
+        frames = []
+        for rid in sorted(loc["rows"]):
+            sub, tid_pos = loc["rows"][rid]
+            pos = [tid_pos[t] for t in tids if t in tid_pos]
+            if not pos:
+                continue
+            qsub = sub.iloc[sorted(pos)]
+            base = rid * range_size
+            if doc_filter is not None:
+                allowed = np.zeros(range_size, dtype=bool)
+                ids = allowed_of.get(rid) if allowed_of else None
+                if ids is not None:
+                    allowed[ids - base] = True
+            elif loc["dead"]:
+                allowed = _range_mask(loc["dead"].get(rid), base,
+                                      range_size, True)
+            else:
+                allowed = None
+            rows = []
+            for r in qsub.itertuples(index=False):
+                idf = idfs[int(r.tid)]
+                ub_blocks = idf * _tfnorm_bound(
+                    np.asarray(r.block_max_tf), np.asarray(r.block_min_dl),
+                    k1, b, avgdl,
+                )
+                rows.append((float(ub_blocks.max()), int(r.tid), r, ub_blocks))
+            rows.sort(key=lambda x: (-x[0], x[1]))
+            frames.extend(_shared_taat_range(
+                rows, base, allowed, idfs, by_tid, k1, b, avgdl, k
+            ))
+        out_schema = "query_id string, doc_id long, score double"
+        if not frames:
+            return empty_df(self.spark, out_schema)
+        cat = pd.concat(frames, ignore_index=True)
+        parts = []
+        for qid, grp in cat.groupby("query_id", sort=True):
+            order = np.lexsort((grp["doc_id"].to_numpy(),
+                                -grp["score"].to_numpy()))[:k]
+            parts.append(grp.iloc[order])
+        return self.spark.createDataFrame(
+            pd.concat(parts, ignore_index=True), out_schema
+        )
 
     def warm_driver_dictionary(self, max_terms: int = 5_000_000) -> None:
         """Pull the whole (tid -> df) dictionary to the driver: term
@@ -1412,6 +1527,10 @@ class SearchIndex:
         for qid, ts in qterms.items():
             for t in ts:
                 by_tid.setdefault(t, []).append(qid)
+        if self._local is not None:
+            # warm_local batch fast path: the same shared-decode TAAT
+            # kernel, driver-side, zero Spark jobs (see _search_many_local)
+            return self._search_many_local(idfs, by_tid, k, doc_filter)
         shards = sorted({py_shard(t, self.num_shards) for t in dfs})
         range_size = self.range_size
         prune = mode == "wand"
@@ -1425,46 +1544,9 @@ class SearchIndex:
             )
 
         def _taat(rows, base, allowed):
-            """Sparse shared-decode TAAT: decode every block of every term
-            once; per query hold REFERENCES to the shared (idx, contrib)
-            arrays, then finalize one query at a time with a transient
-            bincount (accumulation order = the fixed global term order,
-            so float sums are bit-identical to the single-query
-            exhaustive scorer's)."""
-            hits: dict[str, list] = {}
-            for _, tid_v, r, _ in rows:
-                idf = idfs[tid_v]
-                d, tf, dl = unpack_blocks(
-                    r.blob, r.block_off, r.block_n, r.block_first, keep=None
-                )
-                tf = tf.astype(np.float64)
-                dl = dl.astype(np.float64)
-                tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                idx = (d - np.uint64(base)).astype(np.int64)
-                contrib = idf * tfn
-                if allowed is not None:
-                    # mask BEFORE the per-query top-k cut (found r2)
-                    m = allowed[idx]
-                    idx, contrib = idx[m], contrib[m]
-                if idx.size == 0:
-                    continue
-                for qid in by_tid[tid_v]:
-                    hits.setdefault(qid, []).append((idx, contrib))
-            frames = []
-            for qid, parts in hits.items():
-                if len(parts) == 1:
-                    cat_idx, cat_c = parts[0]
-                else:
-                    cat_idx = np.concatenate([p[0] for p in parts])
-                    cat_c = np.concatenate([p[1] for p in parts])
-                S = np.bincount(cat_idx, weights=cat_c)
-                uniq = np.unique(cat_idx)
-                fidx, scores = _cut_topk(uniq, S[uniq], k)
-                frames.append(pd.DataFrame({
-                    "query_id": qid,
-                    "doc_id": (base + fidx).astype("int64"),
-                    "score": scores,
-                }))
+            frames = _shared_taat_range(
+                rows, base, allowed, idfs, by_tid, k1, b, avgdl, k
+            )
             return pd.concat(frames, ignore_index=True) if frames else _empty_out()
 
         def _wand(rows, base, allowed):

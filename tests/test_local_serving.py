@@ -121,3 +121,32 @@ def test_local_masks_tombstones(spark, corpus, tmp_path_factory):
     got = _rows(hot.search("merge scan", k=10))
     assert got == want
     assert not set(victims) & {i for i, _ in got}
+
+
+def test_local_batch_matches_cluster(pair):
+    """search_many over the warm_local snapshot (driver-side shared-decode
+    TAAT) must return exactly the cluster batch's rows — including under
+    a batch-wide filter."""
+    cold, hot = pair
+    batch = {"q1": "merge scan", "q2": "offset shard token",
+             "q3": "getconfig", "miss": "zzzqx"}
+    for flt in (None, F.col("lang") == "python"):
+        want = [(r.query_id, r.doc_id, r.score)
+                for r in cold.search_many(batch, k=7, doc_filter=flt).collect()]
+        got = [(r.query_id, r.doc_id, r.score)
+               for r in hot.search_many(batch, k=7, doc_filter=flt).collect()]
+        assert got == want and len(got) > 0, flt
+
+
+def test_local_batch_runs_zero_spark_jobs(spark, pair):
+    _, hot = pair
+    batch = {"q1": "merge scan", "q2": "offset shard"}
+    hot.search_many(batch, k=5).collect()  # warm the path
+    sc = spark.sparkContext
+    sc.setJobGroup("local_batch_gate", "must stay empty")
+    try:
+        hot.search_many(batch, k=5).collect()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("local_batch_gate")
+    assert list(jobs) == [], f"local batch submitted Spark jobs: {jobs}"
