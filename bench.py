@@ -230,14 +230,15 @@ def main() -> None:
         "loadavg_end": load_end,
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "index_build_n_docs": N_BENCH_DOCS,
-        # headline serving latency = warm_local mode (rank-identical,
-        # pytest-gated); *_cluster = the distributed path, the only one
-        # available past the driver budget (r4 keys "query_p50_ms"/
-        # "query_p95_ms" measured the cluster path — compare to those)
-        "query_p50_ms": round(1000 * statistics.median(lat_local), 1),
-        "query_p95_ms": round(1000 * p95_local, 1),
-        "query_p50_ms_cluster": round(1000 * statistics.median(lat), 1),
-        "query_p95_ms_cluster": round(1000 * p95, 1),
+        # query_p50_ms/query_p95_ms keep their r1-r4 meaning (the
+        # cluster path) so the round-over-round series stays one metric
+        # (r5 review); *_local = the warm_local serving mode
+        # (rank-identical, pytest-gated), the path a user runs for any
+        # index under the driver budget
+        "query_p50_ms": round(1000 * statistics.median(lat), 1),
+        "query_p95_ms": round(1000 * p95, 1),
+        "query_p50_ms_local": round(1000 * statistics.median(lat_local), 1),
+        "query_p95_ms_local": round(1000 * p95_local, 1),
         "n_ref_queries": len(lat),
         "batch_queries_per_sec": round(len(batch) / batch_s, 2),
         "batch_queries_per_sec_local": round(len(batch) / batch_local_s, 2),

@@ -671,8 +671,14 @@ class SearchIndex:
                 int(i) for sub in dead_by_range.values() for i in sub["doc_id"]
             }),
             # LocalRelation twin of docstats: Column predicates fold
-            # driver-side (no job) when filtering it
-            "docstats_df": self.spark.createDataFrame(stats_pdf),
+            # driver-side (no job) when filtering it. The ORIGINAL schema
+            # is passed explicitly — schema inference would crash on an
+            # all-NULL metadata column and drift nullable-int dtypes to
+            # double, where a doc_filter could evaluate differently than
+            # on the cluster path (r5 review)
+            "docstats_df": self.spark.createDataFrame(
+                stats_pdf, self.docstats().schema
+            ),
             "filters": {},  # predicate str -> {range_id: allowed doc_id ndarray}
         }
 

@@ -87,7 +87,7 @@ from dbsyncer_spark.session import empty_df
 # quoted phrase (each may carry spaces) or bare run
 _UNIT_RE = re.compile(
     r'([+-]?)('
-    r'[A-Za-z_][A-Za-z0-9_]*:\[[^\]]*\]'            # field:[x TO y]
+    r'[A-Za-z_][A-Za-z0-9_]*:\[[^\]]*\](?:\^[0-9]*\.?[0-9]+)?'  # field:[x TO y]
     r'|\([^()]*\)(?:\^[0-9]*\.?[0-9]+)?'            # (a OR b) group
     r'|"([^"]*)"(?:\^[0-9]*\.?[0-9]+)?'             # "a phrase"
     r'|\S+)'
@@ -163,6 +163,13 @@ def _apply_operators(units: list[tuple]) -> list[tuple]:
     pending_must = pending_not = False
     for mod, unit, quoted in units:
         if mod == "" and not quoted and unit in _OPERATORS:
+            if pending_not or (pending_must and unit != "NOT"):
+                # 'NOT OR scan' would otherwise silently negate 'scan'
+                # across the OR; Lucene's parser rejects consecutive
+                # operators — so do we (r5 review)
+                raise ValueError(
+                    f"consecutive boolean operators before {unit!r}"
+                )
             if unit == "NOT":
                 pending_not = True
             elif unit in ("AND", "&&"):
@@ -178,6 +185,8 @@ def _apply_operators(units: list[tuple]) -> list[tuple]:
             mod = mod or "+"
         pending_must = pending_not = False
         resolved.append((mod, unit, quoted))
+    if pending_not or pending_must:
+        raise ValueError("trailing boolean operator with no operand")
     return resolved
 
 
@@ -193,8 +202,25 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         fm = _FIELD_RE.match(unit)
         if fm:
-            rm = _RANGE_RE.match(fm.group(2))
-            if rm:
+            val = fm.group(2)
+            # a boost on a range filter parses but is ignored, like the
+            # boosted-phrase rule (filters gate, they don't score) — and
+            # it must not leak '^2' onward as a phantom unit (r5 review)
+            vb = _BOOST_RE.match(val)
+            if vb and vb.group(1).endswith("]"):
+                val = vb.group(1)
+            if val.startswith("["):
+                rm = _RANGE_RE.match(val)
+                if not rm:
+                    # 'lang:[go to java]' (lowercase to) would silently
+                    # become an equality filter on the literal bracket
+                    # string — Lucene rejects malformed ranges, so do we
+                    # (r5 review; same rule as malformed fuzzy units)
+                    raise ValueError(
+                        f"malformed range {unit!r}: expected "
+                        f"{fm.group(1)}:[<lo> TO <hi>] with uppercase TO "
+                        "('*' = open endpoint)"
+                    )
                 # field:[lo TO hi] — Lucene TermRangeQuery, inclusive;
                 # '*' = open endpoint. Values stay verbatim (multi-term
                 # queries bypass the analyzer, like wildcards).

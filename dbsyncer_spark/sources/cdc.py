@@ -55,14 +55,18 @@ from pyspark.sql import SparkSession
 ROW_OPS = ("INSERT", "UPDATE", "DELETE")
 
 
-def tail_changed_events(events_file: str, offset: int = 0):
+def tail_changed_events(events_file: str, offset: int = 0,
+                        max_bytes: int | None = None):
     """Read complete JSON-lines events from ``events_file`` starting at
     byte ``offset``; returns ``(events, new_offset)``. A trailing partial
     line (a writer mid-append) is left for the next tail — new_offset
-    never splits a line."""
+    never splits a line. ``max_bytes`` bounds one tail's read so a large
+    backlog streams in chunks instead of one driver-resident read (r5
+    review); a single line longer than the bound raises rather than
+    spinning."""
     with open(events_file, "rb") as f:
         f.seek(offset)
-        buf = f.read()
+        buf = f.read() if max_bytes is None else f.read(max_bytes)
     events = []
     consumed = 0
     while True:
@@ -73,6 +77,10 @@ def tail_changed_events(events_file: str, offset: int = 0):
         consumed = nl + 1
         if line.strip():
             events.append(json.loads(line))
+    if (consumed == 0 and max_bytes is not None and len(buf) == max_bytes):
+        raise ValueError(
+            f"event line at offset {offset} exceeds max_bytes={max_bytes}"
+        )
     return events, offset + consumed
 
 
@@ -103,6 +111,7 @@ def replay_changed_events(
     table_dir: str | None = None,
     checkpoint_file: str | None = None,
     max_batch_rows: int = 1000,
+    max_tail_bytes: int = 64 << 20,
     **build_kwargs,
 ) -> dict:
     """Tail + classify + apply (see module docstring). Returns counters:
@@ -111,16 +120,17 @@ def replay_changed_events(
     ``table_dir``: the evolution-log table DDL events apply to —
     required if the file contains DDL events. ``checkpoint_file``:
     persists the byte offset so successive calls resume (the
-    binlog-position analog); offset commits after each applied batch
+    binlog-position analog); a large backlog streams in
+    ``max_tail_bytes`` chunks — driver memory stays O(chunk), and the
+    offset commits after each chunk, bounding crash re-work too
     (at-least-once, converging — see module docstring)."""
     from dbsyncer_spark.index.build import build_index
     from dbsyncer_spark.sources.ddl import apply_ddl
     from dbsyncer_spark.streaming.incremental import delete_docs, update_docs
 
     offset = _read_offset(checkpoint_file)
-    events, new_offset = tail_changed_events(events_file, offset)
     stats = {"upserted": 0, "deleted": 0, "ddl": 0, "batches": 0,
-             "offset": new_offset}
+             "offset": offset}
     pending: list[dict] = []
 
     def flush():
@@ -151,8 +161,16 @@ def replay_changed_events(
             stats["deleted"] += delete_docs(spark, index_dir, kdf)
         if upserts:
             # normalize ragged rows (a column can appear mid-batch only
-            # via non-doc payload fields; doc columns are the contract)
-            cols = sorted({c for r in upserts for c in r})
+            # via non-doc payload fields; doc columns are the contract).
+            # Columns that are NULL in EVERY row of the batch are dropped
+            # — schema inference cannot type them and the crash would
+            # re-read the same offset forever (r5 review: routine right
+            # after ALTER TABLE ADD COLUMN, when binlogs emit the new
+            # column as all-NULL); an absent column reads as NULL
+            # downstream anyway, and a required doc column that is
+            # all-NULL still fails loudly in the index build.
+            cols = [c for c in sorted({c for r in upserts for c in r})
+                    if any(r.get(c) is not None for r in upserts)]
             rows = spark.createDataFrame(
                 [{c: r.get(c) for c in cols} for r in upserts]
             )
@@ -165,26 +183,34 @@ def replay_changed_events(
         stats["batches"] += 1
         pending.clear()
 
-    for ev in events:
-        etype = ev.get("type", "ROW")
-        if etype == "DDL":
-            flush()  # the DDL barrier: pending rows apply BEFORE the ALTER
-            if table_dir is None:
-                raise ValueError(
-                    "DDL event in stream but no table_dir to apply it to"
-                )
-            apply_ddl(table_dir, ev["sql"])
-            stats["ddl"] += 1
-            continue
-        if etype in ("ROW", "SCAN"):  # SCAN = polled rows, same semantics
-            op = ev.get("event")
-            if op not in ROW_OPS:
-                raise ValueError(f"unknown row operation {op!r}")
-            pending.append(ev)
-            if len(pending) >= max_batch_rows:
-                flush()
-            continue
-        raise ValueError(f"unknown event type {etype!r}")
-    flush()
-    _commit_offset(checkpoint_file, new_offset)
+    while True:
+        events, new_offset = tail_changed_events(
+            events_file, offset, max_bytes=max_tail_bytes
+        )
+        if new_offset == offset:
+            break  # nothing complete beyond the offset
+        for ev in events:
+            etype = ev.get("type", "ROW")
+            if etype == "DDL":
+                flush()  # the DDL barrier: pending rows apply BEFORE the ALTER
+                if table_dir is None:
+                    raise ValueError(
+                        "DDL event in stream but no table_dir to apply it to"
+                    )
+                apply_ddl(table_dir, ev["sql"])
+                stats["ddl"] += 1
+                continue
+            if etype in ("ROW", "SCAN"):  # SCAN = polled rows, same semantics
+                op = ev.get("event")
+                if op not in ROW_OPS:
+                    raise ValueError(f"unknown row operation {op!r}")
+                pending.append(ev)
+                if len(pending) >= max_batch_rows:
+                    flush()
+                continue
+            raise ValueError(f"unknown event type {etype!r}")
+        flush()  # chunk boundary = batch boundary (offset commits below)
+        _commit_offset(checkpoint_file, new_offset)
+        offset = new_offset
+        stats["offset"] = offset
     return stats

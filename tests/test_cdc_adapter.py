@@ -185,3 +185,34 @@ def test_unknown_event_shapes_raise(spark, tmp_path):
     _write_events(events_file, [{"type": "BLOB"}])
     with pytest.raises(ValueError, match="unknown event type"):
         replay_changed_events(spark, events_file, str(tmp_path / "i2"))
+
+
+def test_all_null_column_and_chunked_tail(spark, tmp_path):
+    """r5 review: (a) a column that is NULL in every row of a batch —
+    routine right after ALTER TABLE ADD COLUMN — must be dropped, not
+    crash schema inference and poison the offset forever; (b) a large
+    backlog streams in max_tail_bytes chunks with the offset committed
+    per chunk."""
+    ev_dir = str(tmp_path / "cdcnull")
+    os.makedirs(ev_dir)
+    events_file = os.path.join(ev_dir, "events.jsonl")
+    ck = os.path.join(ev_dir, "offset.json")
+    rows = []
+    for i in range(9):
+        d = _doc(i, f"merge doc {i}")
+        d["note"] = None  # all-NULL payload column (post-DDL binlog shape)
+        rows.append({"type": "ROW", "event": "INSERT", "changedRow": d})
+    _write_events(events_file, rows)
+    line_len = len(json.dumps(rows[0])) + 1
+    stats = replay_changed_events(
+        spark, events_file, os.path.join(ev_dir, "idx"),
+        checkpoint_file=ck, max_tail_bytes=3 * line_len + 10,
+        num_shards=4, range_size=256, num_id_buckets=8,
+    )
+    assert stats["upserted"] == 9
+    assert stats["batches"] >= 3  # chunking forced multiple flushes
+    live = _logical(spark, os.path.join(ev_dir, "idx"))
+    assert len(live) == 9
+    # an oversized single line raises loudly instead of spinning
+    with pytest.raises(ValueError, match="exceeds max_bytes"):
+        tail_changed_events(events_file, 0, max_bytes=10)

@@ -411,6 +411,23 @@ def test_parse_operators_groups_ranges():
     assert pq.field_ranges == [("lang", "go", None)] and not pq.should
 
 
+def test_malformed_ranges_and_operator_sequences_raise():
+    """r5 review: malformed units must raise, not silently degrade —
+    lowercase 'to' in a range previously became an equality filter on
+    the literal bracket string; 'NOT OR scan' silently negated 'scan'
+    across the OR; a range boost leaked '^2' as a phantom scored term."""
+    for bad in ("lang:[go to java] merge", "lang:[goTO java]",
+                "merge NOT OR scan", "merge NOT AND scan",
+                "merge AND OR scan", "NOT NOT merge",
+                "merge AND", "merge NOT"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+    # boost on a range filter parses and is IGNORED (boosted-phrase rule)
+    pq = parse_query("lang:[a TO b]^2 merge")
+    assert pq.field_ranges == [("lang", "a", "b")]
+    assert pq.should == ["merge"] and pq.boosts == {}
+
+
 def test_malformed_fuzzy_raises():
     """r4 ADVICE: 'roam~1.5' / 'roam~x' used to fall through _FUZZY_RE
     and silently score as separate SHOULD terms ('roam','1','5');
