@@ -666,6 +666,7 @@ class SearchIndex:
         stats_pdf = self.docstats().toPandas()
         self._local = {
             "rows": rows_by_range,
+            "docstats_pdf": stats_pdf,
             "dead": dead_by_range,
             "dead_ids": (set() if not dead_by_range else {
                 int(i) for sub in dead_by_range.values() for i in sub["doc_id"]
@@ -1097,6 +1098,15 @@ class SearchIndex:
         pq = parse_query(query)
         check_fields(pq, self.docstats().columns)
         scored, must_any, not_any = self._fold_parsed(pq)
+        if self._local is not None and scored:
+            # warm_local: evaluate gates range-locally against the
+            # driver snapshot via the shared gated kernel — zero Spark
+            # jobs (filter-only queries keep the cluster match_all
+            # route; expansion units were resolved above). Rank- and
+            # score-identical to the cluster path (pytest-gated).
+            return self._search_many_gated(
+                {"q": (pq, scored, must_any, not_any)}, k=k
+            ).select("doc_id", "score")
         allowed: DataFrame | None = None
 
         def intersect(df: DataFrame | None, other: DataFrame, anti: bool = False):
@@ -1923,6 +1933,24 @@ class SearchIndex:
             )
         if not parts:
             return empty_df(self.spark, "query_id string, doc_id long, score double")
+        if len(parts) == 1:
+            # every batch shape already emits the contract order
+            # (query_id, score desc, doc_id asc) — no re-sort needed
+            return parts[0]
+        if self._local is not None and not fallback:
+            # warm_local: the parts are LocalRelations — a Spark orderBy
+            # over them would launch the only job of the batch (Sort
+            # doesn't fold like Filter/Project do); merge driver-side
+            rows = [(r.query_id, r.doc_id, r.score)
+                    for p in parts for r in p.collect()]
+            pdf = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+            pdf = pdf.sort_values(
+                ["query_id", "score", "doc_id"],
+                ascending=[True, False, True], kind="mergesort",
+            ).reset_index(drop=True)
+            return self.spark.createDataFrame(
+                pdf, "query_id string, doc_id long, score double"
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2286,6 +2314,57 @@ class SearchIndex:
                     "score": scores,
                 }))
             return pd.concat(frames, ignore_index=True) if frames else _empty_out()
+
+        loc = self._local
+        if loc is not None:
+            # warm_local: run the SAME score_impl per range driver-side —
+            # zero Spark jobs for the whole gated batch (expansion units
+            # were already resolved at planning). Side data comes from
+            # the snapshot: live docstats rows (+ referenced field
+            # columns) when any query has field clauses, else the dead
+            # set (inverted), mirroring the cluster cogroup sides below.
+            if field_cols:
+                side_mode = "live"
+                spdf = loc["docstats_pdf"]
+                if loc["dead_ids"]:
+                    spdf = spdf[~spdf["doc_id"].isin(loc["dead_ids"])]
+                extra = [c for c in field_cols
+                         if c not in ("range_id", "doc_id")]
+                side_by_range = {
+                    int(rid): g.reset_index(drop=True)
+                    for rid, g in spdf[["range_id", "doc_id", *extra]]
+                    .groupby("range_id")
+                }
+            elif loc["dead"]:
+                side_mode = "dead"
+                side_by_range = loc["dead"]
+            else:
+                side_mode = "none"
+                side_by_range = {}
+            tid_set = set(all_tids)
+            frames = []
+            for rid in sorted(loc["rows"]):
+                sub, tid_pos = loc["rows"][rid]
+                pos = [tid_pos[t] for t in tid_set if t in tid_pos]
+                if not pos:
+                    continue
+                out = score_impl(
+                    (rid,), sub.iloc[sorted(pos)],
+                    None if side_mode == "none" else side_by_range.get(rid),
+                )
+                if len(out):
+                    frames.append(out)
+            if not frames:
+                return empty_df(spark, out_schema)
+            cat = pd.concat(frames, ignore_index=True)
+            parts = []
+            for qid, grp in cat.groupby("query_id", sort=True):
+                order = np.lexsort((grp["doc_id"].to_numpy(),
+                                    -grp["score"].to_numpy()))[:k]
+                parts.append(grp.iloc[order])
+            return self.spark.createDataFrame(
+                pd.concat(parts, ignore_index=True), out_schema
+            )
 
         postings = self._postings().filter(
             F.col("shard").isin(shards) & F.col("tid").isin(all_tids)

@@ -150,3 +150,70 @@ def test_local_batch_runs_zero_spark_jobs(spark, pair):
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("local_batch_gate")
     assert list(jobs) == [], f"local batch submitted Spark jobs: {jobs}"
+
+
+@pytest.fixture(scope="module")
+def parsed_pair(spark, corpus, tmp_path_factory):
+    """(cluster, warm_local) over a positional + terms-table build, for
+    the parsed/gated local routes."""
+    d = str(tmp_path_factory.mktemp("localparsed"))
+    build_index(spark, corpus, d, num_shards=8, range_size=256,
+                num_id_buckets=32, store_positions=True, store_terms=True)
+    cold = SearchIndex(spark, d)
+    hot = SearchIndex(spark, d)
+    hot.warm_local()
+    return cold, hot
+
+
+PARSED_LOCAL_QS = [
+    "merge +scan lang:python",        # MUST gate + field
+    "merge^2.5 offset scan^0.5",      # boosts
+    'merge +"merge scan"',            # phrase gate (positional local decode)
+    'offset -"merge scan"',           # excluded phrase
+    "(merge OR offset) AND scan",     # OR-group + operator
+    "merge lang:[go TO java]",        # field range
+    "offset -(sync OR shard)",        # excluded group
+    "mer* offset",                    # expansion (planning jobs, local scoring)
+    "merge scan",                     # pure terms
+    "offset +zzzqqqx",                # unsatisfiable MUST -> empty
+]
+
+
+@pytest.mark.parametrize("q", PARSED_LOCAL_QS)
+def test_local_parsed_matches_cluster(parsed_pair, q):
+    cold, hot = parsed_pair
+    want = _rows(cold.search_parsed(q, k=10))
+    got = _rows(hot.search_parsed(q, k=10))
+    assert got == want, q  # exact float equality
+
+
+def test_local_parsed_gates_run_zero_spark_jobs(spark, parsed_pair):
+    """Gated/boosted/phrase/range parsed queries on a warm_local index
+    submit no Spark job (expansion units are the documented exception —
+    their dictionary lookups run at planning)."""
+    _, hot = parsed_pair
+    gated = [q for q in PARSED_LOCAL_QS if "*" not in q]
+    for q in gated:  # warm the per-predicate filter caches untimed
+        hot.search_parsed(q, k=5).collect()
+    sc = spark.sparkContext
+    sc.setJobGroup("local_parsed_gate", "must stay empty")
+    try:
+        for q in gated:
+            hot.search_parsed(q, k=5).collect()
+        hot.search_many_parsed(
+            {"a": "+merge lang:go scan", "b": "merge scan",
+             "c": '(merge OR offset) AND scan'}, k=5).collect()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("local_parsed_gate")
+    assert list(jobs) == [], f"local parsed path submitted jobs: {jobs}"
+
+
+def test_local_batch_parsed_matches_cluster(parsed_pair):
+    batch = {f"q{i}": q for i, q in enumerate(PARSED_LOCAL_QS)}
+    cold, hot = parsed_pair
+    want = [(r.query_id, r.doc_id, r.score)
+            for r in cold.search_many_parsed(batch, k=7).collect()]
+    got = [(r.query_id, r.doc_id, r.score)
+           for r in hot.search_many_parsed(batch, k=7).collect()]
+    assert got == want and len(got) > 0
