@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--prune-min", type=int, default=None,
                     help="force search_many prune_min_postings (0=always WAND, huge=always TAAT)")
+    ap.add_argument("--gated", action="store_true",
+                    help="A/B the gated/parsed batch (search_many_parsed "
+                         "shared job vs sequential per-query search_parsed)")
+    ap.add_argument("--local", action="store_true",
+                    help="also time the batch (and --p50 set) through the "
+                         "warm_local driver-side snapshot")
     args = ap.parse_args()
 
     from dbsyncer_spark.fixtures.corpus import corpus_df_distributed, reference_queries
@@ -68,6 +74,61 @@ def main() -> None:
         "batch_q_per_s": round(len(batch) / best, 2),
         "batch_walls": walls,
     }
+
+    if args.gated:
+        # The most common production batch shape (+term lang:x term):
+        # every query carries a MUST gate and a field filter, so the r4
+        # router sent each to its own Spark job. A/B the r5 shared job
+        # (_search_many_gated) against that sequential fallback.
+        hot = ["import", "return", "shard", "merge", "offset", "token",
+               "batch", "query", "score", "rank", "index", "block",
+               "skip", "meta", "doc", "hash", "stream", "commit",
+               "flush", "buffer"]
+        langs = ["python", "java", "go", "js", "c"]
+        gated_batch = {
+            f"g{i}": f"+{hot[i]} lang:{langs[i % 5]} {hot[(i + 7) % 20]}"
+            for i in range(20)
+        }
+        idx.search_many_parsed(gated_batch, k=10).collect()  # warmup
+        best_b = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            idx.search_many_parsed(gated_batch, k=10).collect()
+            best_b = min(best_b, time.perf_counter() - t0)
+        # sequential fallback: per-query search_parsed (the r4 shape)
+        best_s = float("inf")
+        for _ in range(max(1, args.reps // 2)):
+            t0 = time.perf_counter()
+            for q in gated_batch.values():
+                idx.search_parsed(q, k=10).collect()
+            best_s = min(best_s, time.perf_counter() - t0)
+        out["gated_n"] = len(gated_batch)
+        out["gated_batch_q_per_s"] = round(len(gated_batch) / best_b, 2)
+        out["gated_sequential_q_per_s"] = round(len(gated_batch) / best_s, 2)
+        out["gated_speedup"] = round(best_s / best_b, 1)
+
+    if args.local:
+        idx_local = SearchIndex(spark, idx_dir)
+        idx_local.warm_local()
+        idx_local.search_many(batch, k=10).collect()  # warmup
+        best_l = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            idx_local.search_many(batch, k=10).collect()
+            best_l = min(best_l, time.perf_counter() - t0)
+        out["local_batch_q_per_s"] = round(len(batch) / best_l, 2)
+        if args.p50:
+            from pyspark.sql import functions as F
+            for q in reference_queries()[:4]:
+                idx_local.search(q["text"], k=q["k"]).collect()
+            lat_l = [float("inf")] * len(reference_queries())
+            for _ in range(3):
+                for qi, q in enumerate(reference_queries()):
+                    flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
+                    t0 = time.perf_counter()
+                    idx_local.search(q["text"], k=q["k"], mode="wand", doc_filter=flt).collect()
+                    lat_l[qi] = min(lat_l[qi], time.perf_counter() - t0)
+            out["local_query_p50_ms"] = round(1000 * statistics.median(lat_l), 1)
 
     if args.p50:
         from pyspark.sql import functions as F
