@@ -43,6 +43,30 @@ except OSError:
     LOAD_START = None
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative hypervisor steal ticks (USER_HZ) across all CPUs.
+
+    loadavg only sees THIS VM's runnable tasks; co-tenant interference
+    shows up as steal time instead (and as memory-bandwidth pressure,
+    which nothing in /proc exposes). Recording the delta lets a reader
+    separate 'the engine got slower' from 'the host was contended' —
+    the r5 adjudication measured 68 s of steal inside a single 20 s
+    window while an identical job ran 3x slower than its idle-window
+    wall."""
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu "):
+                    parts = line.split()
+                    return int(parts[8]) if len(parts) > 8 else None
+    except OSError:
+        pass
+    return None
+
+
+STEAL_START = _steal_ticks()
+
+
 def _materialize(df) -> None:
     """Force full execution of every column (noop sink, no driver collect)."""
     df.write.format("noop").mode("overwrite").save()
@@ -228,6 +252,10 @@ def main() -> None:
         "cpus": cpus,
         "loadavg_start": LOAD_START,
         "loadavg_end": load_end,
+        # co-tenant CPU theft during the run, in seconds (USER_HZ=100);
+        # >~10 s over a bench run means the walls are contention-inflated
+        "steal_s": (None if STEAL_START is None or _steal_ticks() is None
+                    else round((_steal_ticks() - STEAL_START) / 100.0, 1)),
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "index_build_n_docs": N_BENCH_DOCS,
         # query_p50_ms/query_p95_ms keep their r1-r4 meaning (the
