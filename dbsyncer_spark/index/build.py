@@ -728,17 +728,27 @@ def atomic_write_meta(index_dir: str, meta: dict) -> None:
     get_meta_committer().commit(index_dir, meta)
 
 
+def read_meta_for_update(index_dir: str) -> dict | None:
+    """Read root meta as the FIRST HALF of a lock-held read-modify-write
+    — the committer's ``load`` seam, paired with ``atomic_write_meta``.
+    A fenced committer (``CasFencedCommitter``) pins the store's fence
+    version here so a paused writer's later commit is store-rejected
+    instead of clobbering its successor; the default committer just
+    reads the file. Callers must hold the meta lock (same contract as
+    ``atomic_write_meta``); lock-free READERS keep reading ``meta.json``
+    directly. Returns None when the index has no root meta yet."""
+    from dbsyncer_spark.index.coordination import get_meta_committer
+
+    return get_meta_committer().load(index_dir)
+
+
 def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:
     with meta_lock(index_dir):
         _update_root_meta_locked(index_dir, segment, seg_meta)
 
 
 def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> None:
-    root = os.path.join(index_dir, "meta.json")
-    meta = {"segments": {}, "params": {}}
-    if os.path.exists(root):
-        with open(root) as f:
-            meta = json.load(f)
+    meta = read_meta_for_update(index_dir) or {"segments": {}, "params": {}}
     shared = {
         k: seg_meta[k]
         for k in (
@@ -790,8 +800,9 @@ def write_meta_locked(index_dir: str, mutate) -> dict | None:
             "(meta mutations require an existing root meta)"
         )
     with meta_lock(index_dir):
-        with open(root) as f:
-            fresh = json.load(f)
+        fresh = read_meta_for_update(index_dir)
+        if fresh is None:  # root vanished between the check and the lock
+            raise FileNotFoundError(f"{root} disappeared before the update")
         meta = mutate(fresh)
         if meta is None:
             return None

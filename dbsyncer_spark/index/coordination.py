@@ -428,6 +428,17 @@ class PosixRenameCommitter:
     analysis). Subclass/replace for stores without rename atomicity
     (e.g. write-new-object + pointer swap in a catalog)."""
 
+    def load(self, index_dir: str) -> dict | None:
+        """Read root meta as the first half of a lock-held
+        read-modify-write (``read_meta_for_update``); None = not built
+        yet. The plain committer just reads the file — fenced backends
+        override this to pin a version alongside."""
+        root = os.path.join(index_dir, "meta.json")
+        if not os.path.exists(root):
+            return None
+        with open(root) as f:
+            return json.load(f)
+
     def commit(self, index_dir: str, meta: dict) -> None:
         root = os.path.join(index_dir, "meta.json")
         tmp = root + ".tmp"
@@ -444,6 +455,97 @@ class PosixRenameCommitter:
                 os.close(dfd)
         except OSError:
             pass  # directory fsync unsupported on some filesystems
+
+
+class StaleMetaCommit(RuntimeError):
+    """A fenced commit lost: the store's fence version moved between
+    this writer's ``load()`` and its ``commit()`` — a successor already
+    committed (the classic paused-holder/zombie-writer schedule). The
+    caller's mutation was computed from a stale snapshot and MUST NOT
+    be retried blindly; re-enter the read-modify-write from a fresh
+    ``read_meta_for_update``."""
+
+
+class CasFencedCommitter:
+    """Version-fenced root-meta commits over the same conditional-put
+    store interface ``CasLeaseLock`` uses — the second half of the
+    object-store concurrency story.
+
+    A lease lock (even the CAS one) guarantees at most one LIVE holder,
+    but it cannot stop a holder that already entered the critical
+    section, paused past its TTL (GC stall, VM freeze), and woke after
+    a successor stole the lease and committed: the zombie's
+    ``atomic_write_meta`` still lands and silently erases the
+    successor's update. The fence closes exactly that window at the
+    store instead of at the clock:
+
+    - ``load()`` (every lock-held read-modify-write calls it via
+      ``read_meta_for_update``) reads the fence record and PINS its
+      version (creating it with ``put_if_absent`` on first contact);
+    - ``commit()`` first advances the fence with
+      ``put_if_version(expected=pinned)`` and only then delegates the
+      data-plane write to the inner committer (default
+      ``PosixRenameCommitter``). The zombie's commit carries the stale
+      pinned version, the store rejects it, and the lost update becomes
+      a loud ``StaleMetaCommit`` with nothing written.
+
+    Crash between fence-advance and inner write: meta is simply
+    unchanged (the fence is a counter, not a content hash) — the
+    writer's unpublished segment dirs are reclaimed by the orphan
+    sweep, same as any pre-publish crash. Store mapping is the
+    ``InMemoryCasStore`` table (S3 ``If-Match`` / GCS
+    ``ifGenerationMatch`` / DynamoDB conditional update). Writers are
+    serialized by the meta lock, so per-index pins need no finer
+    granularity than this process-global map."""
+
+    def __init__(self, store, inner=None):
+        self.store = store
+        self.inner = inner if inner is not None else PosixRenameCommitter()
+        self._pins: dict[str, int] = {}
+        self._mu = threading.Lock()
+
+    @staticmethod
+    def key_of(index_dir: str) -> str:
+        return os.path.join(index_dir, "meta.fence")
+
+    def load(self, index_dir: str) -> dict | None:
+        key = self.key_of(index_dir)
+        cur = self.store.get(key)
+        if cur is None:
+            ver = self.store.put_if_absent(key, {"init": time.time()})
+            if ver is None:  # lost the init race — someone else created it
+                cur = self.store.get(key)
+                if cur is None:  # created AND deleted underneath — retry
+                    return self.load(index_dir)
+                ver = cur[1]
+        else:
+            ver = cur[1]
+        with self._mu:
+            self._pins[index_dir] = ver
+        return self.inner.load(index_dir)
+
+    def commit(self, index_dir: str, meta: dict) -> None:
+        key = self.key_of(index_dir)
+        with self._mu:
+            pinned = self._pins.get(index_dir)
+        if pinned is None:
+            raise RuntimeError(
+                "CasFencedCommitter.commit without a prior load() — route "
+                "read-modify-writes through read_meta_for_update so the "
+                "fence version is pinned at read time"
+            )
+        new_ver = self.store.put_if_version(
+            key, {"committed": time.time()}, pinned
+        )
+        if new_ver is None:
+            raise StaleMetaCommit(
+                f"meta fence for {index_dir} moved past version {pinned}: "
+                "a successor committed while this writer was paused — "
+                "its snapshot is stale and was NOT written"
+            )
+        with self._mu:
+            self._pins[index_dir] = new_ver
+        self.inner.commit(index_dir, meta)
 
 
 _lock_provider = FlockLock()

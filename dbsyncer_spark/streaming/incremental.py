@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from dbsyncer_spark.index.build import (
     append_segment,
     build_index,
+    read_meta_for_update as _read_meta_for_update,
     reserve_segment_name as _reserve_segment_name,
     unreserve_segment_name as _unreserve_segment_name,
     write_meta_locked as _write_meta_locked,
@@ -843,7 +844,7 @@ def _compact_tombstones(spark: SparkSession, index_dir: str,
             shutil.rmtree(tmp, ignore_errors=True)
             continue
         with meta_lock(index_dir):
-            fresh = _read_root_meta(index_dir) or {}
+            fresh = _read_meta_for_update(index_dir) or {}
             if (_active_tomb_dir(index_dir, fresh) == cur
                     and _tomb_data_files(cur) == pinned):
                 shutil.rmtree(nxt, ignore_errors=True)
@@ -955,7 +956,7 @@ def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> No
             if not dirs_now:
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
-            fresh = _read_root_meta(index_dir) or {}
+            fresh = _read_meta_for_update(index_dir) or {}
             if (_active_tomb_dir(index_dir, fresh) == cur
                     and _data_files(cur) == pinned
                     and dirs_now == dirs):
@@ -976,7 +977,7 @@ def _gc_staged_tombstones(spark: SparkSession, index_dir: str, tags: list) -> No
         dirs = _staged_dirs()
         if not dirs:
             return
-        meta = _read_root_meta(index_dir) or {}
+        meta = _read_meta_for_update(index_dir) or {}
         cur = _active_tomb_dir(index_dir, meta)
         if os.path.exists(cur):
             nxt_name = _next_tomb_gen(os.path.basename(cur))

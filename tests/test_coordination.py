@@ -431,3 +431,85 @@ def test_cas_lock_basics_and_renewal(tmp_path):
         assert store.get(key) is None
     finally:
         co.set_lock_provider(prev)
+
+
+# ---------------------------------------------------------------------------
+# CasFencedCommitter: version-fenced commits (the zombie-writer close-out)
+# ---------------------------------------------------------------------------
+
+
+def test_fenced_commit_normal_cycle(tmp_path):
+    d = str(tmp_path)
+    store = co.InMemoryCasStore()
+    c = co.CasFencedCommitter(store)
+    assert c.load(d) is None  # not built yet — still pins the fence
+    c.commit(d, {"segments": {}, "params": {"v": 1}})
+    assert c.load(d)["params"] == {"v": 1}
+    c.commit(d, {"segments": {}, "params": {"v": 2}})
+    assert json.load(open(os.path.join(d, "meta.json")))["params"] == {"v": 2}
+
+
+def test_fenced_commit_requires_load(tmp_path):
+    c = co.CasFencedCommitter(co.InMemoryCasStore())
+    with pytest.raises(RuntimeError, match="prior load"):
+        c.commit(str(tmp_path), {"segments": {}})
+
+
+def test_fenced_commit_rejects_zombie_writer(tmp_path):
+    """The schedule no lock can stop: writer A enters the critical
+    section and pauses; its lease expires; successor B steals, runs its
+    own read-modify-write, commits; A wakes and commits its stale
+    mutation. Under the plain committer A's write lands and erases B's
+    (characterized below); under the fence the store rejects A and B's
+    meta survives."""
+    d = str(tmp_path)
+    store = co.InMemoryCasStore()
+    c = co.CasFencedCommitter(store)
+    c.load(d)
+    c.commit(d, {"segments": {}, "params": {}, "owner": "init"})
+
+    a = co.CasFencedCommitter(store)   # zombie writer (own process/pins)
+    b = co.CasFencedCommitter(store)   # successor
+    meta_a = dict(a.load(d) or {}, owner="A")   # A reads, then pauses
+    meta_b = dict(b.load(d) or {}, owner="B")   # B steals + commits
+    b.commit(d, meta_b)
+    with pytest.raises(co.StaleMetaCommit):     # A wakes — store-rejected
+        a.commit(d, meta_a)
+    assert json.load(open(os.path.join(d, "meta.json")))["owner"] == "B"
+    # characterization: the unfenced default committer CANNOT stop A
+    co.PosixRenameCommitter().commit(d, meta_a)
+    assert json.load(open(os.path.join(d, "meta.json")))["owner"] == "A"
+
+
+def test_fenced_commit_through_engine_seam(tmp_path):
+    """write_meta_locked routes its read through committer.load, so the
+    fence pins at read time and a successor's interleaved commit turns
+    the stale write into StaleMetaCommit with nothing written."""
+    from dbsyncer_spark.index.build import write_meta_locked
+
+    d = str(tmp_path)
+    store = co.InMemoryCasStore()
+    prev = co.get_meta_committer()
+    co.set_meta_committer(co.CasFencedCommitter(store))
+    try:
+        with meta_lock(d):
+            co.get_meta_committer().load(d)
+            atomic_write_meta(d, {"segments": {}, "params": {}, "n": 0})
+
+        def steal_then_mutate(fresh):
+            # while the engine's RMW holds its snapshot, a successor
+            # (different pins) lands its own fenced commit
+            succ = co.CasFencedCommitter(store)
+            succ.load(d)
+            succ.commit(d, {"segments": {}, "params": {}, "n": 99})
+            return dict(fresh, n=fresh["n"] + 1)
+
+        with pytest.raises(co.StaleMetaCommit):
+            write_meta_locked(d, steal_then_mutate)
+        assert json.load(open(os.path.join(d, "meta.json")))["n"] == 99, \
+            "the zombie's stale mutation overwrote the successor"
+        # and a clean retry from a fresh read succeeds
+        write_meta_locked(d, lambda m: dict(m, n=m["n"] + 1))
+        assert json.load(open(os.path.join(d, "meta.json")))["n"] == 100
+    finally:
+        co.set_meta_committer(prev)
