@@ -470,6 +470,8 @@ class SearchIndex:
         # warm_local() state: driver-resident postings/docstats/dead-set
         # for the zero-job serving fast path (None = cluster path)
         self._local: dict | None = None
+        self._local_budget: int = 256 << 20
+        self._warmed: dict | None = None  # warm() args, replayed by refresh()
 
     # -- paths ----------------------------------------------------------
     def _union_read(self, sub: str) -> DataFrame:
@@ -562,6 +564,54 @@ class SearchIndex:
     def _dictionary(self) -> DataFrame:
         return self._union_read("dictionary")
 
+    def refresh(self) -> bool:
+        """Read-your-writes re-open IN PLACE — the analog of the
+        reference's blocking searcher refresh before a query
+        (``Shard.java:219-229`` ``prepareSearcherForRead``; its commit
+        scheduler pairs with our writers' atomic meta swap). Readers are
+        snapshot-pinned at open (Lucene semantics); ``refresh()`` is the
+        explicit step that makes writes since then visible WITHOUT
+        building a new handle: re-reads root meta lock-free (atomic
+        swap ⇒ old or new, never torn), and when the snapshot moved —
+        new/merged segments, a flipped tombstone generation — drops this
+        handle's cached plans/persisted frames and re-establishes every
+        warm tier that was active (driver dictionary, pinned postings,
+        ``warm_local``, each at its recorded settings; the local budget
+        is re-checked, so an index that outgrew it raises here rather
+        than serving stale). Returns True when the snapshot advanced
+        (warm tiers rebuilt), False when meta was unchanged — then only
+        volatile caches (selectivity, local filter sets) are cleared,
+        since same-generation tombstone appends flow through the normal
+        per-query tombstone read on the cluster path. A warm_local
+        snapshot CAN still go stale against same-generation deletes
+        without a meta change — callers mixing warm_local with live
+        deletes should refresh on the writer's cadence (the reference's
+        3 s commit/refresh loop) or after ``delete_docs`` returns."""
+        with open(os.path.join(self.index_dir, "meta.json")) as f:
+            fresh = json.load(f)
+        was_dict = self._driver_dict is not None
+        was_warm = self._warmed
+        was_local = self._local is not None
+        local_budget = self._local_budget
+        if fresh == self.meta:
+            self._sel_cache.clear()
+            if was_local:  # re-pull: picks up same-generation deletes
+                self.warm_local(max_bytes=local_budget)
+            return False
+        for df in self._df_cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.__init__(self.spark, self.index_dir)
+        if was_warm is not None:
+            self.warm(**was_warm)
+        if was_dict:
+            self.warm_driver_dictionary()
+        if was_local:
+            self.warm_local(max_bytes=local_budget)
+        return True
+
     def warm(self, cache_dictionary: bool = True, cache_postings: bool = False) -> None:
         """Serving-session warm-up: resolve the file indexes and pin the
         dictionary in executor memory (it is ~1e-4 of index size —
@@ -571,6 +621,11 @@ class SearchIndex:
         for a dedicated serving session whose index (or hot shard subset)
         fits cluster memory; at full 100 TB scale leave it off and rely
         on shard partition pruning + the OS page cache."""
+        prev = self._warmed or {}
+        self._warmed = {  # OR across calls so refresh() replays the union
+            "cache_dictionary": cache_dictionary or prev.get("cache_dictionary", False),
+            "cache_postings": cache_postings or prev.get("cache_postings", False),
+        }
         self._postings()
         if cache_dictionary:
             d = self._dictionary().persist()
@@ -635,8 +690,10 @@ class SearchIndex:
         (arbitrary DataFrame lineage) still routes to the cluster path.
 
         Snapshot semantics like ``warm(cache_postings=True)``: deletes /
-        merges landing after warm_local are not visible — re-open the
-        index (the maintenance path's reader-snapshot rules apply)."""
+        merges landing after warm_local are not visible — call
+        ``refresh()`` (or re-open the index; the maintenance path's
+        reader-snapshot rules apply)."""
+        self._local_budget = max_bytes
         est = 0
         for seg in self._seg_dirs:
             p = os.path.join(seg, "postings")

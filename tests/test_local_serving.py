@@ -217,3 +217,56 @@ def test_local_batch_parsed_matches_cluster(parsed_pair):
     got = [(r.query_id, r.doc_id, r.score)
            for r in hot.search_many_parsed(batch, k=7).collect()]
     assert got == want and len(got) > 0
+
+
+def test_refresh_read_your_writes(spark, corpus, tmp_path_factory):
+    """SearchIndex.refresh() — the reference's prepareSearcherForRead
+    analog: a warm (dictionary + warm_local) handle picks up appends,
+    deletes, and merges in place, matching a freshly opened handle
+    exactly; same-generation deletes (no meta change) surface via the
+    documented False-return re-pull path."""
+    from dbsyncer_spark.streaming.incremental import (
+        delete_docs, maybe_merge, update_docs,
+    )
+
+    d = str(tmp_path_factory.mktemp("refreshidx"))
+    build_index(spark, corpus, d, num_shards=8, range_size=256,
+                num_id_buckets=32)
+    h = SearchIndex(spark, d)
+    h.warm_driver_dictionary()
+    h.warm_local()
+    before = _rows(h.search("merge scan", k=10))
+    assert before
+
+    # same-generation delete: meta is untouched, refresh returns False
+    # but re-pulls the local dead set — deletes become visible
+    victims = [r.doc_id for r, _ in zip(
+        (x for x in h.search("merge scan", k=10).collect()), range(3))]
+    kdf = (h.docstats().filter(F.col("doc_id").isin(victims))
+           .select("repo", "path"))
+    delete_docs(spark, d, kdf)
+    assert h.refresh() is False
+    after_del = _rows(h.search("merge scan", k=10))
+    assert not ({r[0] for r in after_del} & set(victims))
+
+    # snapshot-advancing writes: append + merge -> refresh returns True
+    extra = corpus.limit(40).withColumn(
+        "repo", F.concat(F.lit("zz_"), F.col("repo")))
+    update_docs(spark, d, extra, key_cols=("repo", "path"))
+    maybe_merge(spark, d, merge_at=2)
+    assert h.refresh() is True
+    assert h._local is not None and h._driver_dict is not None, \
+        "refresh dropped the warm tiers instead of re-establishing them"
+
+    fresh = SearchIndex(spark, d)
+    fresh.warm_local()
+    for q in ("merge scan", "offset shard token", "zz"):
+        assert _rows(h.search(q, k=10)) == _rows(fresh.search(q, k=10)), q
+    # and the refreshed handle still runs zero-job local serving
+    sc = spark.sparkContext
+    sc.setJobGroup("refresh_local_gate", "must stay empty")
+    try:
+        h.search("merge scan", k=10).collect()
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("refresh_local_gate")) == []
