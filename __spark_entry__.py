@@ -551,6 +551,105 @@ def q_update_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-tailed ChangedEvent CDC replay (C1) under the oracle gate:
+    a JSON-lines event file — the exact payload a binlog listener
+    process would emit (``MySQLListener.java:228-353`` RowChangedEvent,
+    ``ChangedEventTypeEnum`` ROW ops) — is replayed through
+    ``replay_changed_events`` into a FRESH index (insert batch A,
+    insert batch B, updates, deletes, multiple micro-batch flushes with
+    last-event-per-key reduction), then searched; the DuckDB oracle
+    computes BM25 over the final logical corpus. This puts the whole
+    transport->classify->batch->apply chain under the same value-hash
+    gate as the direct-call lifecycle row (`update_merge_search`).
+
+    Deterministic doc_id-modulus subsets (disjoint from the lifecycle
+    row's %37 so the two cached work dirs never alias): batch A =
+    id%41==0, batch B = id%41==1, updated = A & id%3==0 (content +
+    ' replay replay'), deleted = (A & id%3==1) | (B & id%5==0). The
+    driver-side collect is the transport itself (an event FILE is by
+    definition driver/edge-resident) and is bounded to ~2/41 of the
+    corpus."""
+    import shutil
+
+    from dbsyncer_spark.index.search import SearchIndex
+    from dbsyncer_spark.sources.cdc import replay_changed_events
+
+    docs = _t(spark, sf_dir, "documents")
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    code = _engine_code_hash()
+    for stale in glob.glob(os.path.join(
+            tempfile.gettempdir(), f"dbsyncer_cdc_*_{sf_base}")):
+        if f"_{code}_" not in os.path.basename(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+    work = os.path.join(
+        tempfile.gettempdir(), f"dbsyncer_cdc_{code}_{sf_base}",
+    )
+    done = os.path.join(work, "_CDC_DONE")
+    idx_dir = os.path.join(work, "idx")
+    if not os.path.exists(done):
+        import hashlib as _hl
+        import json as _json
+
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        rows = (
+            docs.filter((F.col("doc_id") % 41).isin(0, 1))
+            .select("doc_id", "lang", "text")
+            .collect()
+        )
+        by_id = {r.doc_id: r for r in rows}
+
+        def ev(op: str, i: int, text: str | None = None) -> str:
+            r = by_id[i]
+            content = r.text if text is None else text
+            row = {"repo": "corpus", "path": f"d{str(i).zfill(12)}",
+                   "commit": _hl.md5(content.encode()).hexdigest(),
+                   "lang": r.lang, "content": content}
+            if op == "DELETE":  # a binlog delete carries only the key image
+                row = {"repo": row["repo"], "path": row["path"]}
+            return _json.dumps({"type": "ROW", "event": op,
+                                "changedRow": row})
+
+        a = sorted(i for i in by_id if i % 41 == 0)
+        b = sorted(i for i in by_id if i % 41 == 1)
+        lines = (
+            [ev("INSERT", i) for i in a]
+            + [ev("INSERT", i) for i in b]
+            + [ev("UPDATE", i, by_id[i].text + " replay replay")
+               for i in a if i % 3 == 0]
+            + [ev("DELETE", i) for i in a if i % 3 == 1]
+            + [ev("DELETE", i) for i in b if i % 5 == 0]
+        )
+        events_file = os.path.join(work, "events.jsonl")
+        with open(events_file, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        # max_batch_rows forces >=2 flushes even at the smoke sf, so the
+        # update/delete-against-existing-index paths run (not just the
+        # single-batch insert fold)
+        replay_changed_events(
+            spark, events_file, idx_dir,
+            max_batch_rows=max(16, len(a)),
+            checkpoint_file=os.path.join(work, "offset.json"),
+            num_shards=8,
+        )
+        # cover every tombstone so index stats (n_docs, avgdl, df) equal
+        # the logical corpus exactly — the invariant the oracle checks;
+        # same reasoning as q_update_merge_search (un-merged deletes
+        # still count in corpus stats, Lucene semantics)
+        from dbsyncer_spark.streaming.incremental import maybe_merge
+
+        if maybe_merge(spark, idx_dir, tier_factor=1 << 30, merge_at=2,
+                       max_merge=10, reclaim_ratio=0.01,
+                       retire_grace_s=0.0) is None:
+            raise RuntimeError("cdc replay merge found no candidates")
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = SearchIndex(spark, idx_dir)
+    topk = idx.search(FLAGSHIP_QUERY, k=20 + _TIE_SLACK, mode="wand")
+    return _docid_from_path(idx.fetch(topk), 20)
+
+
 #: batched serving contract: one search_many job; every query's rows must
 #: equal its per-query BM25 oracle (vocabulary-present term sets)
 BATCH_QUERIES = {"q1": FLAGSHIP_QUERY, "q2": "hash join",
@@ -1227,7 +1326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (cursor paging strictly generalizes OFFSET), count_group ⊂ tpch_q1
     # (hash agg + decimal sums), mix_weighted ⊂ mix_oversampled (the
     # oversample mix contains a sub-1.0 weighted slice). The at-risk
-    # multimodal/DDL rows now sit early as extra insurance.
+    # multimodal/DDL rows now sit early as extra insurance. r5 adds
+    # cdc_replay (the file-tailed ChangedEvent adapter under the hash
+    # gate) and drops cosine_topk ⊂ knn_join (same cosine kernel and
+    # TakeOrdered plan; knn_join is its n_queries>1 generalization) for
+    # exactly 50 rows.
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_index_wand": q_bm25_index_wand,
@@ -1243,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query": q_parsed_query,
         "parsed_wildcard": q_parsed_wildcard,
         "update_merge_search": q_update_merge_search,
+        "cdc_replay": q_cdc_replay,
         "batch_search": q_batch_search,
         "batch_filtered": q_batch_filtered,
         "batch_phrase": q_batch_phrase,
@@ -1272,7 +1376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "cosine_topk": q_cosine_topk_impl,
         "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1319,6 +1422,17 @@ ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
   SELECT doc_id, text FROM documents WHERE doc_id % 37 = 1 AND doc_id % 7 <> 0
 )"""
     sql["update_merge_search"] = _bm25_oracle(FLAGSHIP_QUERY, 20, src=lifecycle_src)
+    # the final logical corpus after the CDC replay's I/U/D events —
+    # see q_cdc_replay for the modulus partition
+    cdc_src = """(
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0 AND doc_id % 3 NOT IN (0, 1)
+  UNION ALL
+  SELECT doc_id, text || ' replay replay' AS text FROM documents
+  WHERE doc_id % 41 = 0 AND doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 1 AND doc_id % 5 <> 0
+)"""
+    sql["cdc_replay"] = _bm25_oracle(FLAGSHIP_QUERY, 20, src=cdc_src)
     sql["batch_search"] = " UNION ALL ".join(
         f"SELECT '{qid}' AS query_id, * FROM ({_bm25_oracle(q, 20)})"
         for qid, q in BATCH_QUERIES.items()
@@ -1580,13 +1694,8 @@ FROM votes GROUP BY doc_id
         "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(q.qv, q.qv)))"
     )
-    sql["cosine_topk"] = f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round(s, 6) AS score FROM (
-  SELECT vec_id, {_cos} AS s FROM embeddings CROSS JOIN q
-) ORDER BY s DESC, vec_id ASC LIMIT 10
-"""
-
+    # cosine_topk's oracle retired with its queries() row (⊂ knn_join);
+    # q_cosine_topk_impl stays as the library example + pytest surface
     sql["knn_join"] = f"""
 WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2)),
 s AS (
