@@ -35,19 +35,22 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
 N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
 
 
-def _steal_ticks() -> int:
+def _steal_ticks() -> int | None:
     """Cumulative hypervisor steal ticks (USER_HZ), as in bench.py:
     loadavg only sees this VM's runnable tasks; co-tenant theft shows up
-    here instead. 0 if /proc/stat is unreadable (non-Linux)."""
+    here instead. None (not 0) when /proc/stat is unreadable or has no
+    steal field — "unmeasurable" must stay distinguishable from
+    "measured zero theft", since the recorded steal_s adjudicates
+    failing scaling ratios (r5 review)."""
     try:
         with open("/proc/stat") as f:
             for line in f:
                 if line.startswith("cpu "):
                     parts = line.split()
-                    return int(parts[8]) if len(parts) > 8 else 0
+                    return int(parts[8]) if len(parts) > 8 else None
     except OSError:
         pass
-    return 0
+    return None
 
 
 def _corpus_path() -> str:
@@ -176,7 +179,9 @@ def main() -> None:
                 loads.append(float(f.read().split()[0]))
             s0 = _steal_ticks()
             r = run_level(cpus)
-            r["steal_s"] = round((_steal_ticks() - s0) / 100.0, 1)
+            s1 = _steal_ticks()
+            r["steal_s"] = (round((s1 - s0) / 100.0, 1)
+                            if s0 is not None and s1 is not None else None)
             steals.append(r["steal_s"])
             runs[cpus].append(r)
     small = min(runs[N_SMALL], key=lambda r: r["build_s"])

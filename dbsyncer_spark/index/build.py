@@ -736,10 +736,23 @@ def read_meta_for_update(index_dir: str) -> dict | None:
     instead of clobbering its successor; the default committer just
     reads the file. Callers must hold the meta lock (same contract as
     ``atomic_write_meta``); lock-free READERS keep reading ``meta.json``
-    directly. Returns None when the index has no root meta yet."""
-    from dbsyncer_spark.index.coordination import get_meta_committer
+    directly. Returns None when the index has no root meta yet.
 
-    return get_meta_committer().load(index_dir)
+    Committers installed via ``set_meta_committer`` that predate the
+    ``load`` seam (the documented contract was commit-only until r5)
+    are still honored: when the object has no ``load``, fall back to
+    the default POSIX read instead of crashing every lock-held RMW
+    with AttributeError (r5 review)."""
+    from dbsyncer_spark.index.coordination import (
+        PosixRenameCommitter,
+        get_meta_committer,
+    )
+
+    committer = get_meta_committer()
+    load = getattr(committer, "load", None)
+    if load is None:
+        return PosixRenameCommitter().load(index_dir)
+    return load(index_dir)
 
 
 def _update_root_meta(index_dir: str, segment: str, seg_meta: dict) -> None:

@@ -496,12 +496,27 @@ class CasFencedCommitter:
     ``InMemoryCasStore`` table (S3 ``If-Match`` / GCS
     ``ifGenerationMatch`` / DynamoDB conditional update). Writers are
     serialized by the meta lock, so per-index pins need no finer
-    granularity than this process-global map."""
+    granularity than this process-global map.
+
+    Pins are a per-index LIFO STACK, not a single slot: each
+    ``commit()`` consumes the pin of ITS OWN ``load()``. A single
+    shared slot would let an interleaved inner load/commit cycle on the
+    same index (e.g. reentry through a TTL-stolen lease) re-pin the
+    outer writer to the ADVANCED version, so the outer stale commit
+    would pass the fence — the exact lost update the fence exists to
+    reject (r5 review). With the stack the outer commit carries its own
+    stale pin and dies loudly as ``StaleMetaCommit``. Consequence:
+    every commit must be preceded by its own ``read_meta_for_update``
+    (which is the documented RMW contract and how every engine path
+    behaves); aborted RMWs (load without commit — e.g. a no-op
+    ``maybe_merge``) leave a dead entry behind, bounded by the cap."""
+
+    _PIN_STACK_CAP = 8
 
     def __init__(self, store, inner=None):
         self.store = store
         self.inner = inner if inner is not None else PosixRenameCommitter()
-        self._pins: dict[str, int] = {}
+        self._pins: dict[str, list[int]] = {}
         self._mu = threading.Lock()
 
     @staticmethod
@@ -521,13 +536,17 @@ class CasFencedCommitter:
         else:
             ver = cur[1]
         with self._mu:
-            self._pins[index_dir] = ver
+            st = self._pins.setdefault(index_dir, [])
+            st.append(ver)
+            if len(st) > self._PIN_STACK_CAP:  # abandoned-RMW leftovers
+                del st[0]
         return self.inner.load(index_dir)
 
     def commit(self, index_dir: str, meta: dict) -> None:
         key = self.key_of(index_dir)
         with self._mu:
-            pinned = self._pins.get(index_dir)
+            st = self._pins.get(index_dir)
+            pinned = st.pop() if st else None
         if pinned is None:
             raise RuntimeError(
                 "CasFencedCommitter.commit without a prior load() — route "
@@ -543,8 +562,6 @@ class CasFencedCommitter:
                 "a successor committed while this writer was paused — "
                 "its snapshot is stale and was NOT written"
             )
-        with self._mu:
-            self._pins[index_dir] = new_ver
         self.inner.commit(index_dir, meta)
 
 

@@ -580,13 +580,17 @@ class SearchIndex:
         is re-checked, so an index that outgrew it raises here rather
         than serving stale). Returns True when the snapshot advanced
         (warm tiers rebuilt), False when meta was unchanged — then only
-        volatile caches (selectivity, local filter sets) are cleared,
-        since same-generation tombstone appends flow through the normal
-        per-query tombstone read on the cluster path. A warm_local
-        snapshot CAN still go stale against same-generation deletes
-        without a meta change — callers mixing warm_local with live
-        deletes should refresh on the writer's cadence (the reference's
-        3 s commit/refresh loop) or after ``delete_docs`` returns."""
+        what CAN have moved inside a generation is re-pulled: volatile
+        caches (selectivity, local filter sets) are cleared and an
+        active warm_local snapshot re-reads just the tombstone dead set
+        (postings/docstats are immutable per segment, so the full
+        driver re-collect is skipped — r5 review); same-generation
+        tombstone appends flow through the normal per-query tombstone
+        read on the cluster path. A warm_local snapshot CAN still go
+        stale against same-generation deletes without a meta change —
+        callers mixing warm_local with live deletes should refresh on
+        the writer's cadence (the reference's 3 s commit/refresh loop)
+        or after ``delete_docs`` returns."""
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             fresh = json.load(f)
         was_dict = self._driver_dict is not None
@@ -596,7 +600,7 @@ class SearchIndex:
         if fresh == self.meta:
             self._sel_cache.clear()
             if was_local:  # re-pull: picks up same-generation deletes
-                self.warm_local(max_bytes=local_budget)
+                self._local_refresh_tombstones()
             return False
         for df in self._df_cache.values():
             try:
@@ -711,15 +715,7 @@ class SearchIndex:
         for rid, sub in pdf.groupby("range_id"):
             sub = sub.reset_index(drop=True)
             rows_by_range[int(rid)] = (sub, {int(t): i for i, t in enumerate(sub["tid"])})
-        tomb = self._tombstones()
-        dead_by_range: dict[int, pd.DataFrame] = {}
-        if tomb is not None:
-            dead_pdf = tomb.select("doc_id").distinct().toPandas()
-            dead_pdf["range_id"] = dead_pdf["doc_id"] // self.range_size
-            dead_by_range = {
-                int(rid): sub.reset_index(drop=True)
-                for rid, sub in dead_pdf.groupby("range_id")
-            }
+        dead_by_range = self._local_dead_by_range()
         stats_pdf = self.docstats().toPandas()
         self._local = {
             "rows": rows_by_range,
@@ -739,6 +735,40 @@ class SearchIndex:
             ),
             "filters": {},  # predicate str -> {range_id: allowed doc_id ndarray}
         }
+
+    def _local_dead_by_range(self) -> dict:
+        """range_id -> pd.DataFrame of dead doc_ids from this reader's
+        pinned tombstone generation — the warm_local dead set."""
+        tomb = self._tombstones()
+        dead_by_range: dict[int, pd.DataFrame] = {}
+        if tomb is not None:
+            dead_pdf = tomb.select("doc_id").distinct().toPandas()
+            dead_pdf["range_id"] = dead_pdf["doc_id"] // self.range_size
+            dead_by_range = {
+                int(rid): sub.reset_index(drop=True)
+                for rid, sub in dead_pdf.groupby("range_id")
+            }
+        return dead_by_range
+
+    def _local_refresh_tombstones(self) -> None:
+        """Re-pull ONLY the dead set into the warm_local snapshot.
+
+        Within one meta generation the only thing that can change is
+        tombstone appends — postings, docstats, and the dictionary are
+        immutable per segment and any segment/generation change moves
+        root meta. So ``refresh()`` on an UNCHANGED meta must not re-run
+        ``warm_local`` in full (re-collecting every posting blob +
+        docstats to the driver on the writer's 3 s refresh cadence, r5
+        review); it re-reads the pinned generation's tombstone parquet
+        and invalidates the cached per-predicate allowed sets, which
+        fold ``dead_ids`` in."""
+        loc = self._local
+        dead_by_range = self._local_dead_by_range()
+        loc["dead"] = dead_by_range
+        loc["dead_ids"] = (set() if not dead_by_range else {
+            int(i) for sub in dead_by_range.values() for i in sub["doc_id"]
+        })
+        loc["filters"].clear()
 
     def _search_local(self, query: str, k: int, mode: str, doc_filter,
                       after, boosts) -> DataFrame:
@@ -1990,9 +2020,13 @@ class SearchIndex:
             )
         if not parts:
             return empty_df(self.spark, "query_id string, doc_id long, score double")
-        if len(parts) == 1:
-            # every batch shape already emits the contract order
-            # (query_id, score desc, doc_id asc) — no re-sort needed
+        if len(parts) == 1 and not fallback:
+            # the batch KERNELS already emit the contract order
+            # (query_id, score desc, doc_id asc) — no re-sort needed. A
+            # lone fallback part must NOT take this exit: its match_all
+            # page is doc_id-DESC, and skipping the re-sort would make a
+            # single filter-only query's order depend on batch size
+            # (r5 review)
             return parts[0]
         if self._local is not None and not fallback:
             # warm_local: the parts are LocalRelations — a Spark orderBy

@@ -513,3 +513,59 @@ def test_fenced_commit_through_engine_seam(tmp_path):
         assert json.load(open(os.path.join(d, "meta.json")))["n"] == 100
     finally:
         co.set_meta_committer(prev)
+
+
+def test_fenced_commit_same_instance_interleave(tmp_path):
+    """Same committer INSTANCE, nested load/commit cycle on the same
+    index (the shape reentry through a TTL-stolen lease would produce):
+    with a single shared pin slot the inner cycle re-pins the outer
+    writer to the advanced fence version and the outer stale commit
+    PASSES the fence — the exact lost update the fence exists to
+    reject. The per-index pin stack makes the outer commit carry its
+    own pin and die loudly (r5 review)."""
+    d = str(tmp_path)
+    store = co.InMemoryCasStore()
+    c = co.CasFencedCommitter(store)
+    c.load(d)
+    c.commit(d, {"segments": {}, "params": {}, "owner": "init"})
+    outer = dict(c.load(d) or {}, owner="outer")  # outer RMW begins
+    inner = dict(c.load(d) or {}, owner="inner")  # nested cycle lands
+    c.commit(d, inner)
+    with pytest.raises(co.StaleMetaCommit):
+        c.commit(d, outer)
+    assert json.load(open(os.path.join(d, "meta.json")))["owner"] == "inner"
+
+
+def test_fenced_commit_aborted_rmw_pins_stay_bounded(tmp_path):
+    """load-without-commit is a normal engine path (a no-op maybe_merge
+    aborts its RMW); the dead pins it leaves must stay bounded and must
+    not poison the next proper cycle."""
+    d = str(tmp_path)
+    c = co.CasFencedCommitter(co.InMemoryCasStore())
+    for _ in range(50):
+        c.load(d)
+    assert len(c._pins[d]) <= c._PIN_STACK_CAP
+    c.commit(d, {"segments": {}, "params": {}, "n": 1})
+    assert json.load(open(os.path.join(d, "meta.json")))["n"] == 1
+
+
+def test_commit_only_committer_still_loads(tmp_path):
+    """A committer installed through the documented commit-only seam
+    (the pre-r5 contract exposed only ``commit``) must not crash every
+    lock-held read: read_meta_for_update falls back to the default
+    POSIX read when the object has no ``load`` (r5 review)."""
+    from dbsyncer_spark.index.build import read_meta_for_update
+
+    class CommitOnly:
+        def commit(self, index_dir, meta):
+            co.PosixRenameCommitter().commit(index_dir, meta)
+
+    d = str(tmp_path)
+    prev = co.get_meta_committer()
+    co.set_meta_committer(CommitOnly())
+    try:
+        assert read_meta_for_update(d) is None
+        atomic_write_meta(d, {"segments": {}, "params": {}, "n": 7})
+        assert read_meta_for_update(d)["n"] == 7
+    finally:
+        co.set_meta_committer(prev)

@@ -245,9 +245,16 @@ def test_refresh_read_your_writes(spark, corpus, tmp_path_factory):
     kdf = (h.docstats().filter(F.col("doc_id").isin(victims))
            .select("repo", "path"))
     delete_docs(spark, d, kdf)
+    rows_before_refresh = h._local["rows"]
     assert h.refresh() is False
     after_del = _rows(h.search("merge scan", k=10))
     assert not ({r[0] for r in after_del} & set(victims))
+    # the unchanged-meta path re-pulls ONLY the dead set: postings are
+    # immutable within a generation, so the full driver re-collect must
+    # be skipped on the writer's refresh cadence (r5 review) — object
+    # identity proves warm_local was not re-run
+    assert h._local["rows"] is rows_before_refresh
+    assert set(victims) <= h._local["dead_ids"]
 
     # snapshot-advancing writes: append + merge -> refresh returns True
     extra = corpus.limit(40).withColumn(

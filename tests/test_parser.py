@@ -466,3 +466,22 @@ def test_terms_table_missing_is_typed_and_warns(spark, corpus, tmp_path):
         warnings.simplefilter("always")
         idx.search_parsed("merge*", k=3).collect()
     assert any("terms table" in str(w.message) for w in caught)
+
+
+def test_search_many_parsed_single_fallback_contract_order(spark, parsed_idx):
+    """A batch containing EXACTLY ONE filter-only query must return the
+    same batch-contract order (score desc, doc_id asc) as that query
+    gets inside a larger batch — the single-part early return must not
+    leak match_all's doc_id-DESC page order, making row order depend on
+    batch size (r5 review)."""
+    alone = [(r.doc_id, r.score)
+             for r in parsed_idx.search_many_parsed({"f1": "lang:python"}, k=7)
+             .collect() if r.query_id == "f1"]
+    mixed = [(r.doc_id, r.score)
+             for r in parsed_idx.search_many_parsed(
+                 {"f1": "lang:python", "t1": "merge offset"}, k=7)
+             .collect() if r.query_id == "f1"]
+    assert alone, "filter-only query matched nothing: weak test"
+    assert alone == mixed
+    # and the contract order itself: constant score -> doc_id ascending
+    assert alone == sorted(alone, key=lambda t: (-t[1], t[0]))
