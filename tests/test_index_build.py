@@ -244,3 +244,33 @@ def test_search_many_with_shared_doc_filter(spark, index):
                         for r in index.search(q, k=7, mode="exhaustive",
                                               doc_filter=flt).collect()]
                 assert by_q.get(qid, []) == want, (qid, sel, mode)
+
+
+def test_stopword_build_dl_excludes_stopwords(spark, corpus, tmp_path_factory):
+    """use_stopwords=True keeps the termdocs-aggregate dl path: doc
+    length must equal sum(tf) of the INDEXED (stopword-free) terms —
+    NOT the all-token scalar count the default build uses (r5: the
+    default path switched to the map-side token_count_col twin, which
+    is only valid because it counts the same tokens the tokenizer
+    emits; with stopwords dropped the two diverge and the build must
+    take the aggregate branch)."""
+    d = str(tmp_path_factory.mktemp("swidx"))
+    build_index(
+        spark, corpus, d,
+        num_shards=8, range_size=256, block_size=32, num_id_buckets=32,
+        use_stopwords=True,
+    )
+    idx = SearchIndex(spark, d)
+    td = spark.read.parquet(f"{d}/segments/seg_000000/termdocs")
+    want = {r.doc_id: r.dl for r in
+            td.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl")).collect()}
+    got = {r.doc_id: r.dl for r in idx.docstats().select("doc_id", "dl").collect()}
+    for did, dl in got.items():
+        assert dl == want.get(did, 0), did
+    # and the corpus actually contains stopwords, so this differs from
+    # the all-token count (otherwise the branch test is vacuous)
+    from dbsyncer_spark.functions.tokenizer import token_count_col
+    all_tok = {r.doc_id: r.c for r in
+               assign_doc_ids(corpus, num_buckets=32)
+               .select("doc_id", token_count_col("content").alias("c")).collect()}
+    assert any(got[did] < all_tok[did] for did in got), "no stopwords dropped: vacuous"
