@@ -197,6 +197,23 @@ def main() -> None:
     p95_local = ls[min(len(ls) - 1, max(0, math.ceil(0.95 * len(ls)) - 1))]
     timings["query_set_local"] = round(sum(lat_local), 3)
 
+    # r5: the rows serving surface — same warm_local kernel, but
+    # returning (doc_id, score) tuples directly instead of wrapping a
+    # LocalRelation DataFrame per query (the wrapper's create+collect
+    # py4j traffic is ~35-45 ms/query, i.e. the entire remaining floor
+    # once Spark jobs are gone; identity pytest-gated in
+    # tests/test_local_serving.py::test_search_rows_identity)
+    lat_rows = [float("inf")] * len(reference_queries())
+    for _ in range(3):
+        for qi, q in enumerate(reference_queries()):
+            t0 = time.perf_counter()
+            flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
+            idx_local.search_rows(q["text"], k=q["k"], mode="wand", doc_filter=flt)
+            lat_rows[qi] = min(lat_rows[qi], time.perf_counter() - t0)
+    lr = sorted(lat_rows)
+    p95_rows = lr[min(len(lr) - 1, max(0, math.ceil(0.95 * len(lr)) - 1))]
+    timings["query_set_rows"] = round(sum(lat_rows), 3)
+
     # batched serving shape: all unfiltered reference queries, ONE job
     batch = {f"q{q['queryId']}": q["text"] for q in reference_queries() if not q["filterLang"]}
     t0 = time.perf_counter()
@@ -267,6 +284,10 @@ def main() -> None:
         "query_p95_ms": round(1000 * p95, 1),
         "query_p50_ms_local": round(1000 * statistics.median(lat_local), 1),
         "query_p95_ms_local": round(1000 * p95_local, 1),
+        # *_rows = the same warm_local kernel via search_rows (no
+        # DataFrame wrapper) — the reference-shaped serving API
+        "query_p50_ms_rows": round(1000 * statistics.median(lat_rows), 1),
+        "query_p95_ms_rows": round(1000 * p95_rows, 1),
         "n_ref_queries": len(lat),
         "batch_queries_per_sec": round(len(batch) / batch_s, 2),
         "batch_queries_per_sec_local": round(len(batch) / batch_local_s, 2),

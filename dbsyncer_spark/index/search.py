@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dbsyncer_spark.functions.tokenizer import tokenize_py
 from dbsyncer_spark.index.build import _limit_arrow_threads, py_shard, term_id
@@ -52,6 +53,22 @@ class TermsTableMissing(ValueError):
     degrade."""
 
 _SCORE_SCHEMA = "doc_id long, score double"
+
+# Parsed-once StructType twins of the serving result schemas. The
+# zero-job warm_local paths build their results with createDataFrame /
+# empty_df on EVERY query; passing the DDL string there costs a JVM
+# parseDataType py4j round-trip (~5-10 ms) per call — measurable against
+# a ~10 ms scoring kernel. Distributed paths keep the DDL strings (one
+# parse per job is noise there).
+_SCORE_SCHEMA_T = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+])
+_QSCORE_SCHEMA_T = T.StructType([
+    T.StructField("query_id", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+])
 
 
 def _strictly_after(sort_cols: list[tuple[str, bool]], after) -> "F.Column":
@@ -776,10 +793,61 @@ class SearchIndex:
         same scorer closure, same per-range masking and top-k cut, same
         final (score desc, doc_id asc) order; rank- and score-identical
         to the cluster path (pytest-gated)."""
+        pdf = self._search_local_pdf(query, k, mode, doc_filter, after, boosts)
+        if pdf is None:
+            return empty_df(self.spark, _SCORE_SCHEMA_T)
+        return self.spark.createDataFrame(pdf, _SCORE_SCHEMA_T)
+
+    def search_rows(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "wand",
+        doc_filter=None,
+        after: tuple[float, int] | None = None,
+        boosts: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """``search`` for serving loops: plain ``(doc_id, score)`` tuples
+        in the same (score desc, doc_id asc) order, no DataFrame.
+
+        On a ``warm_local`` snapshot this is the pure driver kernel with
+        ZERO py4j traffic — the DataFrame wrapper around the identical
+        result costs ~35-45 ms of LocalRelation create+collect per query
+        regardless of index size (measured: scoring ~8 ms, wrapper
+        ~45 ms at the 100k bench), which is the whole latency floor once
+        Spark jobs are already out of the picture. The reference's
+        serving API returns result maps, not frames
+        (``DiskStorageService.java:294-346`` -> ``Paging``), so this is
+        the parity surface; ``search`` stays the composable DataFrame
+        view over the same kernel (rank- and score-identity pytest-
+        gated). Without a warm_local snapshot it falls back to
+        ``search(...).collect()`` — same rows, cluster latency."""
+        if self._local is not None:
+            pdf = self._search_local_pdf(query, k, mode, doc_filter, after, boosts)
+            if pdf is None:
+                return []
+            return list(zip(
+                (int(v) for v in pdf["doc_id"].tolist()),
+                (float(v) for v in pdf["score"].tolist()),
+            ))
+        return [
+            (r.doc_id, r.score)
+            for r in self.search(
+                query, k=k, mode=mode, doc_filter=doc_filter,
+                after=after, boosts=boosts,
+            ).collect()
+        ]
+
+    def _search_local_pdf(self, query: str, k: int, mode: str, doc_filter,
+                          after, boosts) -> pd.DataFrame | None:
+        """The warm_local scoring kernel shared by ``_search_local`` and
+        ``search_rows``: top-k pandas frame (doc_id, score) in contract
+        order, or None on a dictionary miss / no surviving docs. Pure
+        driver compute — no Spark jobs, no py4j."""
         terms = sorted(set(tokenize_py(query)))
         dfs = self.lookup(terms)  # driver dictionary: no job
         if not dfs:
-            return empty_df(self.spark, _SCORE_SCHEMA)
+            return None
         n = self.n_docs
         boosts = boosts or {}
         idfs = {
@@ -817,12 +885,11 @@ class SearchIndex:
             if len(out):
                 parts.append(out)
         if not parts:
-            return empty_df(self.spark, _SCORE_SCHEMA)
+            return None
         cat = pd.concat(parts, ignore_index=True)
         order = np.lexsort((cat["doc_id"].to_numpy(),
                             -cat["score"].to_numpy()))[:k]
-        cat = cat.iloc[order].reset_index(drop=True)
-        return self.spark.createDataFrame(cat, _SCORE_SCHEMA)
+        return cat.iloc[order].reset_index(drop=True)
 
     def _local_allowed_of(self, doc_filter) -> dict:
         """range_id -> live doc_ids matching ``doc_filter``, evaluated
@@ -894,9 +961,8 @@ class SearchIndex:
             frames.extend(_shared_taat_range(
                 rows, base, allowed, idfs, by_tid, k1, b, avgdl, k
             ))
-        out_schema = "query_id string, doc_id long, score double"
         if not frames:
-            return empty_df(self.spark, out_schema)
+            return empty_df(self.spark, _QSCORE_SCHEMA_T)
         cat = pd.concat(frames, ignore_index=True)
         parts = []
         for qid, grp in cat.groupby("query_id", sort=True):
@@ -904,7 +970,7 @@ class SearchIndex:
                                 -grp["score"].to_numpy()))[:k]
             parts.append(grp.iloc[order])
         return self.spark.createDataFrame(
-            pd.concat(parts, ignore_index=True), out_schema
+            pd.concat(parts, ignore_index=True), _QSCORE_SCHEMA_T
         )
 
     def warm_driver_dictionary(self, max_terms: int = 5_000_000) -> None:
@@ -1072,7 +1138,7 @@ class SearchIndex:
         dfs = self.lookup(terms)
         spark = self.spark
         if not dfs:
-            return empty_df(spark, _SCORE_SCHEMA)
+            return empty_df(spark, _SCORE_SCHEMA_T)
 
         n = self.n_docs
         boosts = boosts or {}
@@ -1230,7 +1296,7 @@ class SearchIndex:
                 # a scoring expansion that matched ZERO dictionary terms:
                 # Lucene's rewritten empty BooleanQuery matches nothing —
                 # routing to match_all would invert the semantics
-                return empty_df(self.spark, _SCORE_SCHEMA)
+                return empty_df(self.spark, _SCORE_SCHEMA_T)
             rows = self.match_all(doc_filter=doc_filter, allowed_docs=allowed, k=k)
             return rows.select("doc_id", F.lit(1.0).alias("score"))
         return self.search(
@@ -1539,7 +1605,7 @@ class SearchIndex:
 
     def _search_expanded(self, terms: list[str], k: int) -> DataFrame:
         if not terms:
-            return empty_df(self.spark, _SCORE_SCHEMA)
+            return empty_df(self.spark, _SCORE_SCHEMA_T)
         return self.search(" ".join(terms), k=k)
 
     def search_prefix(self, prefix: str, k: int = 10, limit: int = 1024) -> DataFrame:
@@ -2039,9 +2105,7 @@ class SearchIndex:
                 ["query_id", "score", "doc_id"],
                 ascending=[True, False, True], kind="mergesort",
             ).reset_index(drop=True)
-            return self.spark.createDataFrame(
-                pdf, "query_id string, doc_id long, score double"
-            )
+            return self.spark.createDataFrame(pdf, _QSCORE_SCHEMA_T)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2446,7 +2510,7 @@ class SearchIndex:
                 if len(out):
                     frames.append(out)
             if not frames:
-                return empty_df(spark, out_schema)
+                return empty_df(spark, _QSCORE_SCHEMA_T)
             cat = pd.concat(frames, ignore_index=True)
             parts = []
             for qid, grp in cat.groupby("query_id", sort=True):
@@ -2454,7 +2518,7 @@ class SearchIndex:
                                     -grp["score"].to_numpy()))[:k]
                 parts.append(grp.iloc[order])
             return self.spark.createDataFrame(
-                pd.concat(parts, ignore_index=True), out_schema
+                pd.concat(parts, ignore_index=True), _QSCORE_SCHEMA_T
             )
 
         postings = self._postings().filter(

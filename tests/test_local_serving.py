@@ -277,3 +277,50 @@ def test_refresh_read_your_writes(spark, corpus, tmp_path_factory):
     finally:
         sc.setJobGroup("", "")
     assert list(sc.statusTracker().getJobIdsForGroup("refresh_local_gate")) == []
+
+
+@pytest.mark.parametrize("spec", QUERIES)
+def test_search_rows_identity(pair, spec):
+    """search_rows (the no-DataFrame serving surface, r5) returns
+    exactly the tuples search().collect() yields — every query shape,
+    exact float equality."""
+    cold, hot = pair
+    kw = dict(spec)
+    q, k, mode = kw.pop("q"), kw.pop("k"), kw.pop("mode")
+    if "doc_filter" in kw:
+        col, val = kw.pop("doc_filter")
+        kw["doc_filter"] = F.col(col) == val
+    want = _rows(cold.search(q, k=k, mode=mode, **kw))
+    assert hot.search_rows(q, k=k, mode=mode, **kw) == want, spec
+    # and the cold (no warm_local) fallback produces the same rows
+    assert cold.search_rows(q, k=k, mode=mode, **kw) == want, spec
+
+
+def test_search_rows_after_cursor(pair):
+    cold, hot = pair
+    big = _rows(cold.search("merge scan offset", k=20, mode="exhaustive"))
+    p1 = hot.search_rows("merge scan offset", k=10, mode="exhaustive")
+    last = p1[-1]
+    p2 = hot.search_rows("merge scan offset", k=10, mode="exhaustive",
+                         after=(last[1], last[0]))
+    assert p1 + p2 == big
+
+
+def test_search_rows_zero_spark_jobs(spark, pair):
+    """The whole point of the rows surface: not merely zero jobs but
+    zero DataFrame construction — gate the job half here (py4j traffic
+    is not observable from statusTracker, but createDataFrame would
+    show up as neither; the latency win is recorded in bench.py as
+    query_p50_ms_rows)."""
+    _, hot = pair
+    hot.search_rows("merge scan", k=5)  # prime
+    sc = spark.sparkContext
+    sc.setJobGroup("rows_serving_gate", "must stay empty")
+    try:
+        hot.search_rows("merge scan", k=10)
+        hot.search_rows("merge", k=5, doc_filter=F.col("lang") == "go")
+        hot.search_rows("zzzqx", k=5)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("rows_serving_gate")
+    assert list(jobs) == [], f"rows path submitted Spark jobs: {jobs}"
