@@ -164,3 +164,62 @@ def test_vbyte_corruption_raises_descriptive_error():
     with pytest.raises(ValueError, match="no terminator"):
         vbyte_decode(b"\x85\x90\xff")  # every byte has the MSB set
     assert vbyte_decode(b"\x85", 0).size == 0  # count=0 is a clean empty
+
+
+def test_decoded_postings_cache_slice_identity_and_budget():
+    """_DecodedPostingsCache gathers kept blocks from the cached FULL
+    decode; must be value-identical to unpack_blocks(keep=...) for any
+    keep subset, and the LRU must respect its byte budget (oversized
+    rows decode per-call instead of evicting the whole cache)."""
+    from types import SimpleNamespace
+
+    from dbsyncer_spark.index.codec import pack_postings, unpack_blocks
+    from dbsyncer_spark.index.search import _DecodedPostingsCache
+
+    rng = np.random.default_rng(7)
+
+    def row(tid, n):
+        ids = np.sort(rng.choice(200_000, size=n, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 30, size=n).astype(np.uint64)
+        dls = rng.integers(1, 500, size=n).astype(np.uint64)
+        p = pack_postings(ids, tfs, dls, block_size=64)
+        return SimpleNamespace(
+            tid=tid, blob=p["blob"], block_off=p["block_off"],
+            block_n=p["block_n"], block_first=p["block_first"],
+        )
+
+    r = row(1, 1000)
+    cache = _DecodedPostingsCache(1 << 20)
+    nb = len(r.block_n)
+    for keep in (None, np.arange(nb), np.array([0]), np.array([nb - 1]),
+                 np.flatnonzero(rng.random(nb) < 0.4)):
+        want = unpack_blocks(r.blob, r.block_off, r.block_n, r.block_first,
+                             keep=keep)
+        got = cache(0, r, keep=keep)
+        for w, g in zip(want, got):
+            assert w.tolist() == g.tolist(), keep
+    assert len(cache._rows) == 1 and 0 < cache._bytes <= cache.max_bytes
+
+    # LRU eviction: budget for ~2 rows; insert 3, oldest falls out,
+    # bytes stay within budget at every step
+    one_row_bytes = cache._bytes
+    small = _DecodedPostingsCache(int(one_row_bytes * 2.5))
+    rows = [row(t, 1000) for t in (1, 2, 3)]
+    for rr in rows:
+        small(0, rr)
+        assert small._bytes <= small.max_bytes
+    assert (0, 1) not in small._rows and (0, 3) in small._rows
+    # re-touching keeps results correct after eviction
+    want = unpack_blocks(rows[0].blob, rows[0].block_off, rows[0].block_n,
+                         rows[0].block_first)
+    got = small(0, rows[0])
+    assert want[0].tolist() == got[0].tolist()
+
+    # a row bigger than the whole budget is served uncached
+    tiny = _DecodedPostingsCache(128)
+    tiny(0, r)
+    assert len(tiny._rows) == 0 and tiny._bytes == 0
+    got = tiny(0, r, keep=np.array([0]))
+    want = unpack_blocks(r.blob, r.block_off, r.block_n, r.block_first,
+                         keep=np.array([0]))
+    assert want[0].tolist() == got[0].tolist()

@@ -324,3 +324,65 @@ def test_search_rows_zero_spark_jobs(spark, pair):
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("rows_serving_gate")
     assert list(jobs) == [], f"rows path submitted Spark jobs: {jobs}"
+
+
+def test_decode_cache_populated_and_bounded(pair):
+    """The warm_local decoded-postings LRU (r5) actually serves the
+    kernels — populated after queries, bytes within its budget — and the
+    identity tests above all ran through it (it is on by default), so a
+    cache bug cannot hide from this file."""
+    _, hot = pair
+    cache = hot._local["decoded"]
+    assert cache is not None
+    hot.search_rows("merge scan offset", k=10)
+    assert len(cache._rows) > 0
+    assert 0 < cache._bytes <= cache.max_bytes
+    # default budget: 4x the warm_local on-disk budget
+    assert cache.max_bytes == 4 * hot._local_budget
+
+
+def test_decode_cache_disabled_identity(spark, pair, corpus,
+                                        tmp_path_factory):
+    """decode_cache_bytes=0 disables the LRU; results stay identical
+    (the seam degrades to plain unpack_blocks)."""
+    cold, hot = pair
+    off = SearchIndex(spark, hot.index_dir)
+    off.warm_local(decode_cache_bytes=0)
+    assert off._local["decoded"] is None
+    for spec in QUERIES:
+        kw = dict(spec)
+        q, k, mode = kw.pop("q"), kw.pop("k"), kw.pop("mode")
+        if "doc_filter" in kw:
+            col, val = kw.pop("doc_filter")
+            kw["doc_filter"] = F.col(col) == val
+        want = _rows(cold.search(q, k=k, mode=mode, **kw))
+        assert off.search_rows(q, k=k, mode=mode, **kw) == want, spec
+
+
+def test_decode_cache_survives_tombstone_refresh(spark, corpus,
+                                                 tmp_path_factory):
+    """Within one meta generation postings are immutable, so a
+    tombstone-only refresh() must keep the decoded cache (same object)
+    while results reflect the delete."""
+    from dbsyncer_spark.streaming.incremental import delete_docs
+
+    d = str(tmp_path_factory.mktemp("dcache_refresh"))
+    build_index(spark, corpus, d, num_shards=8, range_size=256,
+                num_id_buckets=32)
+    idx = SearchIndex(spark, d)
+    idx.warm_local()
+    before = idx.search_rows("merge scan", k=5)
+    assert before
+    cache = idx._local["decoded"]
+    assert len(cache._rows) > 0
+    victim = before[0][0]
+    delete_docs(spark, d, idx.docstats().filter(
+        F.col("doc_id") == victim).select("repo", "path"))
+    assert idx.refresh() is False  # same meta generation: tombstone-only
+    assert idx._local["decoded"] is cache  # cache kept, not rebuilt
+    after = idx.search_rows("merge scan", k=5)
+    assert victim not in [d_ for d_, _ in after]
+    # cluster path agrees (cache returned live-doc-identical scores)
+    want = [(r.doc_id, r.score)
+            for r in SearchIndex(spark, d).search("merge scan", k=5).collect()]
+    assert after == want
