@@ -803,19 +803,27 @@ def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> No
     }
     if meta["params"] and meta["params"] != shared:
         raise ValueError(f"segment params mismatch: {shared} vs index {meta['params']}")
-    # doc ids must be globally unique across live segments (F15). Two
-    # concurrent auto-offset appends both compute their offset from the
-    # same pre-append max_doc_id and would silently interleave ids; the
-    # engine's writer contract is ONE ingest writer (maintenance may run
-    # beside it), and this turns a contract violation into a loud error
-    # instead of corrupt ranges.
+    # doc ids must be globally unique across live segments (F15).
+    # ``append_segment`` claims its id space under the meta lock
+    # (``reserve_doc_range``) so concurrent appends compose; this guard
+    # turns any bypass (a direct ``build_index`` call with a hand-picked
+    # ``doc_id_offset`` racing another writer) into a loud error instead
+    # of corrupt ranges. Checked against BOTH committed segments and
+    # other writers' unexpired in-flight claims.
     lo, hi = seg_meta["doc_id_offset"], seg_meta["max_doc_id"]
     for name, s in meta["segments"].items():
         if name != segment and not (hi < s["doc_id_offset"] or lo > s["max_doc_id"]):
             raise ValueError(
                 f"segment {segment} doc-id range [{lo},{hi}] overlaps live "
                 f"segment {name} [{s['doc_id_offset']},{s['max_doc_id']}] — "
-                "concurrent appends must be serialized by the caller"
+                "claim id space via reserve_doc_range/append_segment"
+            )
+    for name, r in meta.get("reserved_ranges", {}).items():
+        if name != segment and not (hi < r["lo"] or lo > r["hi"]):
+            raise ValueError(
+                f"segment {segment} doc-id range [{lo},{hi}] overlaps the "
+                f"in-flight claim of segment {name} [{r['lo']},{r['hi']}] — "
+                "claim id space via reserve_doc_range/append_segment"
             )
     meta["params"] = shared
     meta["segments"][segment] = {
@@ -826,6 +834,9 @@ def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> No
     }
     if segment in meta.get("reserved", {}):  # publish consumes the reservation
         meta["reserved"] = {n: t for n, t in meta["reserved"].items() if n != segment}
+    if segment in meta.get("reserved_ranges", {}):  # ...and the id-space claim
+        meta["reserved_ranges"] = {
+            n: r for n, r in meta["reserved_ranges"].items() if n != segment}
     atomic_write_meta(index_dir, meta)
 
 
@@ -913,6 +924,76 @@ def unreserve_segment_name(index_dir: str, name: str) -> None:
     write_meta_locked(index_dir, mut)
 
 
+def reserve_doc_range(index_dir: str, n_docs: int, segment: str) -> int:
+    """Allocate a doc-id range for an incoming segment UNDER the meta
+    lock; returns the range-aligned ``doc_id_offset``.
+
+    Segment NAMES were already lock-allocated (``reserve_segment_name``)
+    but offsets were computed from an unlocked meta snapshot, so two
+    concurrent appends read the same ``max_doc_id``, picked the same
+    offset, and the second died on the publish-time overlap guard —
+    "concurrent appends must be serialized by the caller" (found by
+    tests/test_concurrent_writers.py). Lucene's IndexWriter serializes
+    doc-id assignment internally rather than pushing it to callers
+    (the reference leans on exactly that: one ``Shard`` fed by multiple
+    buffer-actuator threads, ``GeneralBufferActuator.java``); this is
+    the distributed analog — the lock is held only to CLAIM the id
+    space, the Spark pack jobs overlap freely.
+
+    Allocation is monotonic high-water over committed segments and
+    unexpired reservations (never gap-filling: a crashed run's partial
+    dir may hold committed lineage stages for its claimed space, same
+    hazard as name reuse). Keyed by segment name: re-reserving the same
+    name returns the SAME offset while the reservation lives, so an
+    explicit-name (resumable) append that crashes and re-runs keeps its
+    lineage stages valid. Consumed by the publish in
+    ``_update_root_meta_locked``; stale entries expire after
+    ``RESERVATION_TTL_S`` like name reservations."""
+    import time
+
+    out: dict = {}
+
+    def mut(fresh):
+        now = time.time()
+        rs = fresh["params"].get("range_size", DEFAULT_RANGE_SIZE)
+        ranges = {
+            n: r for n, r in fresh.get("reserved_ranges", {}).items()
+            if now - r["ts"] < RESERVATION_TTL_S
+        }
+        need = ((max(int(n_docs), 1) + rs - 1) // rs) * rs
+        held = ranges.get(segment)
+        if held is not None and held["hi"] - held["lo"] + 1 >= need:
+            out["offset"] = held["lo"]  # resume keeps its claimed space
+            return {**fresh, "reserved_ranges": ranges}
+        if held is not None:  # batch grew past the old claim: reallocate
+            del ranges[segment]
+        hwm = max(
+            (s["max_doc_id"] for s in fresh["segments"].values()), default=-1
+        )
+        for r in ranges.values():
+            hwm = max(hwm, r["hi"])
+        lo = ((hwm // rs) + 1) * rs
+        ranges[segment] = {"lo": lo, "hi": lo + need - 1, "ts": now}
+        out["offset"] = lo
+        return {**fresh, "reserved_ranges": ranges}
+
+    if write_meta_locked(index_dir, mut) is None or "offset" not in out:
+        raise RuntimeError("doc-range reservation was not written")
+    return out["offset"]
+
+
+def unreserve_doc_range(index_dir: str, segment: str) -> None:
+    """Release a doc-range claim without publishing (abort path)."""
+
+    def mut(fresh):
+        if segment not in fresh.get("reserved_ranges", {}):
+            return None
+        return {**fresh, "reserved_ranges": {
+            n: r for n, r in fresh["reserved_ranges"].items() if n != segment}}
+
+    write_meta_locked(index_dir, mut)
+
+
 def replay_quarantine(
     spark: SparkSession,
     index_dir: str,
@@ -974,13 +1055,21 @@ def append_segment(
     ``segment``: explicit name (e.g. a batchId-derived name for
     exactly-once streaming appends); auto-numbered when omitted. If the
     name already exists the append is a NO-OP returning the existing
-    segment's meta — the idempotence hook ``stream_to_index`` relies on."""
+    segment's meta — the idempotence hook ``stream_to_index`` relies on.
+
+    Concurrency: safe to call from competing writers — the doc-id space
+    is CLAIMED under the meta lock (``reserve_doc_range``) before the
+    pack job runs, so parallel appends get disjoint ranges and only the
+    meta flips serialize (IndexWriter semantics; previously offsets came
+    from an unlocked meta snapshot and the second concurrent append died
+    at the publish overlap guard — tests/test_concurrent_writers.py).
+    Sizing the claim costs one ``docs.count()`` job over the incoming
+    batch — proportional to the BATCH, not the index; callers with an
+    expensive non-materialized lineage should cache/persist ``docs``
+    first (the streaming path hands in materialized micro-batches)."""
     root = os.path.join(index_dir, "meta.json")
     with open(root) as f:
         meta = json.load(f)
-    range_size = meta["params"]["range_size"]
-    max_doc = max(s["max_doc_id"] for s in meta["segments"].values())
-    offset = ((max_doc // range_size) + 1) * range_size
     if segment is not None and segment in meta["segments"]:
         seg_dir = os.path.join(index_dir, "segments", segment)
         with open(os.path.join(seg_dir, "seg_meta.json")) as f:
@@ -995,7 +1084,13 @@ def append_segment(
                 f"params ({meta['params'][k]}) — segments must share build params"
             )
         kwargs[k] = meta["params"][k]
+    n_new = docs.count()  # sizes the id-space claim; see docstring
     if segment is not None:
+        # explicit (resumable) name: the claim is keyed by the name and
+        # NOT released on failure — a crashed run that re-runs gets the
+        # SAME offset back (reserve_doc_range resume path), keeping its
+        # committed lineage stages valid; abandonment frees it by TTL.
+        offset = reserve_doc_range(index_dir, n_new, segment)
         return build_index(spark, docs, index_dir, segment=segment,
                            doc_id_offset=offset, **kwargs)
     # auto name: allocated UNDER the meta lock (reservation) — an unlocked
@@ -1003,10 +1098,11 @@ def append_segment(
     # compaction output (or vice versa) and the two writers would clobber
     # one dir (r3 review). The reservation is consumed by the publish in
     # _update_root_meta_locked; on failure the partial dir is removed and
-    # the name released — auto-named appends are therefore NOT resumable
-    # (pass an explicit ``segment`` name to keep resume lineage).
+    # the name + id claim released — auto-named appends are therefore NOT
+    # resumable (pass an explicit ``segment`` name to keep resume lineage).
     seg_name = reserve_segment_name(index_dir)
     try:
+        offset = reserve_doc_range(index_dir, n_new, seg_name)
         return build_index(spark, docs, index_dir, segment=seg_name,
                            doc_id_offset=offset, **kwargs)
     except BaseException:
@@ -1015,6 +1111,7 @@ def append_segment(
         _shutil.rmtree(os.path.join(index_dir, "segments", seg_name),
                        ignore_errors=True)
         try:
+            unreserve_doc_range(index_dir, seg_name)
             unreserve_segment_name(index_dir, seg_name)
         except Exception:
             pass  # never mask the build failure; the TTL frees the name

@@ -1,0 +1,139 @@
+"""Concurrent-writer stress gate: interleaved appends, deletes, and
+tiered merges from competing threads must never lose a doc, double-book
+a doc_id range, or corrupt ranking.
+
+The coordination suite (test_coordination) proves the lock/commit
+primitives in isolation with simulated schedules; this test drives the
+REAL public lifecycle API concurrently — the shape the reference runs
+production in (one writer thread per table actuator feeding a shared
+index, ``GeneralBufferActuator.java`` fan-in + the 3 s commit cycle,
+with merge threads in the background like Lucene's ConcurrentMergeScheduler).
+flock serializes the meta-critical sections across the threads' separate
+file descriptors exactly as it would across processes on one host;
+the Spark pack jobs themselves overlap freely.
+
+Deterministic final state by construction: appenders use disjoint fresh
+keys, the deleter only touches base keys, and merges are logically
+no-ops — so ANY interleaving must converge to base − deleted ∪ appended.
+Asserted: exact live set, no doc_id collisions (range allocation under
+the lock), physical ⊇ live, and BM25 rank+score identity vs the oracle
+over the surviving physical corpus.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsyncer_spark.index.build import append_segment, build_index
+from dbsyncer_spark.index.search import SearchIndex
+from dbsyncer_spark.oracle.bm25_oracle import bm25_oracle_topk, corpus_stats
+from dbsyncer_spark.streaming.incremental import delete_docs, maybe_merge
+
+PARAMS = dict(num_shards=2, range_size=32, block_size=8, num_id_buckets=4)
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+VOCAB = ("merge offset import return shard token batch spark index query "
+         "delta vbyte lease commit window").split()
+
+
+def _doc(i: int, salt: str) -> dict:
+    import random
+    rng = random.Random(f"{salt}:{i}")
+    return {
+        "repo": f"org{i % 3}/r{i % 5}",
+        "path": f"src/{salt}/f{i}.py",
+        "commit": f"c_{salt}_{i:06d}",
+        "lang": ["java", "python", "go"][i % 3],
+        "content": " ".join(rng.choice(VOCAB) for _ in range(rng.randint(8, 40))),
+    }
+
+
+def test_concurrent_appends_deletes_merges(spark, tmp_path):
+    d = str(tmp_path / "conc_idx")
+    base = [_doc(i, "base") for i in range(30)]
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d, **PARAMS)
+
+    n_appenders, batches, per_batch = 3, 2, 5
+    appended: dict[int, list[dict]] = {
+        w: [_doc(w * 1000 + b * 100 + j, f"w{w}")
+            for b in range(batches) for j in range(per_batch)]
+        for w in range(n_appenders)
+    }
+    doomed_keys = [(r["repo"], r["path"]) for r in base[:6]]
+    errors: list[BaseException] = []
+
+    def appender(w: int) -> None:
+        try:
+            for b in range(batches):
+                rows = appended[w][b * per_batch:(b + 1) * per_batch]
+                append_segment(spark, spark.createDataFrame(rows, SCHEMA),
+                               d, num_id_buckets=4)
+        except BaseException as e:  # noqa: BLE001 — surfaced via errors[]
+            errors.append(e)
+
+    def deleter() -> None:
+        try:
+            time.sleep(0.5)  # land mid-append-storm
+            delete_docs(spark, d, spark.createDataFrame(
+                [{"repo": r, "path": p} for r, p in doomed_keys],
+                "repo string, path string"))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def maintainer() -> None:
+        try:
+            for _ in range(2):
+                time.sleep(0.8)
+                maybe_merge(spark, d, tier_factor=2, merge_at=2,
+                            max_merge=4, reclaim_ratio=0.05)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(w,))
+               for w in range(n_appenders)]
+    threads += [threading.Thread(target=deleter),
+                threading.Thread(target=maintainer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads), "writer thread hung"
+    assert not errors, errors
+
+    contents = {(r["repo"], r["path"], r["commit"]): r["content"]
+                for r in base}
+    for rows in appended.values():
+        contents.update({(r["repo"], r["path"], r["commit"]): r["content"]
+                         for r in rows})
+    # base paths live under src/base/ and appender paths under src/w*/,
+    # so (repo, path) uniquely identifies one triple and the doomed set
+    # is exactly the base rows with those keys
+    dead_keys = set(doomed_keys)
+    want_live = {t for t in contents if (t[0], t[1]) not in dead_keys}
+
+    idx = SearchIndex(spark, d)
+    rows = idx.docstats().select("doc_id", "repo", "path", "commit").collect()
+    by_id = {r.doc_id: (r.repo, r.path, r.commit) for r in rows}
+    assert len(by_id) == len(rows), "doc_id collision across concurrent appends"
+    physical = set(by_id.values())
+    assert physical <= set(contents)
+    assert want_live <= physical, f"lost docs: {want_live - physical}"
+
+    tomb = idx._tombstones()
+    dead_ids = (set() if tomb is None
+                else {r.doc_id for r in tomb.select("doc_id").distinct().collect()})
+    live_engine = {t for i, t in by_id.items() if i not in dead_ids}
+    assert live_engine == want_live
+
+    docs = {i: contents[t] for i, t in by_id.items()}
+    stats = corpus_stats(docs)
+    for q in ["merge offset", "import shard", "token batch query"]:
+        got = idx.search_rows(q, k=10)
+        want = bm25_oracle_topk(docs, q, k=10, precomputed=stats,
+                                doc_pred=lambda x: x not in dead_ids)
+        assert [i for i, _ in got] == [i for i, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), q
