@@ -79,7 +79,7 @@ from dbsyncer_spark.functions.tokenizer import (
     token_count_col,
 )
 from dbsyncer_spark.index.codec import BLOCK_SIZE, MAX_DOC_POSITIONS, pack_postings
-from dbsyncer_spark.index.docids import assign_doc_ids
+from dbsyncer_spark.index.docids import assign_doc_ids, bucket_offsets
 from dbsyncer_spark.index.lineage import commit_stage, params_hash, stage_committed
 
 DEFAULT_NUM_SHARDS = 32
@@ -514,7 +514,14 @@ def build_index(
             commit_stage(seg_dir, "quarantine", phash, metrics={"rows": int(n_bad)})
         docs = flagged.filter(F.col("_reason").isNull()).drop("_reason")
 
-    base = docs if docs_have_ids else assign_doc_ids(docs, num_buckets=num_id_buckets)
+    if docs_have_ids:
+        base = docs
+        id_offsets = None
+    else:
+        # Pass 1 (bucket counts) runs ONCE; both the wide termdocs
+        # lineage and the narrow docstats lineage below reuse it.
+        id_offsets = bucket_offsets(docs, num_buckets=num_id_buckets)
+        base = assign_doc_ids(docs, num_buckets=num_id_buckets, offsets=id_offsets)
     if doc_id_offset:
         base = base.withColumn("doc_id", F.col("doc_id") + F.lit(doc_id_offset))
 
@@ -541,20 +548,47 @@ def build_index(
 
     # ---- stage: docstats ---------------------------------------------
     if not (resume and stage_committed(seg_dir, "docstats", phash)):
+        # doc_id is a pure function of the key set (docids.py), so this
+        # stage assigns ids on a NARROW projection: sha256/dl are
+        # computed map-side BEFORE the id shuffle, and the shuffle then
+        # carries ~100-byte fixed-width rows instead of document
+        # content. The termdocs lineage above is the only place content
+        # crosses the wire. At 10^12 files that removes an entire
+        # content-sized shuffle from the build.
+        if docs_have_ids:
+            stats_base = base
+        else:
+            narrow = docs.select(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.sha2("content", 256).alias("sha256"),
+                F.coalesce(token_count_col("content"), F.lit(0))
+                .cast("int")
+                .alias("dl"),
+            )
+            stats_base = assign_doc_ids(
+                narrow, num_buckets=num_id_buckets, offsets=id_offsets
+            )
+            if doc_id_offset:
+                stats_base = stats_base.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(doc_id_offset)
+                )
+        sha_col = (
+            F.col("sha256") if not docs_have_ids else F.sha2("content", 256).alias("sha256")
+        )
+        range_col = (F.col("doc_id") / F.lit(range_size)).cast("long").alias("range_id")
         if use_stopwords:
             # dl must exclude the per-language stopwords the tokenizer
             # dropped, and only the emitted termdocs rows know which —
-            # aggregate them (one shuffle of the termdocs table + join)
+            # aggregate them (one shuffle of the termdocs table + join;
+            # the narrow lineage's regexp dl counts ALL tokens, so it is
+            # ignored here)
             dls = termdocs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
             stats = (
-                base.select(
-                    "doc_id",
-                    "repo",
-                    "path",
-                    "commit",
-                    "lang",
-                    F.sha2("content", 256).alias("sha256"),
-                    (F.col("doc_id") / F.lit(range_size)).cast("long").alias("range_id"),
+                stats_base.select(
+                    "doc_id", "repo", "path", "commit", "lang", sha_col, range_col
                 )
                 .join(dls, "doc_id", "left")
                 .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
@@ -570,17 +604,15 @@ def build_index(
             # shuffle dwarfs one extra regexp pass over content, and at
             # the 100k bench it is ~20% off the docstats stage wall.
             # NULL content (possible when quarantine is off) counts 0.
-            stats = base.select(
-                "doc_id",
-                "repo",
-                "path",
-                "commit",
-                "lang",
-                F.coalesce(token_count_col("content"), F.lit(0))
+            dl_col = (
+                F.col("dl")
+                if not docs_have_ids
+                else F.coalesce(token_count_col("content"), F.lit(0))
                 .cast("int")
-                .alias("dl"),
-                F.sha2("content", 256).alias("sha256"),
-                (F.col("doc_id") / F.lit(range_size)).cast("long").alias("range_id"),
+                .alias("dl")
+            )
+            stats = stats_base.select(
+                "doc_id", "repo", "path", "commit", "lang", dl_col, sha_col, range_col
             )
         (
             stats

@@ -27,8 +27,16 @@ from pyspark.sql import functions as F
 KEY_COLS = ["repo", "path", "commit"]
 
 
-def assign_doc_ids(df: DataFrame, key_cols: list[str] | None = None, num_buckets: int = 256) -> DataFrame:
-    """Add a dense deterministic ``doc_id`` (long, 0-based) column."""
+def bucket_offsets(
+    df: DataFrame, key_cols: list[str] | None = None, num_buckets: int = 256
+) -> dict[int, int]:
+    """Pass 1 of the id assignment: cumulative per-bucket row offsets.
+
+    One small aggregation job (keys-only scan; Catalyst prunes every
+    other column) returning ``num_buckets`` ints to the driver. Exposed
+    so a caller that derives several lineages from the SAME key set
+    (e.g. ``build_index``'s termdocs and docstats stages) runs the
+    count job once and shares the offsets."""
     keys = key_cols or KEY_COLS
     with_bucket = df.withColumn("_bucket", F.pmod(F.xxhash64(*keys), F.lit(num_buckets)))
     counts = {
@@ -39,6 +47,28 @@ def assign_doc_ids(df: DataFrame, key_cols: list[str] | None = None, num_buckets
     for b in range(num_buckets):
         offsets[b] = acc
         acc += counts.get(b, 0)
+    return offsets
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    num_buckets: int = 256,
+    offsets: dict[int, int] | None = None,
+) -> DataFrame:
+    """Add a dense deterministic ``doc_id`` (long, 0-based) column.
+
+    ``doc_id`` is a pure function of the key set: two DataFrames with
+    the same (key_cols, num_buckets, key values) get identical ids no
+    matter what OTHER columns they carry — so a caller can assign ids
+    on a narrow projection (shuffling 100-byte rows instead of document
+    content) and trust they line up with a wide lineage over the same
+    rows. Pass ``offsets`` (from :func:`bucket_offsets`) to skip the
+    count job when it was already run for this key set."""
+    keys = key_cols or KEY_COLS
+    with_bucket = df.withColumn("_bucket", F.pmod(F.xxhash64(*keys), F.lit(num_buckets)))
+    if offsets is None:
+        offsets = bucket_offsets(df, keys, num_buckets)
     # offsets map is tiny -> embed as a CASE-like map expression
     mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = W.partitionBy("_bucket").orderBy(*keys)
