@@ -61,6 +61,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time as _time
 from contextlib import contextmanager as _contextmanager
 
 import numpy as np
@@ -558,16 +559,23 @@ def build_index(
         if docs_have_ids:
             stats_base = base
         else:
-            narrow = docs.select(
-                "repo",
-                "path",
-                "commit",
-                "lang",
+            # dl is only computable map-side on the default (no-stopword)
+            # path; with stopwords it comes from the termdocs aggregate
+            # below, so don't pay the regex content scan just to drop it.
+            narrow_cols = [
+                F.col("repo"),
+                F.col("path"),
+                F.col("commit"),
+                F.col("lang"),
                 F.sha2("content", 256).alias("sha256"),
-                F.coalesce(token_count_col("content"), F.lit(0))
-                .cast("int")
-                .alias("dl"),
-            )
+            ]
+            if not use_stopwords:
+                narrow_cols.append(
+                    F.coalesce(token_count_col("content"), F.lit(0))
+                    .cast("int")
+                    .alias("dl")
+                )
+            narrow = docs.select(*narrow_cols)
             stats_base = assign_doc_ids(
                 narrow, num_buckets=num_id_buckets, offsets=id_offsets
             )
@@ -850,7 +858,11 @@ def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> No
                 f"segment {name} [{s['doc_id_offset']},{s['max_doc_id']}] — "
                 "claim id space via reserve_doc_range/append_segment"
             )
+    _now = _time.time()
     for name, r in meta.get("reserved_ranges", {}).items():
+        if _now - r.get("ts", _now) >= RESERVATION_TTL_S:
+            continue  # expired claim of a dead writer — reserve_doc_range
+            # would hand this space out again, so don't block it here
         if name != segment and not (hi < r["lo"] or lo > r["hi"]):
             raise ValueError(
                 f"segment {segment} doc-id range [{lo},{hi}] overlaps the "
@@ -996,6 +1008,10 @@ def reserve_doc_range(index_dir: str, n_docs: int, segment: str) -> int:
         held = ranges.get(segment)
         if held is not None and held["hi"] - held["lo"] + 1 >= need:
             out["offset"] = held["lo"]  # resume keeps its claimed space
+            # ...on a FRESH TTL window: a resumed run must not inherit
+            # only the crashed run's leftover clock and lose its claim
+            # mid-pack to an expiry prune.
+            ranges[segment] = {**held, "ts": now}
             return {**fresh, "reserved_ranges": ranges}
         if held is not None:  # batch grew past the old claim: reallocate
             del ranges[segment]

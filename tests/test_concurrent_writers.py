@@ -28,7 +28,13 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from dbsyncer_spark.index.build import append_segment, build_index
+from dbsyncer_spark.index.build import (
+    RESERVATION_TTL_S,
+    append_segment,
+    atomic_write_meta,
+    build_index,
+    reserve_doc_range,
+)
 from dbsyncer_spark.index.search import SearchIndex
 from dbsyncer_spark.oracle.bm25_oracle import bm25_oracle_topk, corpus_stats
 from dbsyncer_spark.streaming.incremental import delete_docs, maybe_merge
@@ -137,3 +143,58 @@ def test_concurrent_appends_deletes_merges(spark, tmp_path):
         assert [i for i, _ in got] == [i for i, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9), q
+
+# ---- reservation-primitive unit gates (r5 review fixes) ---------------
+
+
+def _backdate_claim(index_dir: str, segment: str, by_s: float) -> None:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    meta["reserved_ranges"][segment]["ts"] -= by_s
+    atomic_write_meta(index_dir, meta)
+
+
+def test_resume_reservation_refreshes_ttl(spark, tmp_path):
+    """Re-reserving an explicit segment name must return the SAME offset
+    on a FRESH TTL clock: a resumed run that inherits only the crashed
+    run's leftover window can lose its claim mid-pack to an expiry prune
+    and die on the publish overlap guard (r5 review)."""
+    import json
+    import os
+
+    d = str(tmp_path / "ttl_idx")
+    build_index(spark, spark.createDataFrame(
+        [_doc(i, "base") for i in range(8)], SCHEMA), d, **PARAMS)
+
+    off1 = reserve_doc_range(d, 5, "seg_resume")
+    _backdate_claim(d, "seg_resume", RESERVATION_TTL_S - 5.0)  # nearly dead
+    off2 = reserve_doc_range(d, 5, "seg_resume")
+    assert off2 == off1, "resume must keep the claimed space"
+    with open(os.path.join(d, "meta.json")) as f:
+        ts = json.load(f)["reserved_ranges"]["seg_resume"]["ts"]
+    assert time.time() - ts < 60.0, "resume must refresh the claim's TTL clock"
+
+
+def test_publish_guard_skips_expired_claims(spark, tmp_path):
+    """The publish-time overlap guard must apply the same TTL filter as
+    reserve_doc_range: a dead writer's expired claim is reusable space,
+    not a permanent block (r5 review). An UNEXPIRED foreign claim must
+    still fail the publish loudly."""
+    d = str(tmp_path / "guard_idx")
+    build_index(spark, spark.createDataFrame(
+        [_doc(i, "base") for i in range(8)], SCHEMA), d, **PARAMS)
+    build_kwargs = {k: v for k, v in PARAMS.items()}
+
+    live_off = reserve_doc_range(d, 5, "seg_live")
+    rows = spark.createDataFrame([_doc(100 + i, "pub") for i in range(5)], SCHEMA)
+    with pytest.raises(ValueError, match="in-flight claim"):
+        build_index(spark, rows, d, segment="seg_bypass",
+                    doc_id_offset=live_off, **build_kwargs)
+
+    _backdate_claim(d, "seg_live", RESERVATION_TTL_S + 60.0)  # dead writer
+    meta = build_index(spark, rows, d, segment="seg_bypass2",
+                       doc_id_offset=live_off, **build_kwargs)
+    assert meta["doc_id_offset"] == live_off
