@@ -77,7 +77,6 @@ from dbsyncer_spark.functions.tokenizer import (
     CJK_PAD,
     _STOP_SETS,
     _TOKEN_RE,
-    token_count_col,
 )
 from dbsyncer_spark.index.codec import BLOCK_SIZE, MAX_DOC_POSITIONS, pack_postings
 from dbsyncer_spark.index.docids import assign_doc_ids, bucket_offsets
@@ -559,23 +558,13 @@ def build_index(
         if docs_have_ids:
             stats_base = base
         else:
-            # dl is only computable map-side on the default (no-stopword)
-            # path; with stopwords it comes from the termdocs aggregate
-            # below, so don't pay the regex content scan just to drop it.
-            narrow_cols = [
-                F.col("repo"),
-                F.col("path"),
-                F.col("commit"),
-                F.col("lang"),
+            narrow = docs.select(
+                "repo",
+                "path",
+                "commit",
+                "lang",
                 F.sha2("content", 256).alias("sha256"),
-            ]
-            if not use_stopwords:
-                narrow_cols.append(
-                    F.coalesce(token_count_col("content"), F.lit(0))
-                    .cast("int")
-                    .alias("dl")
-                )
-            narrow = docs.select(*narrow_cols)
+            )
             stats_base = assign_doc_ids(
                 narrow, num_buckets=num_id_buckets, offsets=id_offsets
             )
@@ -587,41 +576,26 @@ def build_index(
             F.col("sha256") if not docs_have_ids else F.sha2("content", 256).alias("sha256")
         )
         range_col = (F.col("doc_id") / F.lit(range_size)).cast("long").alias("range_id")
-        if use_stopwords:
-            # dl must exclude the per-language stopwords the tokenizer
-            # dropped, and only the emitted termdocs rows know which —
-            # aggregate them (one shuffle of the termdocs table + join;
-            # the narrow lineage's regexp dl counts ALL tokens, so it is
-            # ignored here)
-            dls = termdocs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
-            stats = (
-                stats_base.select(
-                    "doc_id", "repo", "path", "commit", "lang", sha_col, range_col
-                )
-                .join(dls, "doc_id", "left")
-                .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+        # dl = sum(tf) over the committed termdocs parquet. That table is
+        # written DOC-MAJOR straight out of the per-doc tokenizer, so the
+        # groupBy(doc_id) partial-aggregates each input split down to its
+        # distinct docs before the exchange — the shuffle carries ~one
+        # 12-byte row per DOC, not per termdocs row, and the scan prunes
+        # to the (doc_id, tf) columns. The map-side alternative (a scalar
+        # regexp twin of the tokenizer over content) is value-identical
+        # for no-stopword builds but ~25x the CPU of a content scan
+        # (measured 67 s vs 2.5 s sha256 at 2M docs x 8 cores) — it only
+        # ever looked good at 100k-doc bench scale where the exchange's
+        # fixed overhead dominates. With stopwords the aggregate is also
+        # the only correct source (dl must exclude dropped stopwords).
+        dls = termdocs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+        stats = (
+            stats_base.select(
+                "doc_id", "repo", "path", "commit", "lang", sha_col, range_col
             )
-        else:
-            # default path: dl counts ALL tokens, which the scalar
-            # regexp_count twin computes map-side — exactly equal to
-            # sum(tf) by twin identity (tests/test_tokenizer.py gates
-            # count == size(tokens) == the Arrow tokenizer's output).
-            # This removes the SECOND shuffle of the termdocs table
-            # (the largest table in the build — |docs| x distinct terms
-            # rows) plus the join back to base: at 10^12 docs that
-            # shuffle dwarfs one extra regexp pass over content, and at
-            # the 100k bench it is ~20% off the docstats stage wall.
-            # NULL content (possible when quarantine is off) counts 0.
-            dl_col = (
-                F.col("dl")
-                if not docs_have_ids
-                else F.coalesce(token_count_col("content"), F.lit(0))
-                .cast("int")
-                .alias("dl")
-            )
-            stats = stats_base.select(
-                "doc_id", "repo", "path", "commit", "lang", dl_col, sha_col, range_col
-            )
+            .join(dls, "doc_id", "left")
+            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+        )
         (
             stats
             .select("doc_id", "repo", "path", "commit", "lang", "dl", "sha256", "range_id")
