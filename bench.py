@@ -159,19 +159,30 @@ def main() -> None:
     # 2-4x under external load (measured: identical code, 0.4 s vs 2.3 s per
     # query minutes apart); min is the steady-state estimator, same as
     # the scaling table's best-of-2 (disclosed methodology)
-    lat = [float("inf")] * len(reference_queries())
-    for _ in range(3):
-        for qi, q in enumerate(reference_queries()):
-            t0 = time.perf_counter()
-            flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
-            idx.search(q["text"], k=q["k"], mode="wand", doc_filter=flt).collect()
-            lat[qi] = min(lat[qi], time.perf_counter() - t0)
-    lat_sorted = sorted(lat)
-    # nearest-rank p95: ceil(0.95*n)-1 (for n=15 -> index 14, the max);
-    # int(round(...)) picked ~p90 and understated the headline (ADVICE r1)
     import math
 
-    p95 = lat_sorted[min(len(lat) - 1, max(0, math.ceil(0.95 * len(lat)) - 1))]
+    def _measure_set(run_one):
+        """Best-of-3 per reference query via ``run_one(query, flt)``;
+        returns (per-query latencies, nearest-rank p95). One definition
+        for the cluster / warm_local / search_rows rows so the p95
+        formula (ceil(0.95*n)-1 nearest-rank — int(round()) picked ~p90
+        and understated the headline, ADVICE r1) cannot diverge between
+        the three reported surfaces (r5 review)."""
+        qs = reference_queries()
+        lat = [float("inf")] * len(qs)
+        for _ in range(3):
+            for qi, q in enumerate(qs):
+                t0 = time.perf_counter()
+                flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
+                run_one(q, flt)
+                lat[qi] = min(lat[qi], time.perf_counter() - t0)
+        srt = sorted(lat)
+        p95 = srt[min(len(srt) - 1, max(0, math.ceil(0.95 * len(srt)) - 1))]
+        return lat, p95
+
+    lat, p95 = _measure_set(
+        lambda q, flt: idx.search(q["text"], k=q["k"], mode="wand",
+                                  doc_filter=flt).collect())
     timings["query_set"] = round(sum(lat), 3)
 
     # r5: warm_local serving mode — the SAME queries scored entirely
@@ -186,15 +197,9 @@ def main() -> None:
     for q in reference_queries()[:4]:  # untimed warmup (filter cache, JIT)
         idx_local.search(q["text"], k=q["k"]).collect()
     idx_local.search("import", k=5, doc_filter=(F.col("lang") == "python")).collect()
-    lat_local = [float("inf")] * len(reference_queries())
-    for _ in range(3):
-        for qi, q in enumerate(reference_queries()):
-            t0 = time.perf_counter()
-            flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
-            idx_local.search(q["text"], k=q["k"], mode="wand", doc_filter=flt).collect()
-            lat_local[qi] = min(lat_local[qi], time.perf_counter() - t0)
-    ls = sorted(lat_local)
-    p95_local = ls[min(len(ls) - 1, max(0, math.ceil(0.95 * len(ls)) - 1))]
+    lat_local, p95_local = _measure_set(
+        lambda q, flt: idx_local.search(q["text"], k=q["k"], mode="wand",
+                                        doc_filter=flt).collect())
     timings["query_set_local"] = round(sum(lat_local), 3)
 
     # r5: the rows serving surface — same warm_local kernel, but
@@ -203,15 +208,9 @@ def main() -> None:
     # py4j traffic is ~35-45 ms/query, i.e. the entire remaining floor
     # once Spark jobs are gone; identity pytest-gated in
     # tests/test_local_serving.py::test_search_rows_identity)
-    lat_rows = [float("inf")] * len(reference_queries())
-    for _ in range(3):
-        for qi, q in enumerate(reference_queries()):
-            t0 = time.perf_counter()
-            flt = (F.col("lang") == q["filterLang"]) if q["filterLang"] else None
-            idx_local.search_rows(q["text"], k=q["k"], mode="wand", doc_filter=flt)
-            lat_rows[qi] = min(lat_rows[qi], time.perf_counter() - t0)
-    lr = sorted(lat_rows)
-    p95_rows = lr[min(len(lr) - 1, max(0, math.ceil(0.95 * len(lr)) - 1))]
+    lat_rows, p95_rows = _measure_set(
+        lambda q, flt: idx_local.search_rows(q["text"], k=q["k"], mode="wand",
+                                             doc_filter=flt))
     timings["query_set_rows"] = round(sum(lat_rows), 3)
 
     # batched serving shape: all unfiltered reference queries, ONE job

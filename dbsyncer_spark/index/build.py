@@ -61,6 +61,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading as _threading
 import time as _time
 from contextlib import contextmanager as _contextmanager
 
@@ -79,7 +80,12 @@ from dbsyncer_spark.functions.tokenizer import (
     _TOKEN_RE,
 )
 from dbsyncer_spark.index.codec import BLOCK_SIZE, MAX_DOC_POSITIONS, pack_postings
-from dbsyncer_spark.index.docids import assign_doc_ids, bucket_offsets
+from dbsyncer_spark.index.docids import (
+    assign_doc_ids,
+    bucket_counts,
+    bucket_offsets,
+    offsets_from_counts,
+)
 from dbsyncer_spark.index.lineage import commit_stage, params_hash, stage_committed
 
 DEFAULT_NUM_SHARDS = 32
@@ -461,6 +467,7 @@ def build_index(
     store_terms: bool = False,
     store_positions: bool = False,
     max_content_bytes: int | None = None,
+    id_offsets: dict[int, int] | None = None,
 ) -> dict:
     """Build one index segment; returns the segment meta dict.
 
@@ -472,7 +479,13 @@ def build_index(
     failing the build — the analog of the reference's dead-letter
     capture-and-replay (``FlushStrategyImpl`` persist +
     ``DataSyncServiceImpl.java:106-206`` replay, SURVEY.md C10);
-    re-running the build on the fixed quarantined rows is the replay."""
+    re-running the build on the fixed quarantined rows is the replay.
+
+    ``id_offsets``: per-bucket id offsets from ``docids.bucket_counts``
+    over the SAME ``docs`` (``append_segment`` shares its claim-sizing
+    pass this way — one batch scan instead of two). Ignored when a
+    quarantine filter is active: the filter changes the row set, so
+    caller offsets computed pre-filter would misnumber the survivors."""
     seg_dir = os.path.join(index_dir, "segments", segment)
     os.makedirs(seg_dir, exist_ok=True)
     if pack_parallelism is None:
@@ -488,6 +501,11 @@ def build_index(
         "b": b,
         "tokenizer": "code_aware_v3_cjk",
         "store_positions": store_positions,
+        # doc ids depend on the bucket count, so it must pin the stage
+        # hash: a resume after changing it would otherwise mix committed
+        # stages numbered under the old scheme with recomputed stages
+        # numbered under the new one (r5 review)
+        "num_id_buckets": num_id_buckets,
     }
     phash = params_hash(params)
 
@@ -519,8 +537,11 @@ def build_index(
         id_offsets = None
     else:
         # Pass 1 (bucket counts) runs ONCE; both the wide termdocs
-        # lineage and the narrow docstats lineage below reuse it.
-        id_offsets = bucket_offsets(docs, num_buckets=num_id_buckets)
+        # lineage and the narrow docstats lineage below reuse it —
+        # or zero times, when append_segment already ran it to size
+        # the doc-range claim and passed the offsets in.
+        if id_offsets is None or max_content_bytes is not None:
+            id_offsets = bucket_offsets(docs, num_buckets=num_id_buckets)
         base = assign_doc_ids(docs, num_buckets=num_id_buckets, offsets=id_offsets)
     if doc_id_offset:
         base = base.withColumn("doc_id", F.col("doc_id") + F.lit(doc_id_offset))
@@ -1016,6 +1037,73 @@ def unreserve_doc_range(index_dir: str, segment: str) -> None:
     write_meta_locked(index_dir, mut)
 
 
+#: claim heartbeat period as a fraction of RESERVATION_TTL_S (6 h at the
+#: 24 h default — four beats per TTL window, so a single missed beat
+#: never expires a live claim)
+RESERVATION_HEARTBEAT_FRACTION = 0.25
+
+
+def touch_reservations(index_dir: str, segment: str) -> bool:
+    """Re-stamp the TTL clock on ``segment``'s name and/or doc-range
+    claims under the meta lock. Returns False when neither claim exists
+    (already consumed by the publish, released, or expired-and-pruned —
+    in the last case the space may belong to someone else now, so the
+    toucher must NOT re-create it). One tiny locked meta rewrite."""
+    out = {"touched": False}
+
+    def mut(fresh):
+        now = _time.time()
+        upd = {}
+        if segment in fresh.get("reserved", {}):
+            upd["reserved"] = {**fresh["reserved"], segment: now}
+        rr = fresh.get("reserved_ranges", {})
+        if segment in rr:
+            upd["reserved_ranges"] = {**rr, segment: {**rr[segment], "ts": now}}
+        if not upd:
+            return None
+        out["touched"] = True
+        return {**fresh, **upd}
+
+    write_meta_locked(index_dir, mut)
+    return out["touched"]
+
+
+@_contextmanager
+def claim_heartbeat(index_dir: str, segment: str):
+    """Keep ``segment``'s name/doc-range claims alive while a pack job
+    runs: a daemon thread re-stamps their TTL clocks every
+    ``RESERVATION_TTL_S * RESERVATION_HEARTBEAT_FRACTION`` seconds.
+
+    Without it, any append/merge whose Spark job outlives
+    ``RESERVATION_TTL_S`` (plausible at the 10^12-file scale this engine
+    targets) silently loses its claim to a competing writer's expiry
+    prune and is guaranteed to die at the publish overlap guard — the
+    whole multi-hour job discarded at the very last step (r5 review).
+    The TTL stays the crash-recovery story: a writer that dies stops
+    beating and its claims expire as before. Heartbeat failures are
+    swallowed (best-effort — a transient lock error must not kill the
+    pack; the next beat retries). The interval re-reads the module
+    globals each tick so tests can shrink both."""
+    stop = _threading.Event()
+
+    def beat():
+        while not stop.wait(RESERVATION_TTL_S * RESERVATION_HEARTBEAT_FRACTION):
+            try:
+                touch_reservations(index_dir, segment)
+            except Exception:
+                pass  # best-effort; TTL expiry remains the backstop
+
+    t = _threading.Thread(
+        target=beat, daemon=True, name=f"claim-heartbeat-{segment}"
+    )
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
+
+
 def replay_quarantine(
     spark: SparkSession,
     index_dir: str,
@@ -1085,10 +1173,12 @@ def append_segment(
     meta flips serialize (IndexWriter semantics; previously offsets came
     from an unlocked meta snapshot and the second concurrent append died
     at the publish overlap guard — tests/test_concurrent_writers.py).
-    Sizing the claim costs one ``docs.count()`` job over the incoming
-    batch — proportional to the BATCH, not the index; callers with an
-    expensive non-materialized lineage should cache/persist ``docs``
-    first (the streaming path hands in materialized micro-batches)."""
+    Sizing the claim reuses the id-assignment bucket-count pass
+    (``docids.bucket_counts`` — the counts sum to the row count), so it
+    costs no scan beyond what ``build_index`` needs anyway; the claim is
+    kept alive by a ``claim_heartbeat`` for the duration of the pack, so
+    a job that outlives ``RESERVATION_TTL_S`` cannot lose its id space
+    to a competing writer's expiry prune (r5 review)."""
     root = os.path.join(index_dir, "meta.json")
     with open(root) as f:
         meta = json.load(f)
@@ -1097,7 +1187,7 @@ def append_segment(
         with open(os.path.join(seg_dir, "seg_meta.json")) as f:
             return json.load(f)
     for k in ("num_shards", "block_size", "use_stopwords", "k1", "b", "range_size",
-              "store_positions"):
+              "store_positions", "num_id_buckets"):
         if k not in meta["params"]:  # index built before this param existed
             continue
         if k in kwargs and kwargs[k] != meta["params"][k]:
@@ -1106,15 +1196,31 @@ def append_segment(
                 f"params ({meta['params'][k]}) — segments must share build params"
             )
         kwargs[k] = meta["params"][k]
-    n_new = docs.count()  # sizes the id-space claim; see docstring
+    # Size the id-space claim from the id-assignment bucket counts (one
+    # aggregation over the batch) instead of a separate docs.count()
+    # scan; when no quarantine filter will drop rows, the derived
+    # offsets feed straight into build_index so the pass runs ONCE.
+    if kwargs.get("docs_have_ids"):
+        n_new = docs.count()
+        shared_offsets = None
+    else:
+        nb = kwargs.get("num_id_buckets", 256)
+        counts = bucket_counts(docs, num_buckets=nb)
+        n_new = sum(counts.values())
+        shared_offsets = (
+            offsets_from_counts(counts, nb)
+            if kwargs.get("max_content_bytes") is None else None
+        )
     if segment is not None:
         # explicit (resumable) name: the claim is keyed by the name and
         # NOT released on failure — a crashed run that re-runs gets the
         # SAME offset back (reserve_doc_range resume path), keeping its
         # committed lineage stages valid; abandonment frees it by TTL.
         offset = reserve_doc_range(index_dir, n_new, segment)
-        return build_index(spark, docs, index_dir, segment=segment,
-                           doc_id_offset=offset, **kwargs)
+        with claim_heartbeat(index_dir, segment):
+            return build_index(spark, docs, index_dir, segment=segment,
+                               doc_id_offset=offset, id_offsets=shared_offsets,
+                               **kwargs)
     # auto name: allocated UNDER the meta lock (reservation) — an unlocked
     # snapshot could pick the same seg_NNNNNN as an in-flight merge/
     # compaction output (or vice versa) and the two writers would clobber
@@ -1125,8 +1231,10 @@ def append_segment(
     seg_name = reserve_segment_name(index_dir)
     try:
         offset = reserve_doc_range(index_dir, n_new, seg_name)
-        return build_index(spark, docs, index_dir, segment=seg_name,
-                           doc_id_offset=offset, **kwargs)
+        with claim_heartbeat(index_dir, seg_name):
+            return build_index(spark, docs, index_dir, segment=seg_name,
+                               doc_id_offset=offset, id_offsets=shared_offsets,
+                               **kwargs)
     except BaseException:
         import shutil as _shutil
 

@@ -27,27 +27,45 @@ from pyspark.sql import functions as F
 KEY_COLS = ["repo", "path", "commit"]
 
 
-def bucket_offsets(
+def bucket_counts(
     df: DataFrame, key_cols: list[str] | None = None, num_buckets: int = 256
 ) -> dict[int, int]:
-    """Pass 1 of the id assignment: cumulative per-bucket row offsets.
-
-    One small aggregation job (keys-only scan; Catalyst prunes every
-    other column) returning ``num_buckets`` ints to the driver. Exposed
-    so a caller that derives several lineages from the SAME key set
-    (e.g. ``build_index``'s termdocs and docstats stages) runs the
-    count job once and shares the offsets."""
+    """Per-bucket row counts — the one aggregation job behind the id
+    assignment (keys-only scan; Catalyst prunes every other column),
+    returning ``num_buckets`` ints to the driver. Exposed separately
+    from :func:`bucket_offsets` because the counts also carry the total
+    row count (their sum): ``append_segment`` sizes its doc-id-space
+    claim from the SAME pass that assigns ids, instead of paying a
+    separate ``docs.count()`` scan over the batch (r5 review)."""
     keys = key_cols or KEY_COLS
     with_bucket = df.withColumn("_bucket", F.pmod(F.xxhash64(*keys), F.lit(num_buckets)))
-    counts = {
-        r["_bucket"]: r["cnt"]
+    return {
+        int(r["_bucket"]): int(r["cnt"])
         for r in with_bucket.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+
+
+def offsets_from_counts(counts: dict[int, int], num_buckets: int = 256) -> dict[int, int]:
+    """Cumulative per-bucket start offsets from :func:`bucket_counts`."""
     offsets, acc = {}, 0
     for b in range(num_buckets):
         offsets[b] = acc
         acc += counts.get(b, 0)
     return offsets
+
+
+def bucket_offsets(
+    df: DataFrame, key_cols: list[str] | None = None, num_buckets: int = 256
+) -> dict[int, int]:
+    """Pass 1 of the id assignment: cumulative per-bucket row offsets.
+
+    One small aggregation job returning ``num_buckets`` ints to the
+    driver. Exposed so a caller that derives several lineages from the
+    SAME key set (e.g. ``build_index``'s termdocs and docstats stages)
+    runs the count job once and shares the offsets."""
+    return offsets_from_counts(
+        bucket_counts(df, key_cols, num_buckets), num_buckets
+    )
 
 
 def assign_doc_ids(

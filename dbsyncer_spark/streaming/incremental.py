@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from dbsyncer_spark.index.build import (
     append_segment,
     build_index,
+    claim_heartbeat as _claim_heartbeat,
     read_meta_for_update as _read_meta_for_update,
     reserve_segment_name as _reserve_segment_name,
     unreserve_segment_name as _unreserve_segment_name,
@@ -295,13 +296,19 @@ def compact_segments(
         _unreserve_segment_name(index_dir, new_name)
 
     try:
-        seg_meta = _pack_segment(
-            spark, decoded, stats, seg_dir, params, segment=new_name,
-            doc_id_offset=min(s["doc_id_offset"] for s in inputs.values()),
-            # HWM survives even when the highest-id docs were tombstoned:
-            # append_segment must never reuse a dropped doc id
-            max_doc_id_floor=max(s["max_doc_id"] for s in inputs.values()),
-        )
+        # heartbeat keeps the output-name reservation alive for packs
+        # that outlive RESERVATION_TTL_S (r5 review — a competing
+        # writer's expiry prune could otherwise hand our seg_NNNNNN to
+        # an auto-named append mid-pack)
+        with _claim_heartbeat(index_dir, new_name):
+            seg_meta = _pack_segment(
+                spark, decoded, stats, seg_dir, params, segment=new_name,
+                doc_id_offset=min(s["doc_id_offset"] for s in inputs.values()),
+                # HWM survives even when the highest-id docs were
+                # tombstoned: append_segment must never reuse a dropped
+                # doc id
+                max_doc_id_floor=max(s["max_doc_id"] for s in inputs.values()),
+            )
     except BaseException:
         _abort()
         raise
@@ -668,17 +675,19 @@ def maybe_merge(
         _unreserve_segment_name(index_dir, new_name)
 
     try:
-        seg_meta = _pack_segment(
-            spark, decoded, stats, os.path.join(seg_root, new_name), params,
-            segment=new_name,
-            doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
-            # inputs' doc-id high-water mark survives even if their tail
-            # docs were all tombstoned — append_segment must never reuse
-            # ids (and the floor goes into seg_meta.json too, so
-            # rebuilding root meta from per-segment files can never
-            # shrink the HWM)
-            max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
-        )
+        # heartbeat: see compact_segments — same name-expiry hazard
+        with _claim_heartbeat(index_dir, new_name):
+            seg_meta = _pack_segment(
+                spark, decoded, stats, os.path.join(seg_root, new_name), params,
+                segment=new_name,
+                doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
+                # inputs' doc-id high-water mark survives even if their
+                # tail docs were all tombstoned — append_segment must
+                # never reuse ids (and the floor goes into seg_meta.json
+                # too, so rebuilding root meta from per-segment files can
+                # never shrink the HWM)
+                max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
+            )
 
         import time as _time
 

@@ -198,3 +198,65 @@ def test_publish_guard_skips_expired_claims(spark, tmp_path):
     meta = build_index(spark, rows, d, segment="seg_bypass2",
                        doc_id_offset=live_off, **build_kwargs)
     assert meta["doc_id_offset"] == live_off
+
+
+def test_touch_reservations_restamps_both_claims(spark, tmp_path):
+    """touch_reservations must refresh the TTL clock of an existing name
+    and doc-range claim under the lock, and report False (touching
+    nothing) when the segment holds neither — it must never re-CREATE a
+    pruned claim, since the space may belong to someone else by then."""
+    import json
+    import os
+
+    from dbsyncer_spark.index.build import (
+        reserve_segment_name,
+        touch_reservations,
+    )
+
+    d = str(tmp_path / "touch_idx")
+    build_index(spark, spark.createDataFrame(
+        [_doc(i, "base") for i in range(8)], SCHEMA), d, **PARAMS)
+
+    name = reserve_segment_name(d)
+    reserve_doc_range(d, 5, name)
+    _backdate_claim(d, name, 1000.0)
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    meta["reserved"][name] -= 1000.0
+    atomic_write_meta(d, meta)
+
+    assert touch_reservations(d, name) is True
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    assert time.time() - meta["reserved"][name] < 60.0
+    assert time.time() - meta["reserved_ranges"][name]["ts"] < 60.0
+
+    assert touch_reservations(d, "seg_nonexistent") is False
+
+
+def test_claim_heartbeat_outlives_reservation_ttl(spark, tmp_path, monkeypatch):
+    """A pack job running longer than RESERVATION_TTL_S must NOT lose its
+    id-space claim: the claim_heartbeat re-stamps it, so a competing
+    reserve_doc_range during the 'job' allocates ABOVE the claimed range
+    instead of pruning-and-reusing it (r5 review — without the heartbeat
+    a >TTL append is guaranteed to die at the publish overlap guard).
+    Once the heartbeat stops (writer finished or crashed), expiry frees
+    the space as before."""
+    from dbsyncer_spark.index import build as buildmod
+
+    d = str(tmp_path / "hb_idx")
+    build_index(spark, spark.createDataFrame(
+        [_doc(i, "base") for i in range(8)], SCHEMA), d, **PARAMS)
+
+    monkeypatch.setattr(buildmod, "RESERVATION_TTL_S", 0.8)
+    off = buildmod.reserve_doc_range(d, 5, "seg_slow")
+    with buildmod.claim_heartbeat(d, "seg_slow"):
+        time.sleep(2.5)  # ~3 TTL windows elapse during the "pack job"
+        rival = buildmod.reserve_doc_range(d, 5, "seg_rival")
+        assert rival > off, (
+            "competing writer reused a heartbeated claim's space"
+        )
+    buildmod.unreserve_doc_range(d, "seg_rival")
+    time.sleep(1.0)  # heartbeat stopped; claim now expires normally
+    reclaimed = buildmod.reserve_doc_range(d, 5, "seg_after")
+    assert reclaimed == off, "expired claim of a finished writer not freed"

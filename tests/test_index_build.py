@@ -247,13 +247,13 @@ def test_search_many_with_shared_doc_filter(spark, index):
 
 
 def test_stopword_build_dl_excludes_stopwords(spark, corpus, tmp_path_factory):
-    """use_stopwords=True keeps the termdocs-aggregate dl path: doc
-    length must equal sum(tf) of the INDEXED (stopword-free) terms —
-    NOT the all-token scalar count the default build uses (r5: the
-    default path switched to the map-side token_count_col twin, which
-    is only valid because it counts the same tokens the tokenizer
-    emits; with stopwords dropped the two diverge and the build must
-    take the aggregate branch)."""
+    """Stopword builds must set dl = sum(tf) of the INDEXED
+    (stopword-free) terms, never the all-token count. All builds now
+    share the termdocs-aggregate dl source (the map-side
+    token_count_col experiment was reverted by measurement — ~25x the
+    CPU of a content scan at 2M docs; commit a2cc7b7 / SURVEY §8.28),
+    and this test pins the semantics that make the aggregate the only
+    CORRECT source under stopwording, whatever the default build does."""
     d = str(tmp_path_factory.mktemp("swidx"))
     build_index(
         spark, corpus, d,
