@@ -2194,10 +2194,14 @@ class SearchIndex:
             # single filter-only query's order depend on batch size
             # (r5 review)
             return parts[0]
-        if self._local is not None and not fallback:
+        if self._local is not None:
             # warm_local: the parts are LocalRelations — a Spark orderBy
             # over them would launch the only job of the batch (Sort
-            # doesn't fold like Filter/Project do); merge driver-side
+            # doesn't fold like Filter/Project do); merge driver-side.
+            # Filter-only fallback parts are LocalRelations too now
+            # (zero-job _match_all_local); a fallback query carrying
+            # term/phrase gates still collects through its cluster jobs
+            # here, which the orderBy branch below would also have paid.
             rows = [(r.query_id, r.doc_id, r.score)
                     for p in parts for r in p.collect()]
             pdf = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
@@ -2810,8 +2814,19 @@ class SearchIndex:
 
         Plan at scale: a docstats-ONLY scan (never postings), filter
         pushed to parquet, TakeOrdered top-k — no shuffle, no global
-        sort. Returns docstats rows, <= k rows."""
+        sort. Returns docstats rows, <= k rows.
+
+        On a ``warm_local`` snapshot this serves driver-side with ZERO
+        Spark jobs (``_match_all_local``) — the reference UI's DEFAULT
+        query (filter-only newest-first browse) was the last serving
+        shape still paying the per-job scheduling floor after r5's
+        warm_local tier (r5 review). ``allowed_docs``/``exclude_docs``
+        carry arbitrary DataFrame lineage and keep the cluster path,
+        same rule as ``search``."""
         sort_cols = sort_cols if sort_cols is not None else [("doc_id", False)]
+        if (self._local is not None and allowed_docs is None
+                and exclude_docs is None):
+            return self._match_all_local(doc_filter, sort_cols, k, after)
         stats = self.docstats()
         if doc_filter is not None:
             stats = stats.filter(doc_filter)
@@ -2828,6 +2843,44 @@ class SearchIndex:
             (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_cols
         ] + [F.col("doc_id").asc()]
         return stats.orderBy(*order).limit(k)
+
+    def _match_all_local(self, doc_filter, sort_cols, k: int, after) -> DataFrame:
+        """Zero-job ``match_all`` twin over the warm_local snapshot.
+
+        The Column predicates (``doc_filter`` and the ``_strictly_after``
+        cursor — the SAME expressions the cluster path uses, so the two
+        can never diverge on predicate semantics) are evaluated against
+        the docstats LocalRelation, where ConvertToLocalRelation folds
+        Filter+Project driver-side (executeCollect, no job — the
+        ``_local_allowed_of`` idiom). Sort+limit does NOT fold (Catalyst
+        folds only Project/Filter/Limit over LocalRelation), so the
+        (sort_cols..., doc_id asc) cut runs in pandas — bounded by the
+        snapshot, which fit the warm_local budget by construction.
+        Row-identity vs the cluster path is pytest-gated
+        (tests/test_local_serving.py)."""
+        loc = self._local
+        stats = loc["docstats_df"]
+        if doc_filter is not None:
+            stats = stats.filter(doc_filter)
+        if after is not None:
+            stats = stats.filter(_strictly_after(sort_cols, after))
+        rows = stats.collect()  # LocalRelation fold: no Spark job
+        dead = loc["dead_ids"]
+        if dead:
+            rows = [r for r in rows if r["doc_id"] not in dead]
+        schema = self.docstats().schema
+        if not rows:
+            return empty_df(self.spark, schema)
+        pdf = pd.DataFrame([r.asDict() for r in rows],
+                           columns=schema.fieldNames())
+        by = [c for c, _ in sort_cols] + ["doc_id"]
+        asc = [a for _, a in sort_cols] + [True]
+        pdf = (
+            pdf.sort_values(by, ascending=asc, kind="mergesort")
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return self.spark.createDataFrame(pdf, schema)
 
     def count(self, query: str) -> int:
         """Count-only query (reference count short-circuit,

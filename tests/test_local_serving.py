@@ -255,6 +255,9 @@ def test_refresh_read_your_writes(spark, corpus, tmp_path_factory):
     # identity proves warm_local was not re-run
     assert h._local["rows"] is rows_before_refresh
     assert set(victims) <= h._local["dead_ids"]
+    # the zero-job match_all twin masks the same re-pulled dead set
+    ma_ids = {r["doc_id"] for r in h.match_all(k=1_000_000).collect()}
+    assert not (ma_ids & set(victims))
 
     # snapshot-advancing writes: append + merge -> refresh returns True
     extra = corpus.limit(40).withColumn(
@@ -386,3 +389,50 @@ def test_decode_cache_survives_tombstone_refresh(spark, corpus,
     want = [(r.doc_id, r.score)
             for r in SearchIndex(spark, d).search("merge scan", k=5).collect()]
     assert after == want
+
+
+def test_match_all_local_identity_and_zero_jobs(spark, pair):
+    """match_all on a warm_local snapshot — the reference UI's default
+    filter-only newest-first browse — must return the cluster path's
+    exact rows (any sort_cols / doc_filter / cursor combination) while
+    submitting ZERO Spark jobs (r5: the last serving shape still paying
+    the per-job scheduling floor after the warm_local tier)."""
+    cold, hot = pair
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    specs = [
+        dict(),  # default (doc_id desc) newest-first page
+        dict(k=25),
+        dict(doc_filter=F.col("lang") == "python"),
+        dict(sort_cols=[("lang", True), ("dl", False)], k=15),
+        dict(doc_filter=F.col("dl") > 10, sort_cols=[("dl", True)], k=7),
+        dict(doc_filter=F.col("lang") == "nosuchlang"),  # empty result
+    ]
+    for kw in specs:
+        assert rows(hot.match_all(**kw)) == rows(cold.match_all(**kw)), kw
+
+    # cursor paging: two local pages stitch to one big cluster page
+    p1 = hot.match_all(k=10).collect()
+    last = p1[-1]
+    p2 = hot.match_all(k=10, after=(last["doc_id"], last["doc_id"])).collect()
+    assert [tuple(r) for r in p1 + p2] == rows(cold.match_all(k=20))
+
+    # the filter-only parsed route rides the same twin
+    want = [(r.doc_id, r.score)
+            for r in cold.search_parsed("lang:go", k=12).collect()]
+    got = [(r.doc_id, r.score)
+           for r in hot.search_parsed("lang:go", k=12).collect()]
+    assert got == want
+
+    sc = spark.sparkContext
+    sc.setJobGroup("matchall_local_gate", "must stay empty")
+    try:
+        hot.match_all(doc_filter=F.col("lang") == "go", k=10).collect()
+        hot.match_all(sort_cols=[("dl", True)], k=5).collect()
+        hot.search_parsed("lang:go", k=12).collect()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("matchall_local_gate")
+    assert list(jobs) == [], f"local match_all submitted Spark jobs: {jobs}"
