@@ -2156,12 +2156,19 @@ class SearchIndex:
         term_batch: dict[str, str] = {}
         gated: dict[str, tuple] = {}
         fallback: dict[str, str] = {}
+        fallback_gated = False  # any fallback part that is NOT a pure
+        # field-filter match_all (term/phrase/expansion gates build
+        # cluster-lineage semi-joins even on warm_local snapshots)
         for qid, q in queries.items():
             pq = parse_query(q)
             check_fields(pq, cols)
             scored, must_any, not_any = self._fold_parsed(pq)
             if not scored:
                 fallback[qid] = q
+                fallback_gated = fallback_gated or bool(
+                    pq.must or pq.must_not or pq.phrases or pq.not_phrases
+                    or must_any or not_any
+                )
                 continue
             if not (pq.must or pq.must_not or pq.phrases or pq.not_phrases
                     or pq.fields or pq.not_fields or pq.boosts
@@ -2194,14 +2201,17 @@ class SearchIndex:
             # single filter-only query's order depend on batch size
             # (r5 review)
             return parts[0]
-        if self._local is not None:
+        if self._local is not None and not fallback_gated:
             # warm_local: the parts are LocalRelations — a Spark orderBy
             # over them would launch the only job of the batch (Sort
             # doesn't fold like Filter/Project do); merge driver-side.
-            # Filter-only fallback parts are LocalRelations too now
-            # (zero-job _match_all_local); a fallback query carrying
-            # term/phrase gates still collects through its cluster jobs
-            # here, which the orderBy branch below would also have paid.
+            # Pure-field-filter fallback parts are LocalRelations too
+            # (zero-job _match_all_local). A fallback query carrying
+            # term/phrase gates keeps the lazy union+orderBy branch
+            # below instead: eagerly collecting each such part here
+            # would pay one Spark job chain PER part where the union is
+            # one composite job (review) — and callers keep a lazy
+            # DataFrame either way.
             rows = [(r.query_id, r.doc_id, r.score)
                     for p in parts for r in p.collect()]
             pdf = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
@@ -2822,11 +2832,18 @@ class SearchIndex:
         shape still paying the per-job scheduling floor after r5's
         warm_local tier (r5 review). ``allowed_docs``/``exclude_docs``
         carry arbitrary DataFrame lineage and keep the cluster path,
-        same rule as ``search``."""
+        same rule as ``search`` — as does a sort column containing
+        NULLs (pandas and Spark disagree on NULL placement). Tombstone
+        masking on the local route follows warm_local's snapshot
+        semantics like every other local surface: deletes landing after
+        ``warm_local()`` become visible at ``refresh()``; the cluster
+        path re-reads the pinned generation per query."""
         sort_cols = sort_cols if sort_cols is not None else [("doc_id", False)]
         if (self._local is not None and allowed_docs is None
                 and exclude_docs is None):
-            return self._match_all_local(doc_filter, sort_cols, k, after)
+            local = self._match_all_local(doc_filter, sort_cols, k, after)
+            if local is not None:
+                return local
         stats = self.docstats()
         if doc_filter is not None:
             stats = stats.filter(doc_filter)
@@ -2861,7 +2878,14 @@ class SearchIndex:
         refresh only grows ``dead_ids``, which are masked per call).
         Steady state: one boolean gather over the cached order per page.
         Row-identity vs the cluster path is pytest-gated
-        (tests/test_local_serving.py)."""
+        (tests/test_local_serving.py).
+
+        Returns None — caller falls back to the cluster path — when any
+        sort column contains NULLs: Spark orders NULLS FIRST for asc /
+        LAST for desc while pandas pins NaN per na_position regardless
+        of direction, and the cursor comparison would raise on None in
+        an object column (review). The per-column null flag is cached
+        for the snapshot's lifetime."""
         loc = self._local
         pdf = loc["docstats_pdf"]
         n = len(pdf)
@@ -2873,6 +2897,13 @@ class SearchIndex:
                 f"cursor has {len(after)} values; expected {len(cols)} "
                 "(one per sort column, then doc_id)"
             )
+        na_cols = loc.setdefault("ma_na_cols", {})
+        for c, _ in cols:
+            has_na = na_cols.get(c)
+            if has_na is None:
+                has_na = na_cols[c] = bool(pdf[c].isna().any())
+            if has_na:
+                return None  # NULL ordering differs; cluster path serves
 
         pos_index = loc.get("ma_pos_index")
         if pos_index is None:
@@ -2907,6 +2938,9 @@ class SearchIndex:
         orders = loc.setdefault("ma_orders", {})
         order = orders.get(okey)
         if order is None:
+            if len(orders) > 64:  # bound like loc["filters"]: each entry
+                orders.clear()    # is an n-length int64 array (~800 KB
+                                  # at 100k docs) living snapshot-long
             by = [c for c, _ in sort_cols] + ["doc_id"]
             asc = [a for _, a in sort_cols] + [True]
             order = orders[okey] = (

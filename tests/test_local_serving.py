@@ -436,3 +436,40 @@ def test_match_all_local_identity_and_zero_jobs(spark, pair):
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("matchall_local_gate")
     assert list(jobs) == [], f"local match_all submitted Spark jobs: {jobs}"
+
+
+def test_match_all_local_null_sort_falls_back(spark, tmp_path_factory):
+    """A sort column containing NULLs must route warm_local match_all
+    back to the cluster path (Spark: NULLS FIRST asc / LAST desc;
+    pandas: NaN pinned per na_position regardless of direction — the
+    local twin would return a different page, and cursor comparisons
+    would raise on object-dtype None). Identity, not speed, wins."""
+    rows = [
+        ("r", f"p{i}.py", f"c{i}", None if i % 3 == 0 else "go",
+         f"merge scan offset tok{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    d = str(tmp_path_factory.mktemp("nullsort"))
+    build_index(spark, df, d, num_shards=2, range_size=64, num_id_buckets=4)
+    cold = SearchIndex(spark, d)
+    hot = SearchIndex(spark, d)
+    hot.warm_local()
+    for sort_cols in ([("lang", True)], [("lang", False), ("dl", True)]):
+        want = [tuple(r) for r in cold.match_all(sort_cols=sort_cols, k=12).collect()]
+        got = [tuple(r) for r in hot.match_all(sort_cols=sort_cols, k=12).collect()]
+        assert got == want, sort_cols
+    # the asc page actually exercises NULL placement (NULLS FIRST)
+    first = cold.match_all(sort_cols=[("lang", True)], k=12).collect()
+    assert any(r["lang"] is None for r in first), "no null rows on page: vacuous"
+    # non-null sorts on the same snapshot still serve locally (zero jobs)
+    sc = spark.sparkContext
+    hot.match_all(k=5).collect()  # prime caches
+    sc.setJobGroup("nullsort_gate", "must stay empty")
+    try:
+        hot.match_all(k=5).collect()
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("nullsort_gate")) == []
