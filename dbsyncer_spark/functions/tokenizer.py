@@ -141,6 +141,29 @@ def token_count_col(col: Column | str) -> Column:
     )
 
 
+def tokenize_arrow(texts):
+    """Arrow-kernel twin of ``tokens_col``/``tokenize_py`` over a pandas
+    Series (or any ``pa.array``-able sequence) of strings: camel/acronym
+    rules + CJK pad (RE2 rewrite syntax — \\1/\\2 backrefs, same as the
+    Python twin) -> lower -> split. Returns the pyarrow list array of
+    raw split tokens; EMPTY-string tokens survive the split exactly as
+    before, callers filter them.
+
+    THE one definition for the three batch kernels (index-build
+    termdocs, dedup shingles, textstats fingerprints): their documented
+    parity gates vs the Column/SQL twins rest on identical rule lists,
+    and three hand-synced copies meant a tokenizer rule change applied
+    to one silently broke the others (r5 review)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    for pat, repl in CAMEL_RULES + [CJK_PAD]:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    arr = pc.utf8_lower(arr)
+    return pc.split_pattern_regex(arr, pattern=f"[^a-z0-9{CJK_CLASS}]+")
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_pandas_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
     """Vectorized Arrow tokenizer with per-language stopwording.

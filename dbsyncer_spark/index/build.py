@@ -74,10 +74,9 @@ from pyspark.sql import types as T
 from dbsyncer_spark import BM25_B, BM25_K1
 from dbsyncer_spark.functions.tokenizer import (
     CAMEL_RULES,
-    CJK_CLASS,
-    CJK_PAD,
     _STOP_SETS,
     _TOKEN_RE,
+    tokenize_arrow,
 )
 from dbsyncer_spark.index.codec import BLOCK_SIZE, MAX_DOC_POSITIONS, pack_postings
 from dbsyncer_spark.index.docids import (
@@ -200,12 +199,7 @@ def _tokenize_count(use_stopwords: bool, store_positions: bool = False):
             n = len(pdf)
             if n == 0:
                 continue
-            arr = pa.array(pdf["content"].fillna(""), type=pa.string())
-            for pat, repl in CAMEL_RULES + [CJK_PAD]:
-                # RE2 rewrite syntax: \1 \2 backrefs, same as the Python twin
-                arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
-            arr = pc.utf8_lower(arr)
-            lists = pc.split_pattern_regex(arr, pattern=f"[^a-z0-9{CJK_CLASS}]+")
+            lists = tokenize_arrow(pdf["content"].fillna(""))
             la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
             flat = la.flatten()
             per_doc = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)

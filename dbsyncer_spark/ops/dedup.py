@@ -115,7 +115,7 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     import numpy as np
     import pandas as pd
 
-    from dbsyncer_spark.functions.tokenizer import CAMEL_RULES, CJK_CLASS, CJK_PAD
+    from dbsyncer_spark.functions.tokenizer import tokenize_arrow
     from dbsyncer_spark.index.build import _limit_arrow_threads
 
     sel = _spread(docs).select(
@@ -123,18 +123,11 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     )
 
     def gen(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         _limit_arrow_threads()
         for pdf in batches:
             if not len(pdf):
                 continue
-            arr = pa.array(pdf["text"].fillna(""), type=pa.string())
-            for pat, repl in CAMEL_RULES + [CJK_PAD]:
-                arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
-            arr = pc.utf8_lower(arr)
-            lists = pc.split_pattern_regex(arr, pattern=f"[^a-z0-9{CJK_CLASS}]+")
+            lists = tokenize_arrow(pdf["text"].fillna(""))
             ids_out: list[int] = []
             sh_out: list[str] = []
             for did, toks in zip(pdf["doc_id"].to_numpy(), lists.to_pylist()):
@@ -453,11 +446,14 @@ def _bench_shingles(
 
 def _bench_short_lengths(benchmark: DataFrame, text_col: str, n: int) -> list:
     """Distinct token lengths of benchmark docs SHORTER than n. Bounded
-    driver collect: at most n-1 values regardless of benchmark size."""
-    from dbsyncer_spark.functions.tokenizer import tokens_col
+    driver collect: at most n-1 values regardless of benchmark size.
+    Counts via the scalar ``token_count_col`` (== size(tokens_col) by the
+    tokenizer parity gate) — the count is needed, the array is not
+    (r5 review)."""
+    from dbsyncer_spark.functions.tokenizer import token_count_col
 
     rows = (
-        benchmark.select(F.size(tokens_col(text_col)).alias("k"))
+        benchmark.select(token_count_col(text_col).alias("k"))
         .filter((F.col("k") > 0) & (F.col("k") < n))
         .distinct().collect()
     )
@@ -477,11 +473,13 @@ def _corpus_shingle_stream(
     to docs with MORE than k tokens (docs with <= k tokens are already
     covered by their whole-text shingle in the n-stream, and the filter
     keeps the union duplicate-free so overlap counts stay exact)."""
-    from dbsyncer_spark.functions.tokenizer import tokens_col
+    from dbsyncer_spark.functions.tokenizer import token_count_col
 
     sh = _doc_shingles(docs, text_col, id_col, n)
     for k in short_ks:
-        longer = docs.filter(F.size(tokens_col(text_col)) > k)
+        # scalar count (== size(tokens_col), parity-gated): the filter
+        # needs the number, not the materialized token array (r5 review)
+        longer = docs.filter(token_count_col(text_col) > k)
         sh = sh.unionByName(_doc_shingles(longer, text_col, id_col, k))
     return sh.filter(F.col("shingle") != "")
 

@@ -71,10 +71,21 @@ def fake_decoder(pdf: pd.DataFrame) -> pd.DataFrame:
     import hashlib
 
     payloads = pdf["payload"]
-    n_bytes = payloads.map(len).astype("int64")
-    sha = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
-    width = payloads.map(lambda b: 16 + (b[0] if len(b) else 0) % 240).astype("int32")
-    height = payloads.map(lambda b: 16 + (b[1] if len(b) > 1 else 0) % 240).astype("int32")
+    # NULL payloads (nullable by MEDIA_SCHEMA; produced e.g. by
+    # docs_as_media on a NULL doc) yield NULL stats — the same Column
+    # null semantics binary_meta has — instead of a stage-killing
+    # TypeError from len(None) (r5 review). Pandas nullable Int dtypes
+    # cross Arrow as proper NULLs.
+    n_bytes = payloads.map(
+        lambda b: None if b is None else len(b)).astype("Int64")
+    sha = payloads.map(
+        lambda b: None if b is None else hashlib.sha256(bytes(b)).hexdigest())
+    width = payloads.map(
+        lambda b: None if b is None else 16 + (b[0] if len(b) else 0) % 240
+    ).astype("Int32")
+    height = payloads.map(
+        lambda b: None if b is None else 16 + (b[1] if len(b) > 1 else 0) % 240
+    ).astype("Int32")
     n_frames = pdf["kind"].map({"image": 1, "audio": 0, "video": 30}).fillna(0).astype("int32")
     return pd.DataFrame(
         {

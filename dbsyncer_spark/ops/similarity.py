@@ -32,12 +32,28 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine with the zero-norm guard all Column paths must share: a
+    zero-norm side scores 0.0 — exactly what the numpy tiers compute
+    (``_norm_stack`` sets norm=inf, so the normalized zero vector dots
+    to 0 everywhere) — never 0/0. Spark's double 0/0 is IEEE NaN, which
+    Spark orders GREATER than every real value and passes
+    ``>= threshold`` filters, so an all-zero embedding (missing/padded
+    vector) would rank first in top-k and pair with everything in the
+    exact dup tier while the GEMM/LSH numpy tiers emit nothing —
+    breaking the 'tiers emit identical rows' contract (r5 review)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0.0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
 def cosine_sim(vec_col: Column | str, query: list[float]) -> Column:
     """Cosine similarity of an array<float|double> column vs a literal
-    query vector, computed in float64 with deterministic fold order."""
+    query vector, computed in float64 with deterministic fold order.
+    Zero-norm vectors (and a zero-norm query) score 0.0, matching the
+    numpy tiers — see ``_cosine``."""
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     q = F.lit([float(x) for x in query]).cast("array<double>")
-    return _dot(v, q) / (_norm(v) * _norm(q))
+    return _cosine(v, q)
 
 
 def cosine_topk(
@@ -77,7 +93,7 @@ def knn_join(
     scored = c.crossJoin(q).select(
         "query_id",
         "vec_id",
-        (_dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("score"),
+        _cosine(F.col("cv"), F.col("qv")).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
@@ -90,6 +106,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     planes: np.ndarray | None = None,
     max_hamming: int | None = None,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -99,21 +116,23 @@ def embedding_dup_pairs(
     sign-bit LSH signatures block the self-join so only signature-close
     pairs are scored (candidate recall tunable via max_hamming; exact
     cosine is still computed on every surviving pair, so precision is 1).
+    ``max_bucket_size`` is the LSH tier's degenerate-bucket skew guard —
+    pairs inside a dropped bucket are LOST, so like the MinHash/SimHash
+    families it is exposed here (None disables the cap for small
+    corpora; the silent hard-coded cap was unreachable — r5 review).
     """
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
     if planes is not None and max_hamming is not None:
-        return _lsh_banded_pairs(base, planes, max_hamming, threshold)
+        return _lsh_banded_pairs(base, planes, max_hamming, threshold,
+                                 max_bucket_size=max_bucket_size)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
-            ).alias("cosine"),
+            _cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -201,8 +220,7 @@ def _lsh_banded_pairs(
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            (_dot(F.col("va"), F.col("vb"))
-             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -324,6 +342,7 @@ def embedding_dup_pairs_gemm(
     lsh_route_rows: int | None = None,
     lsh_planes: int = 64,
     lsh_max_hamming: int = 4,
+    lsh_max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via numpy GEMM, with size-tiered
     routing.
@@ -373,6 +392,7 @@ def embedding_dup_pairs_gemm(
             return embedding_dup_pairs(
                 emb, threshold, id_col, vec_col,
                 planes=planes, max_hamming=lsh_max_hamming,
+                max_bucket_size=lsh_max_bucket_size,
             )
         nb = n_blocks or max(2, -(-sel.count() // max_broadcast_rows))  # ceil division
         return embedding_dup_pairs_blocked(emb, threshold, id_col, vec_col, nb)
@@ -499,7 +519,12 @@ def ivf_assign(
     nv = _norm(v)
     cells = [
         F.struct(
-            (_dot(v, F.lit([float(x) for x in c]).cast("array<double>")) / nv).alias("s"),
+            # zero-norm guard (see _cosine): 0.0, not 0/0 = NaN — a NaN
+            # score would win array_max for every cell
+            F.when(
+                nv != 0.0,
+                _dot(v, F.lit([float(x) for x in c]).cast("array<double>")) / nv,
+            ).otherwise(F.lit(0.0)).alias("s"),
             F.lit(i).alias("c"),
         )
         for i, c in enumerate(centroids)

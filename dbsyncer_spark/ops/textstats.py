@@ -160,7 +160,7 @@ def fingerprints(
 
     import pandas as pd
 
-    from dbsyncer_spark.functions.tokenizer import CAMEL_RULES, CJK_CLASS, CJK_PAD
+    from dbsyncer_spark.functions.tokenizer import tokenize_arrow
     from dbsyncer_spark.index.build import _limit_arrow_threads
     from dbsyncer_spark.ops.dedup import _spread
 
@@ -169,18 +169,11 @@ def fingerprints(
     )
 
     def gen(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         _limit_arrow_threads()
         for pdf in batches:
             if not len(pdf):
                 continue
-            arr = pa.array(pdf["text"].fillna(""), type=pa.string())
-            for pat, repl in CAMEL_RULES + [CJK_PAD]:
-                arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
-            arr = pc.utf8_lower(arr)
-            lists = pc.split_pattern_regex(arr, pattern=f"[^a-z0-9{CJK_CLASS}]+")
+            lists = tokenize_arrow(pdf["text"].fillna(""))
             ids_out: list[int] = []
             fp_out: list[str] = []
             for did, toks in zip(pdf["doc_id"].to_numpy(), lists.to_pylist()):

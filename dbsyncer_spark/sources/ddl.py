@@ -105,6 +105,17 @@ _ADD_RE = re.compile(
     rf"^ADD\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s+(?P<type>\w+(?:\s*\([^)]*\))?)",
     re.IGNORECASE,
 )
+# DROP INDEX/KEY/constraint clauses are likewise schema no-ops (routine
+# MySQL binlog DDL; a column literally named 'index'/'key' must be
+# quoted in MySQL, and quoted identifiers don't match this guard).
+# Without it 'DROP INDEX idx' raised, and via replay_changed_events —
+# which commits its offset only after apply_ddl succeeds — became a
+# permanent poison-pill re-raising on every retry (review r5)
+_DROP_NONCOLUMN_RE = re.compile(
+    r"^DROP\s+(?:INDEX|KEY|PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT|"
+    r"CHECK|PARTITION)\b",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(rf"^DROP\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s*$", re.IGNORECASE)
 _MODIFY_RE = re.compile(
     rf"^MODIFY\s+(?:COLUMN\s+)?(?P<col>{_IDENT})\s+(?P<type>\w+(?:\s*\([^)]*\))?)",
@@ -193,8 +204,8 @@ def parse_alter(sql: str) -> DDLConfig:
         raise ValueError(f"not an ALTER TABLE statement: {sql!r}")
     cfg = DDLConfig(table=_unquote(m.group("table").split(".")[-1]))
     for clause in _split_clauses(m.group("body")):
-        if _ADD_NONCOLUMN_RE.match(clause):
-            continue  # index/constraint add: schema no-op (reference parity)
+        if _ADD_NONCOLUMN_RE.match(clause) or _DROP_NONCOLUMN_RE.match(clause):
+            continue  # index/constraint add/drop: schema no-op (reference parity)
         if a := _ADD_RE.match(clause):
             name, typ = _unquote(a.group("col")), to_spark_type(a.group("type"))
             cfg.added.append((name, typ))
@@ -273,6 +284,14 @@ def _log_path(table_dir: str) -> str:
     return os.path.join(table_dir, LOG_NAME)
 
 
+def _data_dir(entries: list[dict]) -> str:
+    """Relative data-dir name for this log generation. ``compact_table``
+    publishes each compaction as a NEW ``data-<hex>`` dir recorded on
+    the log's create entry, so the log swap is the single atomic commit
+    point; pre-versioning tables (no ``data_dir`` key) keep ``data``."""
+    return entries[0].get("data_dir", DATA_DIR) if entries else DATA_DIR
+
+
 def _read_log(table_dir: str) -> list[dict]:
     with open(_log_path(table_dir)) as f:
         return json.load(f)
@@ -280,11 +299,16 @@ def _read_log(table_dir: str) -> list[dict]:
 
 def _write_log(table_dir: str, entries: list[dict]) -> None:
     """Atomic log swap — same visibility rule as the index root-meta
-    (write temp, ``os.replace``): readers see the old or new schema,
-    never a torn one."""
+    (write temp, fsync, ``os.replace``): readers see the old or new
+    schema, never a torn one. The fsync matters: without it a power
+    loss can durably publish the RENAME over unwritten data blocks —
+    a zero-length log that bricks the table (review r5; same rule as
+    ``cdc._commit_offset``)."""
     fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".ddltmp")
     with os.fdopen(fd, "w") as f:
         json.dump(entries, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _log_path(table_dir))
 
 
@@ -389,7 +413,9 @@ def append_rows(spark: SparkSession, table_dir: str, df: DataFrame) -> None:
     cast = df.select(
         *[F.col(c).cast(cols[c].type).alias(cols[c].physical[-1]) for c in df.columns]
     )
-    cast.write.mode("append").parquet(os.path.join(table_dir, DATA_DIR))
+    cast.write.mode("append").parquet(
+        os.path.join(table_dir, _data_dir(_read_log(table_dir)))
+    )
 
 
 def read_evolved(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -400,12 +426,13 @@ def read_evolved(spark: SparkSession, table_dir: str) -> DataFrame:
     apply as casts. Filters on non-renamed columns still push down to
     the parquet scan — the projection is plain Column math.
     """
+    entries = _read_log(table_dir)
     merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(table_dir, DATA_DIR)
+        os.path.join(table_dir, _data_dir(entries))
     )
     have = set(merged.columns)
     out = []
-    for c in _replay(_read_log(table_dir)):
+    for c in _replay(entries):
         present = [p for p in reversed(c.physical) if p in have]
         if not present:
             expr = F.lit(None)
@@ -420,14 +447,29 @@ def read_evolved(spark: SparkSession, table_dir: str) -> DataFrame:
 def compact_table(spark: SparkSession, table_dir: str) -> None:
     """Rewrite the table under its current logical schema and reset the
     log — the explicit, heavyweight operation (full scan + write) that
-    collapses rename histories so scans are single-column again."""
-    df = read_evolved(spark, table_dir)
-    tmp = os.path.join(table_dir, f"compact-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(tmp)
+    collapses rename histories so scans are single-column again.
+
+    Crash-atomic via data-dir versioning: the compacted files land in a
+    fresh ``data-<hex>`` dir, and the fsync'd log swap (whose create
+    entry names that dir) is the SINGLE commit point — a crash before it
+    leaves the old log + old dir fully intact (the orphan dir is swept
+    by the next compaction), a crash after it leaves the new generation
+    live. The previous in-place ``os.replace`` over ``data/`` could die
+    between the data swap and the log reset, leaving a log whose mangled
+    physical names (``x__v2``) no longer existed in the files — those
+    columns silently read as NULL (review r5)."""
     import shutil
 
-    old = os.path.join(table_dir, DATA_DIR)
-    shutil.rmtree(old)
-    os.replace(tmp, old)
+    entries = _read_log(table_dir)
+    cur = _data_dir(entries)
+    # sweep orphan generations from prior crashed compactions (anything
+    # versioned that the live log does not reference)
+    for name in os.listdir(table_dir):
+        if name.startswith("data-") and name != cur:
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+    df = read_evolved(spark, table_dir)
+    nxt = f"data-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, nxt))
     schema = [(f_.name, f_.dataType.simpleString()) for f_ in df.schema.fields]
-    _write_log(table_dir, [{"op": "create", "schema": schema}])
+    _write_log(table_dir, [{"op": "create", "schema": schema, "data_dir": nxt}])
+    shutil.rmtree(os.path.join(table_dir, cur), ignore_errors=True)

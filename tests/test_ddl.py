@@ -195,3 +195,65 @@ def test_evolved_table_lifecycle(spark, tmp_path):
     assert [c.physical for c in D._replay(D._read_log(tdir))] == [
         ["id"], ["user_name"], ["n"]
     ]
+
+
+def test_parse_drop_index_constraint_are_schema_noops():
+    """DROP INDEX/KEY/PRIMARY KEY/FOREIGN KEY/CONSTRAINT are routine
+    binlog DDL and must parse as schema no-ops — raising here turned
+    replay_changed_events into a permanent poison-pill, since the CDC
+    offset commits only after apply_ddl succeeds (r5 review). A real
+    column drop in the same statement still applies."""
+    for sql in (
+        "ALTER TABLE t DROP INDEX idx_name",
+        "ALTER TABLE t DROP KEY idx_name",
+        "ALTER TABLE t DROP PRIMARY KEY",
+        "ALTER TABLE t DROP FOREIGN KEY fk_name",
+        "ALTER TABLE t DROP CONSTRAINT chk_1",
+    ):
+        cfg = D.parse_alter(sql)
+        assert cfg.ops == [], sql
+    cfg = D.parse_alter("ALTER TABLE t DROP INDEX i, DROP COLUMN note")
+    assert cfg.ops == [{"op": "drop", "name": "note"}]
+    # quoted identifiers stay column drops even with reserved-ish names
+    cfg = D.parse_alter("ALTER TABLE t DROP COLUMN `key`")
+    assert cfg.ops == [{"op": "drop", "name": "key"}]
+
+
+def test_compact_crash_atomicity(spark, tmp_path):
+    """The log swap is compaction's single commit point: a crash AFTER
+    the new data generation is written but BEFORE the log publish must
+    leave the table reading its old (log, data) pair exactly — the
+    in-place predecessor could strand a log whose mangled physical
+    names no longer existed, silently reading columns as NULL
+    (r5 review). The orphan generation is swept by the next compact."""
+    import os
+
+    tdir = str(tmp_path / "ctab")
+    D.create_table(spark, tdir, spark.range(6).selectExpr(
+        "id", "concat('u', id) AS name"))
+    # force a mangled physical name: drop + re-add
+    D.apply_ddl(tdir, "ALTER TABLE ctab DROP COLUMN name")
+    D.apply_ddl(tdir, "ALTER TABLE ctab ADD COLUMN name varchar(10)")
+    D.append_rows(spark, tdir, spark.range(6, 9).selectExpr(
+        "id", "concat('v', id) AS name"))
+    want = sorted(map(tuple, D.read_evolved(spark, tdir).collect()))
+
+    # simulate the crash window: compacted generation on disk, log not
+    # yet swapped (exactly what a kill between the write and the
+    # publish leaves behind)
+    D.read_evolved(spark, tdir).write.parquet(os.path.join(tdir, "data-dead00"))
+    got = sorted(map(tuple, D.read_evolved(spark, tdir).collect()))
+    assert got == want, "orphan generation changed what readers see"
+
+    # real compaction: publishes a fresh generation, sweeps the orphan,
+    # removes the old dir; rows identical
+    D.compact_table(spark, tdir)
+    assert sorted(map(tuple, D.read_evolved(spark, tdir).collect())) == want
+    names = set(os.listdir(tdir))
+    assert "data-dead00" not in names, "orphan generation not swept"
+    live = D._data_dir(D._read_log(tdir))
+    assert live in names and live.startswith("data-")
+    assert "data" not in names, "old generation not removed after publish"
+    # and a second compact (now FROM a versioned dir) still round-trips
+    D.compact_table(spark, tdir)
+    assert sorted(map(tuple, D.read_evolved(spark, tdir).collect())) == want

@@ -401,3 +401,68 @@ def test_multimodal_pil_decode_if_available(spark):
     )
     rows = decode_media(media, decoder=pil_decoder).collect()
     assert (rows[0].width, rows[0].height) == (33, 21)
+
+
+def test_multimodal_fake_decoder_null_payload(spark):
+    """A NULL payload row (nullable by MEDIA_SCHEMA) must decode to NULL
+    stats — binary_meta's Column null semantics — not kill the stage
+    with len(None) (r5 review)."""
+    from dbsyncer_spark.ops.multimodal import MEDIA_SCHEMA, decode_media
+
+    rows = [
+        (1, "image", bytearray(b"\xff\xd8abcd"), "a.jpg"),
+        (2, "image", None, "missing.jpg"),
+        (3, "video", bytearray(b"RIFFxxxx"), "b.avi"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, fake=True).collect()}
+    assert got[1].n_bytes == 6 and got[1].sha256 is not None
+    assert got[2].n_bytes is None and got[2].sha256 is None
+    assert got[2].width is None and got[2].height is None
+    assert got[2].n_frames == 1  # kind-derived, payload-independent
+    assert got[3].n_frames == 30
+
+
+def test_zero_norm_vectors_never_match_any_tier(spark):
+    """An all-zero embedding (missing/padded vector) must score 0.0 in
+    every Column-math path — Spark's double 0/0 is IEEE NaN, which
+    sorts ABOVE every real score and passes >= threshold filters, so
+    without the guard the exact tier ranked garbage first / emitted
+    (zero, x, NaN) pairs while the numpy GEMM/LSH tiers (norm=inf in
+    _norm_stack) emitted nothing (r5 review)."""
+    from dbsyncer_spark.ops.similarity import (
+        cosine_topk,
+        embedding_dup_pairs,
+        embedding_dup_pairs_gemm,
+        hyperplanes,
+        knn_join,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert top[0].vec_id == 1 and top[-1].vec_id == 3
+    assert top[-1].score == 0.0 and top[-1].score == top[-1].score  # not NaN
+
+    zq = cosine_topk(emb, [0.0, 0.0], k=3).collect()  # zero-norm QUERY
+    assert all(r.score == 0.0 for r in zq)
+
+    want = {(1, 2)}
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_dup_pairs(emb, threshold=0.9).collect()}
+    assert exact == want
+    planes = hyperplanes(dim=2, n_planes=8, seed=1)
+    lsh = {(r.id_a, r.id_b)
+           for r in embedding_dup_pairs(emb, 0.9, planes=planes,
+                                        max_hamming=7,
+                                        max_bucket_size=None).collect()}
+    assert (1, 2) in lsh and not any(3 in p for p in lsh)
+    gemm = {(r.id_a, r.id_b)
+            for r in embedding_dup_pairs_gemm(emb, threshold=0.9).collect()}
+    assert gemm == want  # tiers agree again
+
+    q = spark.createDataFrame([(0, [0.0, 0.0])],
+                              "query_id long, embedding array<double>")
+    kn = knn_join(emb, q, k=3).collect()
+    assert kn and all(r.score == 0.0 for r in kn)
