@@ -1053,6 +1053,9 @@ def touch_reservations(index_dir: str, segment: str) -> bool:
         rr = fresh.get("reserved_ranges", {})
         if segment in rr:
             upd["reserved_ranges"] = {**rr, segment: {**rr[segment], "ts": now}}
+        tp = fresh.get("tomb_pins", {})
+        if segment in tp:  # merge/compaction tombstone-generation pin
+            upd["tomb_pins"] = {**tp, segment: {**tp[segment], "ts": now}}
         if not upd:
             return None
         out["touched"] = True

@@ -162,11 +162,20 @@ def _vbyte_decode_arr(b: np.ndarray, count: int | None = None) -> np.ndarray:
     """Vectorized VByte decode of a uint8 array -> uint64 array.
 
     ``count`` caps the number of decoded values (None = all). A buffer
-    holding fewer terminated values than ``count`` — or a non-empty
-    buffer with no terminator at all (every byte has the MSB set, e.g. a
-    blob truncated mid-value) — raises a descriptive corruption error
-    instead of an opaque IndexError (r3 review)."""
-    if b.size == 0 or count == 0:
+    holding fewer terminated values than ``count`` (including a buffer
+    truncated to ZERO bytes — the early return must not swallow that
+    case, r5 review), or whose tail is an unterminated value (trailing
+    bytes past the last terminator, e.g. a blob truncated mid-value),
+    raises a descriptive corruption error instead of an opaque
+    IndexError (r3 review) or silently short data."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if b.size == 0:
+        if count is not None:  # and count > 0, per the guard above
+            raise ValueError(
+                f"vbyte stream corrupt/truncated: expected {count} values, "
+                "buffer is empty"
+            )
         return np.zeros(0, dtype=np.uint64)
     ends = np.flatnonzero((b & 0x80) == 0)
     if count is not None:
@@ -176,10 +185,16 @@ def _vbyte_decode_arr(b: np.ndarray, count: int | None = None) -> np.ndarray:
                 f"buffer of {b.size} bytes terminates only {ends.size}"
             )
         ends = ends[:count]
-    elif ends.size == 0:
-        raise ValueError(
-            f"vbyte stream corrupt: {b.size} bytes with no terminator byte"
-        )
+    else:
+        if ends.size == 0:
+            raise ValueError(
+                f"vbyte stream corrupt: {b.size} bytes with no terminator byte"
+            )
+        if int(ends[-1]) != b.size - 1:
+            raise ValueError(
+                f"vbyte stream corrupt/truncated: {b.size - 1 - int(ends[-1])} "
+                "trailing bytes after the last terminated value"
+            )
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1

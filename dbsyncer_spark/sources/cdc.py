@@ -115,7 +115,11 @@ def replay_changed_events(
     **build_kwargs,
 ) -> dict:
     """Tail + classify + apply (see module docstring). Returns counters:
-    ``{"upserted", "deleted", "ddl", "batches", "offset"}``.
+    ``{"upserted", "deleted", "ddl", "batches", "dead_letter",
+    "offset"}`` — ``dead_letter`` counts rows with NULL key values,
+    appended as JSON lines to ``<checkpoint or events file>
+    .deadletter.jsonl`` for inspection/replay instead of wedging the
+    stream (a row with no key identity cannot be upserted or deleted).
 
     ``table_dir``: the evolution-log table DDL events apply to —
     required if the file contains DDL events. ``checkpoint_file``:
@@ -125,13 +129,14 @@ def replay_changed_events(
     offset commits after each chunk, bounding crash re-work too
     (at-least-once, converging — see module docstring)."""
     from dbsyncer_spark.index.build import build_index
-    from dbsyncer_spark.sources.ddl import apply_ddl
+    from dbsyncer_spark.sources.ddl import _read_log, apply_ddl, parse_alter
     from dbsyncer_spark.streaming.incremental import delete_docs, update_docs
 
     offset = _read_offset(checkpoint_file)
     stats = {"upserted": 0, "deleted": 0, "ddl": 0, "batches": 0,
-             "offset": offset}
+             "dead_letter": 0, "offset": offset}
     pending: list[dict] = []
+    dead_letter_file = (checkpoint_file or events_file) + ".deadletter.jsonl"
 
     def flush():
         if not pending:
@@ -150,6 +155,20 @@ def replay_changed_events(
                     f"ROW event lacks key column {e} (key_cols={key_cols})"
                 ) from None
             last[key] = ev
+        # NULL in a key column: the row has no identity to upsert or
+        # delete by. Dead-letter it (the reference's capture-and-replay
+        # analog, FlushStrategyImpl) and keep the stream moving — the
+        # previous behavior dropped the all-NULL key column below and
+        # crashed in update_docs with a misleading message, re-reading
+        # the same chunk forever (r5 review).
+        bad_keys = [k for k in last if any(v is None for v in k)]
+        if bad_keys:
+            with open(dead_letter_file, "a") as f:
+                for k in bad_keys:
+                    f.write(json.dumps(last[k]) + "\n")
+            stats["dead_letter"] += len(bad_keys)
+            for k in bad_keys:
+                del last[k]
         del_keys = [k for k, ev in last.items() if ev["event"] == "DELETE"]
         upserts = [ev["changedRow"] for ev in last.values()
                    if ev["event"] != "DELETE"]
@@ -197,7 +216,19 @@ def replay_changed_events(
                     raise ValueError(
                         "DDL event in stream but no table_dir to apply it to"
                     )
-                apply_ddl(table_dir, ev["sql"])
+                # at-least-once redelivery guard: apply_ddl is NOT
+                # idempotent (re-ADDing a column raises), so a crash
+                # after the log append but before the offset commit
+                # would otherwise wedge the stream re-raising forever
+                # (r5 review). If this event's exact op sequence is
+                # already the evolution log's tail, it IS the prior
+                # delivery of this event — skip. (A stream genuinely
+                # containing the same ALTER twice is invalid DDL the
+                # source database would have rejected.)
+                cfg = parse_alter(ev["sql"])
+                done = _read_log(table_dir)
+                if not (cfg.ops and done[-len(cfg.ops):] == cfg.ops):
+                    apply_ddl(table_dir, ev["sql"])
                 stats["ddl"] += 1
                 continue
             if etype in ("ROW", "SCAN"):  # SCAN = polled rows, same semantics

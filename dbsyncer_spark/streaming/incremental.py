@@ -67,6 +67,42 @@ def _next_tomb_gen(current_basename: str) -> str:
     return f"tombstones_g{int(current_basename.rsplit('_g', 1)[1]) + 1:06d}"
 
 
+def _pin_tomb_generation(index_dir: str, segment: str, meta: dict | None) -> None:
+    """Register ``segment``'s pack as a reader of the CURRENT tombstone
+    generation (root meta ``tomb_pins``: name -> {gen, ts}), so
+    ``_purge_retired`` keeps that generation's files on disk while the
+    pack runs. Without it a delete-heavy CDC stream can flip the
+    generation (file-count compaction), retire the old dir, and purge it
+    after the 600 s grace — while a merge/compaction pack that pinned
+    its file listing at plan time runs for hours, then dies on
+    FileNotFound at the anti-join and discards the whole job (r5
+    review). ``claim_heartbeat`` re-stamps the pin alongside the name
+    claim (``touch_reservations``); the TTL is the crash story — a dead
+    pack stops beating and its pin expires like any claim."""
+    import time as _time
+
+    gen = os.path.basename(_active_tomb_dir(index_dir, meta))
+    now = _time.time()
+
+    def mut(fresh):
+        return {**fresh, "tomb_pins": {
+            **fresh.get("tomb_pins", {}), segment: {"gen": gen, "ts": now}}}
+
+    _write_meta_locked(index_dir, mut)
+
+
+def _unpin_tomb_generation(index_dir: str, segment: str) -> None:
+    """Release a generation pin (publish/abort). No-op when absent."""
+
+    def mut(fresh):
+        if segment not in fresh.get("tomb_pins", {}):
+            return None
+        return {**fresh, "tomb_pins": {
+            n: p for n, p in fresh["tomb_pins"].items() if n != segment}}
+
+    _write_meta_locked(index_dir, mut)
+
+
 def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
     """Tombstone docs matching ``keys`` (columns subset of repo/path/commit).
 
@@ -284,6 +320,10 @@ def compact_segments(
     # name allocated + reserved under the meta lock (see maybe_merge)
     new_name = _reserve_segment_name(index_dir)
     seg_dir = os.path.join(seg_root, new_name)
+    if tomb is not None:
+        # keep our pinned generation's files alive however long the
+        # pack runs (heartbeat-refreshed; see _pin_tomb_generation)
+        _pin_tomb_generation(index_dir, new_name, idx.meta)
 
     def _abort():
         # failed/lost publication: nothing references the output dir or
@@ -293,6 +333,7 @@ def compact_segments(
         shutil.rmtree(seg_dir, ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "tombstones_covered", new_name),
                       ignore_errors=True)
+        _unpin_tomb_generation(index_dir, new_name)
         _unreserve_segment_name(index_dir, new_name)
 
     try:
@@ -355,6 +396,10 @@ def compact_segments(
             "retired": retired,
             "reserved": reserved,
             "covered_gc": covered_gc,
+            # pin released atomically with the publish; abort path
+            # releases it via _unpin_tomb_generation
+            "tomb_pins": {n: p for n, p in fresh.get("tomb_pins", {}).items()
+                          if n != new_name},
         }
 
     try:
@@ -602,152 +647,172 @@ def maybe_merge(
         decoded = decoded.join(tomb_ids, "doc_id", "left_anti")
         stats = stats.join(tomb_ids, "doc_id", "left_anti")
 
-    if tomb is not None and stats.isEmpty():
-        # every doc in the run is tombstoned: nothing to write. Drop the
-        # segments outright, folding their doc-id high-water mark into the
-        # largest remaining segment so append_segment never reuses ids
-        # (safe: the covered tombstones are GC'd below, and deletes can
-        # only target ids present in docstats, never the dropped range).
-        if all(n in merged for n in segments):
-            return None  # fully-deleted index: leave tombstone masking in place
-        hwm = max(s["max_doc_id"] for s in segments.values())
-        import time as _time
+    if tomb is not None:
+        # persist: the fully-deleted probe (isEmpty) below and the
+        # pack's docstats write would otherwise each run the full
+        # docstats union + tombstone anti-join (one extra Spark job
+        # per merge; same pattern as _append_tombstones/_compute —
+        # r5 review)
+        stats = stats.persist()
+    try:
+        if tomb is not None and stats.isEmpty():
+            # every doc in the run is tombstoned: nothing to write. Drop the
+            # segments outright, folding their doc-id high-water mark into the
+            # largest remaining segment so append_segment never reuses ids
+            # (safe: the covered tombstones are GC'd below, and deletes can
+            # only target ids present in docstats, never the dropped range).
+            if all(n in merged for n in segments):
+                return None  # fully-deleted index: leave tombstone masking in place
+            hwm = max(s["max_doc_id"] for s in segments.values())
+            import time as _time
 
-        now = _time.time()
-        gc_tag = f"drop_{merged[0]}_{int(now)}"
+            now = _time.time()
+            gc_tag = f"drop_{merged[0]}_{int(now)}"
+            try:
+                staged = _stage_covered_tombstones(index_dir, [
+                    (segments[n]["doc_id_offset"], segments[n]["max_doc_id"])
+                    for n in merged
+                ], tomb, gc_tag)
+            except BaseException:
+                shutil.rmtree(os.path.join(index_dir, "tombstones_covered", gc_tag),
+                              ignore_errors=True)
+                raise
+            picked: dict = {}
+
+            def mut(fresh):
+                if any(n not in fresh["segments"] for n in merged):
+                    return None  # inputs taken by a concurrent maintenance run
+                survivors = {n: dict(s) for n, s in fresh["segments"].items() if n not in merged}
+                if not survivors:
+                    return None
+                top = max(survivors, key=lambda n: survivors[n]["max_doc_id"])
+                survivors[top]["max_doc_id"] = max(survivors[top]["max_doc_id"], hwm)
+                picked["top"] = top
+                retired = dict(fresh.get("retired", {}))
+                for n in merged:
+                    retired[n] = now
+                covered_gc = dict(fresh.get("covered_gc", {}))
+                if staged:
+                    covered_gc[gc_tag] = now
+                return {**fresh, "params": params, "segments": survivors,
+                        "retired": retired, "covered_gc": covered_gc}
+
+            try:
+                published = _write_meta_locked(index_dir, mut)
+            except BaseException:
+                shutil.rmtree(os.path.join(index_dir, "tombstones_covered", gc_tag),
+                              ignore_errors=True)
+                raise
+            if published is None:
+                if staged:
+                    shutil.rmtree(
+                        os.path.join(index_dir, "tombstones_covered", gc_tag),
+                        ignore_errors=True,
+                    )
+                return None
+            _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, picked["top"]))
+            _purge_retired(spark, index_dir, retire_grace_s)
+            return {"segment": None, "n_docs": 0, "merged": merged}
+
+        # name allocated + reserved under the meta lock: a concurrent
+        # auto-named append can never claim the same seg_NNNNNN (r3 review)
+        new_name = _reserve_segment_name(index_dir)
+        if tomb is not None:
+            # see _pin_tomb_generation (and compact_segments): the pack's
+            # pinned generation must survive concurrent flips + purges
+            _pin_tomb_generation(index_dir, new_name, snap_meta)
+
+        def _abort():
+            # failed/lost publication: drop the unreferenced output dir and
+            # staged covered set, release the name (r3 review: an exception
+            # after the reservation leaked all three until the TTL)
+            shutil.rmtree(os.path.join(seg_root, new_name), ignore_errors=True)
+            shutil.rmtree(os.path.join(index_dir, "tombstones_covered", new_name),
+                          ignore_errors=True)
+            _unpin_tomb_generation(index_dir, new_name)
+            _unreserve_segment_name(index_dir, new_name)
+
         try:
-            staged = _stage_covered_tombstones(index_dir, [
+            # heartbeat: see compact_segments — same name-expiry hazard
+            with _claim_heartbeat(index_dir, new_name):
+                seg_meta = _pack_segment(
+                    spark, decoded, stats, os.path.join(seg_root, new_name), params,
+                    segment=new_name,
+                    doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
+                    # inputs' doc-id high-water mark survives even if their
+                    # tail docs were all tombstoned — append_segment must
+                    # never reuse ids (and the floor goes into seg_meta.json
+                    # too, so rebuilding root meta from per-segment files can
+                    # never shrink the HWM)
+                    max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
+                )
+
+            import time as _time
+
+            now = _time.time()
+            # stage covered tombstones for deferred GC (their docs are
+            # physically absent from the merged output; the live rows stay
+            # until the retire grace expires so warm readers keep masking —
+            # pure hygiene after)
+            staged = tomb is not None and _stage_covered_tombstones(index_dir, [
                 (segments[n]["doc_id_offset"], segments[n]["max_doc_id"])
                 for n in merged
-            ], tomb, gc_tag)
+            ], tomb, new_name)
         except BaseException:
-            shutil.rmtree(os.path.join(index_dir, "tombstones_covered", gc_tag),
-                          ignore_errors=True)
+            _abort()
             raise
-        picked: dict = {}
 
         def mut(fresh):
             if any(n not in fresh["segments"] for n in merged):
-                return None  # inputs taken by a concurrent maintenance run
-            survivors = {n: dict(s) for n, s in fresh["segments"].items() if n not in merged}
-            if not survivors:
+                # a concurrent maintenance run already took (some of) our
+                # inputs: publishing would duplicate their docs/doc_ids in
+                # two live segments (r3 review) — abort, caller cleans up
                 return None
-            top = max(survivors, key=lambda n: survivors[n]["max_doc_id"])
-            survivors[top]["max_doc_id"] = max(survivors[top]["max_doc_id"], hwm)
-            picked["top"] = top
+            # fold the swap into FRESH meta: segments appended (and HWMs
+            # recorded) since our snapshot survive the rewrite
             retired = dict(fresh.get("retired", {}))
             for n in merged:
                 retired[n] = now
+            reserved = dict(fresh.get("reserved", {}))
+            reserved.pop(new_name, None)
             covered_gc = dict(fresh.get("covered_gc", {}))
             if staged:
-                covered_gc[gc_tag] = now
-            return {**fresh, "params": params, "segments": survivors,
-                    "retired": retired, "covered_gc": covered_gc}
+                covered_gc[new_name] = now
+            return {
+                **fresh,
+                "params": params,
+                "segments": {
+                    **{n: s for n, s in fresh["segments"].items() if n not in merged},
+                    new_name: {
+                        "n_docs": seg_meta["n_docs"],
+                        "sum_dl": seg_meta["sum_dl"],
+                        "doc_id_offset": seg_meta["doc_id_offset"],
+                        "max_doc_id": seg_meta["max_doc_id"],
+                    },
+                },
+                "retired": retired,
+                "reserved": reserved,
+                "covered_gc": covered_gc,
+                # pin released atomically with the publish (see
+                # _pin_tomb_generation); abort path unpins explicitly
+                "tomb_pins": {n: p for n, p in fresh.get("tomb_pins", {}).items()
+                              if n != new_name},
+            }
 
         try:
             published = _write_meta_locked(index_dir, mut)
         except BaseException:
-            shutil.rmtree(os.path.join(index_dir, "tombstones_covered", gc_tag),
-                          ignore_errors=True)
+            _abort()
             raise
         if published is None:
-            if staged:
-                shutil.rmtree(
-                    os.path.join(index_dir, "tombstones_covered", gc_tag),
-                    ignore_errors=True,
-                )
+            _abort()
             return None
-        _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, picked["top"]))
+        _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, new_name))
         _purge_retired(spark, index_dir, retire_grace_s)
-        return {"segment": None, "n_docs": 0, "merged": merged}
-
-    # name allocated + reserved under the meta lock: a concurrent
-    # auto-named append can never claim the same seg_NNNNNN (r3 review)
-    new_name = _reserve_segment_name(index_dir)
-
-    def _abort():
-        # failed/lost publication: drop the unreferenced output dir and
-        # staged covered set, release the name (r3 review: an exception
-        # after the reservation leaked all three until the TTL)
-        shutil.rmtree(os.path.join(seg_root, new_name), ignore_errors=True)
-        shutil.rmtree(os.path.join(index_dir, "tombstones_covered", new_name),
-                      ignore_errors=True)
-        _unreserve_segment_name(index_dir, new_name)
-
-    try:
-        # heartbeat: see compact_segments — same name-expiry hazard
-        with _claim_heartbeat(index_dir, new_name):
-            seg_meta = _pack_segment(
-                spark, decoded, stats, os.path.join(seg_root, new_name), params,
-                segment=new_name,
-                doc_id_offset=min(segments[n]["doc_id_offset"] for n in merged),
-                # inputs' doc-id high-water mark survives even if their
-                # tail docs were all tombstoned — append_segment must
-                # never reuse ids (and the floor goes into seg_meta.json
-                # too, so rebuilding root meta from per-segment files can
-                # never shrink the HWM)
-                max_doc_id_floor=max(segments[n]["max_doc_id"] for n in merged),
-            )
-
-        import time as _time
-
-        now = _time.time()
-        # stage covered tombstones for deferred GC (their docs are
-        # physically absent from the merged output; the live rows stay
-        # until the retire grace expires so warm readers keep masking —
-        # pure hygiene after)
-        staged = tomb is not None and _stage_covered_tombstones(index_dir, [
-            (segments[n]["doc_id_offset"], segments[n]["max_doc_id"])
-            for n in merged
-        ], tomb, new_name)
-    except BaseException:
-        _abort()
-        raise
-
-    def mut(fresh):
-        if any(n not in fresh["segments"] for n in merged):
-            # a concurrent maintenance run already took (some of) our
-            # inputs: publishing would duplicate their docs/doc_ids in
-            # two live segments (r3 review) — abort, caller cleans up
-            return None
-        # fold the swap into FRESH meta: segments appended (and HWMs
-        # recorded) since our snapshot survive the rewrite
-        retired = dict(fresh.get("retired", {}))
-        for n in merged:
-            retired[n] = now
-        reserved = dict(fresh.get("reserved", {}))
-        reserved.pop(new_name, None)
-        covered_gc = dict(fresh.get("covered_gc", {}))
-        if staged:
-            covered_gc[new_name] = now
-        return {
-            **fresh,
-            "params": params,
-            "segments": {
-                **{n: s for n, s in fresh["segments"].items() if n not in merged},
-                new_name: {
-                    "n_docs": seg_meta["n_docs"],
-                    "sum_dl": seg_meta["sum_dl"],
-                    "doc_id_offset": seg_meta["doc_id_offset"],
-                    "max_doc_id": seg_meta["max_doc_id"],
-                },
-            },
-            "retired": retired,
-            "reserved": reserved,
-            "covered_gc": covered_gc,
-        }
-
-    try:
-        published = _write_meta_locked(index_dir, mut)
-    except BaseException:
-        _abort()
-        raise
-    if published is None:
-        _abort()
-        return None
-    _preserve_quarantines(sel_dirs, merged, os.path.join(seg_root, new_name))
-    _purge_retired(spark, index_dir, retire_grace_s)
-    return {**seg_meta, "merged": merged}
+        return {**seg_meta, "merged": merged}
+    finally:
+        if tomb is not None:
+            stats.unpersist()
 
 
 def _stage_covered_tombstones(
@@ -1091,14 +1156,23 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
     gc_tags = [
         t for t, ts in meta.get("covered_gc", {}).items() if now - ts >= grace_s
     ]
+    from dbsyncer_spark.index.build import RESERVATION_TTL_S
+
+    # generations pinned by an in-flight merge/compaction pack survive
+    # the grace clock for as long as the pack heartbeats its pin (see
+    # _pin_tomb_generation; a crashed pack's pin expires with the TTL)
+    pinned_gens = {
+        p["gen"] for p in meta.get("tomb_pins", {}).values()
+        if now - p.get("ts", 0.0) < RESERVATION_TTL_S
+    }
     tomb_doomed = [
-        n for n, ts in meta.get("tomb_retired", {}).items() if now - ts >= grace_s
+        n for n, ts in meta.get("tomb_retired", {}).items()
+        if now - ts >= grace_s and n not in pinned_gens
     ]
     # crash-orphaned append stagings (the appender died between the
     # parquet write and the locked move): swept unconditionally — a
     # delete-heavy index that never merges would otherwise accumulate
     # them forever behind the early return (r3 review)
-    from dbsyncer_spark.index.build import RESERVATION_TTL_S
 
     stage_root = os.path.join(index_dir, "tomb_staging")
     if os.path.isdir(stage_root):
@@ -1244,9 +1318,14 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
         # call, so re-derive the expired set from the post-flip registry
         fresh_meta = _read_root_meta(index_dir) or {}
         active = os.path.basename(_active_tomb_dir(index_dir, fresh_meta))
+        fresh_pins = {
+            p["gen"] for p in fresh_meta.get("tomb_pins", {}).values()
+            if time.time() - p.get("ts", 0.0) < RESERVATION_TTL_S
+        }
         tomb_doomed = [
             n for n, ts in fresh_meta.get("tomb_retired", {}).items()
             if time.time() - ts >= grace_s and n != active
+            and n not in fresh_pins
         ]
     for n in tomb_doomed:
         shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
@@ -1272,6 +1351,11 @@ def _purge_retired(spark: SparkSession, index_dir: str, grace_s: float) -> list:
             "reserved": {
                 k: v for k, v in fresh.get("reserved", {}).items()
                 if time.time() - v < RESERVATION_TTL_S
+            },
+            # ...and tombstone-generation pins of crashed packs likewise
+            "tomb_pins": {
+                k: p for k, p in fresh.get("tomb_pins", {}).items()
+                if time.time() - p.get("ts", 0.0) < RESERVATION_TTL_S
             },
         }
 
@@ -1339,23 +1423,36 @@ def make_batch_handler(
         ck_key = state["key"]
         spark = batch_df.sparkSession
         # Exactly-once under at-least-once foreachBatch redelivery needs
-        # TWO guards, because auto_merge can rename the just-appended
+        # THREE guards, because a merge can rename the just-appended
         # batchId-named segment into seg_NNNNNN BEFORE the streaming
         # checkpoint commits (ADVICE r2 — the name-exists no-op alone
         # re-ingested such a batch as duplicate docs):
         #   1. the per-checkpoint batch high-water mark in root meta,
         #      written AFTER the append's root-meta swap and BEFORE any
-        #      merge — a redelivered batch_id <= hwm is a no-op even when
-        #      its segment name no longer exists;
+        #      in-process merge — a redelivered batch_id <= hwm is a
+        #      no-op even when its segment name no longer exists;
         #   2. append_segment's name-exists no-op, covering the window
-        #      between the append's meta swap and the hwm write.
-        # Every window of a crash timeline lands in one of the two.
+        #      between the append's meta swap and the hwm write;
+        #   3. the retired-name check below, covering an OUT-OF-BAND
+        #      merge process (explicitly supported) consuming the batch
+        #      segment inside that same window — guard 1's "before any
+        #      merge" only binds the in-process auto_merge (r5 review).
+        # Every window of a crash timeline lands in one of the three.
         qid = state["qid"]
         seg_name = (f"seg_b{qid[:8]}_{batch_id:09d}" if qid
                     else f"seg_b{batch_id:09d}")
         meta = _read_root_meta(index_dir)
         if meta is not None:
             if batch_id <= int(meta.get("streaming_hwm", {}).get(ck_key, -1)):
+                return
+            if seg_name in meta.get("retired", {}):
+                # the batch's segment was published and then merged away
+                # before the hwm landed: retirement PROVES prior ingest —
+                # heal the missing hwm and skip. Residual: retired
+                # entries purge after the grace window (default 600 s),
+                # far longer than any stream-restart redelivery; later
+                # than that is the documented reprocess semantics.
+                _record_stream_hwm(index_dir, ck_key, batch_id)
                 return
             append_segment(spark, batch_df, index_dir, segment=seg_name, **build_kwargs)
         else:

@@ -216,3 +216,71 @@ def test_all_null_column_and_chunked_tail(spark, tmp_path):
     # an oversized single line raises loudly instead of spinning
     with pytest.raises(ValueError, match="exceeds max_bytes"):
         tail_changed_events(events_file, 0, max_bytes=10)
+
+
+def test_ddl_redelivery_is_idempotent(spark, tmp_path):
+    """At-least-once redelivery of a chunk containing DDL must converge:
+    apply_ddl is not idempotent (re-ADDing a column raises), so a crash
+    after the evolution-log append but before the offset commit used to
+    wedge the stream re-raising forever (r5 review). Simulated by
+    deleting the checkpoint (= offset lost, full chunk redelivered)."""
+    from dbsyncer_spark.sources import ddl as D
+
+    base = str(tmp_path / "cdc_ddl")
+    os.makedirs(base)
+    events_file = os.path.join(base, "events.jsonl")
+    ck = os.path.join(base, "ck.json")
+    tdir = os.path.join(base, "tbl")
+    idx_dir = os.path.join(base, "idx")
+    D.create_table(spark, tdir, spark.range(2).selectExpr(
+        "id", "concat('u', id) AS name"))
+    _write_events(events_file, [
+        {"type": "ROW", "event": "INSERT",
+         "changedRow": _doc(1, "merge scan alpha")},
+        {"type": "DDL", "sql": "ALTER TABLE tbl ADD COLUMN note varchar(20)"},
+        {"type": "DDL", "sql": "ALTER TABLE tbl DROP INDEX idx_x"},
+        {"type": "ROW", "event": "INSERT",
+         "changedRow": _doc(2, "merge scan beta")},
+    ])
+    s1 = replay_changed_events(spark, events_file, idx_dir,
+                               table_dir=tdir, checkpoint_file=ck)
+    assert s1["ddl"] == 2
+    want = _logical(spark, idx_dir)
+    log_after = D._read_log(tdir)
+
+    os.remove(ck)  # crash-before-commit: the whole chunk redelivers
+    s2 = replay_changed_events(spark, events_file, idx_dir,
+                               table_dir=tdir, checkpoint_file=ck)
+    assert s2["ddl"] == 2  # counted, but the log append was skipped
+    assert D._read_log(tdir) == log_after, "redelivered DDL re-applied"
+    assert _logical(spark, idx_dir) == want
+
+
+def test_null_key_rows_are_dead_lettered(spark, tmp_path):
+    """A row with a NULL key value has no identity to upsert/delete by:
+    it must go to the dead-letter file (capture-and-replay analog) and
+    the stream must keep moving — not crash-loop on the same chunk with
+    the key column dropped by the all-NULL filter (r5 review)."""
+    base = str(tmp_path / "cdc_nullkey")
+    os.makedirs(base)
+    events_file = os.path.join(base, "events.jsonl")
+    ck = os.path.join(base, "ck.json")
+    idx_dir = os.path.join(base, "idx")
+    bad = _doc(9, "orphan row")
+    bad["path"] = None
+    _write_events(events_file, [
+        {"type": "ROW", "event": "INSERT",
+         "changedRow": _doc(1, "merge scan alpha")},
+        {"type": "ROW", "event": "INSERT", "changedRow": bad},
+        {"type": "ROW", "event": "INSERT",
+         "changedRow": _doc(2, "merge scan beta")},
+    ])
+    stats = replay_changed_events(spark, events_file, idx_dir,
+                                  checkpoint_file=ck)
+    assert stats["dead_letter"] == 1 and stats["upserted"] == 2
+    dl = ck + ".deadletter.jsonl"
+    with open(dl) as f:
+        entries = [json.loads(line) for line in f]
+    assert len(entries) == 1 and entries[0]["changedRow"]["commit"] == "c9"
+    paths = {p for p, _, _ in _logical(spark, idx_dir)}
+    assert paths == {"src/f1.py", "src/f2.py"}

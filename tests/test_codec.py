@@ -223,3 +223,27 @@ def test_decoded_postings_cache_slice_identity_and_budget():
     want = unpack_blocks(r.blob, r.block_off, r.block_n, r.block_first,
                          keep=np.array([0]))
     assert want[0].tolist() == got[0].tolist()
+
+
+def test_vbyte_truncation_edges_raise():
+    """Corruption detection must not be bypassed by the empty-buffer
+    early return (count>0 on zero bytes), and a count=None decode of a
+    stream whose tail is an unterminated value must raise instead of
+    silently returning short data (r5 review)."""
+    import numpy as np
+    import pytest
+
+    from dbsyncer_spark.index.codec import vbyte_decode
+
+    with pytest.raises(ValueError, match="expected 5 values"):
+        vbyte_decode(b"", count=5)
+    assert vbyte_decode(b"", count=0).size == 0
+    assert vbyte_decode(b"", count=None).size == 0  # empty stream is fine
+    # 0x05 terminates value 5; 0x85 starts a value that never terminates
+    with pytest.raises(ValueError, match="trailing bytes"):
+        vbyte_decode(bytes([0x05, 0x85]), count=None)
+    # the count-capped form may legitimately stop mid-buffer (positional
+    # sub-streams decode slices): no trailing check there
+    assert list(vbyte_decode(bytes([0x05, 0x85, 0x01]), count=1)) == [5]
+    with pytest.raises(ValueError, match="no terminator"):
+        vbyte_decode(bytes([0x85]), count=None)

@@ -287,3 +287,41 @@ def test_inflight_sweep_spares_live_owner(spark, tmp_path_factory):
     assert os.path.isdir(live), "live owner's rewrite dir was swept"
     assert not os.path.exists(dead), "dead owner's dir must be reaped"
     assert not os.path.exists(junk), "unparsable pid degrades to age sweep"
+
+
+def test_tomb_generation_pin_survives_purge(spark, tmp_path_factory):
+    """A generation pinned by an in-flight pack must survive
+    _purge_retired past the grace clock (r5 review: a delete-heavy CDC
+    stream can flip + retire + purge a generation in 600 s while a
+    merge pack that pinned its file listing runs for hours, then dies
+    on FileNotFound after all that work). Unpin (or pin-TTL expiry for
+    a crashed pack) releases it back to the normal clock, and the
+    publish muts + touch_reservations carry the pin atomically."""
+    import dbsyncer_spark.streaming.incremental as inc
+    from dbsyncer_spark.index.build import touch_reservations
+
+    pdf = gen_corpus_pdf(n_docs=60, seed=23)
+    d = str(tmp_path_factory.mktemp("tomb_pin"))
+    build_index(spark, spark.createDataFrame(pdf, schema=SCHEMA), d, **PARAMS)
+    idx = SearchIndex(spark, d)
+    victims = [r.path for r in idx.docstats().limit(6).select("path").collect()]
+    for i in range(0, 6, 2):  # several batches -> several part files
+        delete_docs(spark, d, spark.createDataFrame(
+            [(victims[i],), (victims[i + 1],)], "path string"))
+    cur = inc._active_tomb_dir(d)
+    gen = os.path.basename(cur)
+    assert len(inc._tomb_data_files(cur)) > 1
+
+    inc._pin_tomb_generation(d, "seg_packer", idx.meta)
+    # flip to a new generation so ours lands in tomb_retired
+    assert inc._compact_tombstones(spark, d, max_files=1) is True
+    assert os.path.basename(inc._active_tomb_dir(d)) != gen
+
+    inc._purge_retired(spark, d, grace_s=0.0)
+    assert os.path.isdir(cur), "pinned generation was purged under the pack"
+    # the heartbeat path refreshes the pin like any claim
+    assert touch_reservations(d, "seg_packer") is True
+
+    inc._unpin_tomb_generation(d, "seg_packer")
+    inc._purge_retired(spark, d, grace_s=0.0)
+    assert not os.path.exists(cur), "unpinned retired generation must purge"

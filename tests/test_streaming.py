@@ -147,3 +147,47 @@ def test_checkpoint_recreation_reingests_instead_of_silent_drop(spark, tmp_path)
     # and the new instance's own redelivery is still a no-op
     h2(batch, 0)
     assert SearchIndex(spark, idx_dir).n_docs == 40
+
+
+def test_out_of_band_merge_then_crash_before_hwm_is_exactly_once(spark, tmp_path):
+    """Guard 3 (r5 review): an OUT-OF-BAND merge process consumes the
+    just-appended batch segment and the driver crashes BEFORE the hwm
+    write. The hwm guard passes (stale) and the name-exists no-op can't
+    fire (the name left "segments") — without the retired-name check the
+    redelivered batch re-ingested as duplicate docs with fresh ids."""
+    import json
+
+    from dbsyncer_spark.index.build import atomic_write_meta
+    from dbsyncer_spark.streaming.incremental import make_batch_handler, maybe_merge
+
+    pdf = gen_corpus_pdf(n_docs=60, seed=17)
+    idx_dir = str(tmp_path / "oob_idx")
+    handler = make_batch_handler(  # NO auto_merge: merge runs out-of-band
+        idx_dir, str(tmp_path / "oob_ck"),
+        num_shards=4, range_size=256, num_id_buckets=8,
+    )
+    batches = [
+        spark.createDataFrame(pdf.iloc[i * 20:(i + 1) * 20], SCHEMA)
+        for i in range(3)
+    ]
+    for bid, b in enumerate(batches):
+        handler(b, bid)
+
+    # crash-before-hwm for batch 2: erase its hwm entry
+    with open(os.path.join(idx_dir, "meta.json")) as f:
+        meta = json.load(f)
+    (key,) = meta["streaming_hwm"]
+    meta["streaming_hwm"][key] = 1
+    atomic_write_meta(idx_dir, meta)
+    # the out-of-band merge consumes all three batch segments
+    assert maybe_merge(spark, idx_dir, merge_at=2) is not None
+    idx = SearchIndex(spark, idx_dir)
+    assert idx.n_docs == 60
+    assert all(not s.startswith("seg_b") for s in idx.meta["segments"])
+
+    handler(batches[2], 2)  # Spark redelivers the un-hwm'd batch
+    idx2 = SearchIndex(spark, idx_dir)
+    assert idx2.n_docs == 60, "redelivered batch re-ingested after merge"
+    with open(os.path.join(idx_dir, "meta.json")) as f:
+        healed = json.load(f)["streaming_hwm"][key]
+    assert healed == 2, "retired-name guard must heal the missing hwm"
