@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from dbsyncer_spark.functions.tokenizer import tokenize_py, tokenize_sql_expr, tokens_col
 from dbsyncer_spark.query.bm25 import bm25_topk_wide
+from dbsyncer_spark.session import empty_df
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -314,6 +315,8 @@ def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary."""
     idx = _entry_index(spark, sf_dir)
     p1_rows = idx.search(FLAGSHIP_QUERY, k=20, mode="wand").collect()
+    if not p1_rows:  # empty/mismatched corpus: empty result, not
+        return empty_df(spark, "doc_id long, score double")  # IndexError
     last = p1_rows[-1]
     # rebuild page 1 from the COLLECTED rows rather than re-executing the
     # query inside the union — avoids paying the scoring job twice. (Since
@@ -420,7 +423,11 @@ def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsyncer_spark.functions.highlight import best_fragment_col
 
     docs = _t(spark, sf_dir, "documents")
-    topk = bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=40, id_col="doc_id", text_col="text")
+    # 10 + _TIE_SLACK, the file-wide tie discipline (was a bespoke 40 —
+    # a rounded-score tie group spanning rank 10 past the slack would
+    # cut differently engine- vs oracle-side, r5 review)
+    topk = bm25_topk_wide(spark, docs, FLAGSHIP_QUERY, k=10 + _TIE_SLACK,
+                          id_col="doc_id", text_col="text")
     return (
         docs.join(F.broadcast(topk), "doc_id")
         .select(
@@ -484,7 +491,6 @@ def q_update_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the logical corpus exactly — the invariant the oracle checks. The
     mutation sequence is idempotent (re-running converges to the same
     logical corpus) and a DONE marker skips re-mutation on reruns."""
-    import shutil
 
     from dbsyncer_spark.index.build import append_segment, build_index
     from dbsyncer_spark.index.search import SearchIndex
@@ -542,13 +548,7 @@ def q_update_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     idx = SearchIndex(spark, work)
     topk = idx.search(FLAGSHIP_QUERY, k=20 + _TIE_SLACK, mode="wand")
-    return (
-        idx.fetch(topk)
-        .select(F.substring("path", 2, 12).cast("long").alias("doc_id"),
-                F.round("score", 6).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(20)
-    )
+    return _docid_from_path(idx.fetch(topk), k=20)
 
 
 def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,7 +570,6 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collect is the transport itself (an event FILE is by
     definition driver/edge-resident) and is bounded to ~2/41 of the
     corpus."""
-    import shutil
 
     from dbsyncer_spark.index.search import SearchIndex
     from dbsyncer_spark.sources.cdc import replay_changed_events
@@ -776,16 +775,38 @@ def _parsed_wildcard_oracle(q: str, k: int) -> str:
     pq = parse_query(q)
 
     def like_of(e) -> str:
+        # reuse the engine's own wildcard->LIKE mapping: it escapes
+        # literal %/_ in the pattern, which a naive replace would leave
+        # as LIKE metacharacters and silently diverge from the engine's
+        # expansion set (r5 review)
+        from dbsyncer_spark.query.parser import wildcard_to_like
+
         pat = e.pattern + ("*" if e.kind == "prefix" else "")
-        return pat.replace("*", "%").replace("?", "_")
+        return wildcard_to_like(pat)
 
     scoring_likes = [like_of(e) for e in pq.expansions if e.mod != "-"]
     not_likes = [like_of(e) for e in pq.expansions if e.mod == "-"]
+    # this generator encodes ONLY should/must_not expansions + plain
+    # SHOULD terms; any other clause in the query would be silently
+    # dropped from the oracle, making the gate hash-green but WRONG —
+    # fail loudly instead (r5 review), like the fuzzy assert always did
     assert scoring_likes and not any(e.kind == "fuzzy" for e in pq.expansions)
-    like_pred = " OR ".join(f"term LIKE '{p}'" for p in scoring_likes)
+    assert not (pq.must or pq.must_not or pq.phrases or pq.not_phrases
+                or pq.fields or pq.not_fields or pq.field_ranges
+                or pq.not_field_ranges or pq.boosts or pq.must_groups
+                or pq.not_groups), (
+        "extend _parsed_wildcard_oracle before adding gated clauses to "
+        "PARSED_WILDCARD_QUERY"
+    )
+    # ESCAPE: wildcard_to_like backslash-escapes literal %/_ — Spark's
+    # like() honors backslash by default, DuckDB only with an explicit
+    # ESCAPE clause
+    like_pred = " OR ".join(f"term LIKE '{p}' ESCAPE '\\'"
+                            for p in scoring_likes)
     static = ", ".join(f"'{t}'" for t in pq.scored_terms)
     static_branch = f"UNION\n  SELECT unnest([{static}]) AS term" if static else ""
-    not_pred = " OR ".join(f"term LIKE '{p}'" for p in not_likes)
+    not_pred = " OR ".join(f"term LIKE '{p}' ESCAPE '\\'"
+                           for p in not_likes)
     not_clause = f"""
 WHERE doc_id NOT IN (
   SELECT doc_id FROM (SELECT doc_id, unnest(t) AS term FROM base)
@@ -1280,8 +1301,6 @@ def q_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars to int, DROP text — then read the evolved table. Every ALTER
     is a metadata-only log append (no data rewrite), the property that
     keeps DDL O(1) on a 100 TB table."""
-    import shutil
-    import tempfile
 
     from dbsyncer_spark.sources import ddl as D
 
@@ -1395,7 +1414,8 @@ def oracle_sql() -> dict[str, str]:
     frag = highlight_sql_exprs("d.text", FLAGSHIP_QUERY, width=24)["fragment"]
     sql["highlight_topk"] = f"""
 SELECT t.doc_id, t.score, {frag} AS snippet
-FROM ({_bm25_oracle(FLAGSHIP_QUERY, 40)}) t JOIN documents d USING (doc_id)
+FROM ({_bm25_oracle(FLAGSHIP_QUERY, 10 + _TIE_SLACK)}) t
+  JOIN documents d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id ASC LIMIT 10
 """
 

@@ -23,7 +23,7 @@ identical plans.
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 _DATE_FMT = "%Y-%m-%d %H:%M:%S"
 
@@ -39,6 +39,14 @@ def _yesterday_end(now: datetime) -> datetime:
 
 
 def _millis(dt: datetime) -> str:
+    # a NAIVE datetime is interpreted as UTC: .timestamp() alone reads
+    # it in the host's LOCAL zone, so the same injected `now` rendered
+    # different epoch millis on differently-configured hosts — breaking
+    # the module's deterministic/replayable resolution contract and
+    # disagreeing with the $date_*$ renderings of the same value
+    # (r5 review). Aware datetimes keep their own zone.
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
     return str(int(dt.timestamp() * 1000))
 
 

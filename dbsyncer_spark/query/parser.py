@@ -160,16 +160,20 @@ def _apply_operators(units: list[tuple]) -> list[tuple]:
     prefixes always win. Lowercase and/or/not stay ordinary terms, and a
     quoted "AND" stays a phrase."""
     resolved: list[tuple] = []
-    pending_must = pending_not = False
+    pending_must = pending_not = pending_or = False
     for mod, unit, quoted in units:
         if mod == "" and not quoted and unit in _OPERATORS:
-            if pending_not or (pending_must and unit != "NOT"):
-                # 'NOT OR scan' would otherwise silently negate 'scan'
-                # across the OR; Lucene's parser rejects consecutive
-                # operators — so do we (r5 review)
+            # Lucene's parser rejects consecutive operators (the only
+            # legal pair is AND NOT / OR NOT) and leading AND/OR; so do
+            # we — the old guard tracked only NOT/AND, so 'OR OR',
+            # 'merge OR AND scan', and leading operators were silently
+            # accepted with typo-dependent semantics (r5 review)
+            if pending_not or (unit != "NOT" and (pending_must or pending_or)):
                 raise ValueError(
                     f"consecutive boolean operators before {unit!r}"
                 )
+            if not resolved and unit != "NOT":
+                raise ValueError(f"leading boolean operator {unit!r}")
             if unit == "NOT":
                 pending_not = True
             elif unit in ("AND", "&&"):
@@ -178,14 +182,15 @@ def _apply_operators(units: list[tuple]) -> list[tuple]:
                     resolved[-1] = ("+", resolved[-1][1], resolved[-1][2])
             else:  # OR / ||
                 pending_must = False
+                pending_or = True
             continue
         if pending_not:
             mod = mod or "-"
         elif pending_must:
             mod = mod or "+"
-        pending_must = pending_not = False
+        pending_must = pending_not = pending_or = False
         resolved.append((mod, unit, quoted))
-    if pending_not or pending_must:
+    if pending_not or pending_must or pending_or:
         raise ValueError("trailing boolean operator with no operand")
     return resolved
 
@@ -203,11 +208,13 @@ def parse_query(q: str) -> ParsedQuery:
         fm = _FIELD_RE.match(unit)
         if fm:
             val = fm.group(2)
-            # a boost on a range filter parses but is ignored, like the
-            # boosted-phrase rule (filters gate, they don't score) — and
-            # it must not leak '^2' onward as a phantom unit (r5 review)
+            # a boost on ANY filter clause parses but is ignored, like
+            # the boosted-phrase rule (filters gate, they don't score) —
+            # it must not leak '^2' into a range as a phantom unit, nor
+            # into an equality value ('lang:en^2.5' silently filtered on
+            # the literal string 'en^2.5' and matched nothing, r5 review)
             vb = _BOOST_RE.match(val)
-            if vb and vb.group(1).endswith("]"):
+            if vb:
                 val = vb.group(1)
             if val.startswith("["):
                 rm = _RANGE_RE.match(val)
@@ -234,7 +241,7 @@ def parse_query(q: str) -> ParsedQuery:
             # -field:value excludes (r2: previously fell through and the
             # field name itself was tokenized as content terms)
             dest = out.not_fields if mod == "-" else out.fields
-            dest[fm.group(1)] = fm.group(2)
+            dest[fm.group(1)] = val
             continue
         boost = 1.0
         bm = _BOOST_RE.match(unit)
@@ -617,9 +624,24 @@ def parsed_topk_wide(spark, docs, query: str, k: int = 10,
                         for e in pq.expansions]
         finally:
             vocab.unpersist()
+    elif pq.expansions:
+        # single unit: same shape as the multi-unit branch — the cheap
+        # candidate prefilter goes BELOW the distinct and the persist
+        # boundary keeps the exact predicate ABOVE it. Without this,
+        # Catalyst pushes the exact predicate (a per-occurrence
+        # levenshtein for a fuzzy unit) through the vocab aggregate,
+        # paying it on every token occurrence instead of once per
+        # distinct candidate (r5 review).
+        e = pq.expansions[0]
+        vocab = corpus_vocab(docs, text_col,
+                             candidates=expansion_prefilter(e)).persist()
+        try:
+            expanded = [expand_wide(docs, text_col, e, max_expansions,
+                                    vocab=vocab)]
+        finally:
+            vocab.unpersist()
     else:
-        expanded = [expand_wide(docs, text_col, e, max_expansions)
-                    for e in pq.expansions]
+        expanded = []
     extra_scored, must_any, not_any = fold_expansions(pq, expanded)
     scored = sorted(set(pq.scored_terms) | extra_scored)
     if not scored:
