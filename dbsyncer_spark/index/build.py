@@ -501,7 +501,18 @@ def build_index(
         # numbered under the new one (r5 review)
         "num_id_buckets": num_id_buckets,
     }
-    phash = params_hash(params)
+    # the stage hash must ALSO pin everything that changes the row set
+    # or the id source: resuming with a different quarantine threshold
+    # (the documented relax-and-replay knob) or ids-provided flag would
+    # pair committed termdocs from one row set with recomputed docstats
+    # from another — silently corrupt ids (r5 review). Kept out of
+    # ``params`` (== published seg meta, shared-across-segments compare)
+    # since both are legitimately per-batch.
+    phash = params_hash({
+        **params,
+        "max_content_bytes": max_content_bytes,
+        "docs_have_ids": docs_have_ids,
+    })
 
     seg_quarantine = os.path.join(seg_dir, "quarantine")
     if max_content_bytes is not None:
@@ -826,12 +837,22 @@ def _update_root_meta_locked(index_dir: str, segment: str, seg_meta: dict) -> No
         k: seg_meta[k]
         for k in (
             "num_shards", "range_size", "block_size", "use_stopwords",
-            "k1", "b", "tokenizer", "store_positions",
+            "k1", "b", "tokenizer", "store_positions", "num_id_buckets",
         )
         if k in seg_meta
     }
-    if meta["params"] and meta["params"] != shared:
-        raise ValueError(f"segment params mismatch: {shared} vs index {meta['params']}")
+    if meta["params"]:
+        # params added after the index was built (e.g. num_id_buckets)
+        # are adopted on first publish rather than failing the compare —
+        # without publishing them here append_segment's inherit/conflict
+        # loop was dead code for those keys (r5 review)
+        legacy_missing = {k for k in shared if k not in meta["params"]}
+        comparable = {k: v for k, v in shared.items() if k not in legacy_missing}
+        if comparable != meta["params"]:
+            raise ValueError(
+                f"segment params mismatch: {shared} vs index {meta['params']}"
+            )
+        shared = {**meta["params"], **{k: shared[k] for k in legacy_missing}}
     # doc ids must be globally unique across live segments (F15).
     # ``append_segment`` claims its id space under the meta lock
     # (``reserve_doc_range``) so concurrent appends compose; this guard

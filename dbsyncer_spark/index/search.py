@@ -170,7 +170,16 @@ class _DecodedPostingsCache:
         self._bytes = 0
 
     def __call__(self, base: int, r, keep=None):
-        key = (base, int(r.tid))
+        # (base, tid) alone is NOT unique: a direct build_index append
+        # at a non-range-aligned offset legally shares a range, giving
+        # two posting rows per (range, term) — a plain (base, tid) key
+        # served one row's decode for the other (r5 review; found by
+        # the misaligned-append identity gate). The first docId +
+        # posting count disambiguate: distinct rows of one snapshot
+        # cover disjoint ascending doc spans.
+        key = (base, int(r.tid),
+               int(r.block_first[0]) if len(r.block_first) else -1,
+               len(r.blob))
         hit = self._rows.get(key)
         if hit is None:
             d, tf, dl = unpack_blocks(r.blob, r.block_off, r.block_n,
@@ -345,11 +354,17 @@ def _make_scorer(idfs: dict, k1: float, b: float, avgdl: float, k: int,
                 np.asarray(r.block_max_tf), np.asarray(r.block_min_dl), k1, b, avgdl
             )
             rows.append((float(ub_blocks.max()), r, ub_blocks))
-        # (-ub, tid) is a TOTAL order over this range's term rows (one row
-        # per tid per range): summation order — and thus every float score
-        # — is identical across executions, which cursor paging's exact
-        # score-equality test requires
-        rows.sort(key=lambda x: (-x[0], x[1].tid))
+        # (-ub, tid, first docId) is a TOTAL order over this range's term
+        # rows: summation order — and thus every float score — is
+        # identical across executions, which cursor paging's exact
+        # score-equality test requires. The first-docId tiebreak matters
+        # when a range holds TWO rows for one term (non-aligned direct
+        # appends share ranges): (-ub, tid) alone left their order to
+        # shuffle arrival (r5 review).
+        rows.sort(key=lambda x: (
+            -x[0], x[1].tid,
+            int(x[1].block_first[0]) if len(x[1].block_first) else -1,
+        ))
         suffix = np.zeros(len(rows) + 1)
         for i in range(len(rows) - 1, -1, -1):
             suffix[i] = suffix[i + 1] + rows[i][0]
@@ -507,6 +522,14 @@ def _decode_positional_range(pdf, base: int) -> dict:
 
     per_tid: dict[int, tuple] = {}
     for tid_v, grp in pdf.groupby("tid"):
+        if len(grp) > 1:
+            # deterministic concatenation in first-docId order — rows of
+            # one (range, term) have disjoint ascending doc spans (a
+            # non-aligned direct append shares a range, r5 review), so
+            # this keeps the concatenated doc stream globally ascending
+            grp = grp.iloc[np.argsort([
+                int(bf[0]) if len(bf) else -1 for bf in grp["block_first"]
+            ], kind="stable")]
         docs_l, tok_docs_l, tok_pos_l, dls_l = [], [], [], []
         for r in grp.itertuples(index=False):
             d, tf, dl, flat = unpack_row_positions(
@@ -688,11 +711,25 @@ class SearchIndex:
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             fresh = json.load(f)
         was_dict = self._driver_dict is not None
+        dict_cap = getattr(self, "_dict_max_terms", None)
         was_warm = self._warmed
         was_local = self._local is not None
         local_budget = self._local_budget
         local_decode_budget = getattr(self, "_local_decode_budget", None)
-        if fresh == self.meta:
+
+        def _visible(m: dict):
+            # only what a READER can observe decides a full re-warm:
+            # segments, shared params, and the tombstone-generation
+            # pointer. Writer bookkeeping (reservations, claim/pin
+            # timestamps, retirement registries, streaming HWMs) churns
+            # 2-3 meta writes per append + heartbeats — comparing the
+            # FULL dict made every one of those tear down and re-collect
+            # the whole warm_local snapshot on the documented 3 s
+            # refresh cadence (r5 review).
+            return (m.get("segments"), m.get("params"),
+                    m.get("tombstones_dir", "tombstones"))
+
+        if _visible(fresh) == _visible(self.meta):
             self._sel_cache.clear()
             if was_local:  # re-pull: picks up same-generation deletes
                 self._local_refresh_tombstones()
@@ -706,7 +743,9 @@ class SearchIndex:
         if was_warm is not None:
             self.warm(**was_warm)
         if was_dict:
-            self.warm_driver_dictionary()
+            self.warm_driver_dictionary(
+                **({} if dict_cap is None else {"max_terms": dict_cap})
+            )
         if was_local:
             self.warm_local(max_bytes=local_budget,
                             decode_cache_bytes=local_decode_budget)
@@ -742,19 +781,10 @@ class SearchIndex:
             # whole p50 was scheduling floor, measured r2). ClusteredDist
             # is satisfied by any hash partitioning on range_id, so fewer
             # partitions than ranges stays correct (ranges co-group).
-            # live ranges from segment id-spans, NOT n_docs/range_size:
-            # append_segment aligns each segment to a fresh range
-            # boundary, so a 10-segment index can hold 10 live ranges
-            # while n_docs/range_size says 1 (which would serialize the
-            # whole serving path into one task — r2 review)
-            n_ranges = max(
-                1,
-                sum(
-                    (s["max_doc_id"] - s["doc_id_offset"]) // self.range_size + 1
-                    for s in self.meta["segments"].values()
-                    if s["max_doc_id"] >= s["doc_id_offset"]
-                ),
-            )
+            # live ranges from segment id-spans, NOT n_docs/range_size
+            # (r2 review) — ONE definition shared with the batch
+            # reduction heuristic
+            n_ranges = self._live_range_count()
             default_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             n_parts = min(n_ranges, default_parts)
             p = self._postings().repartition(n_parts, "range_id").persist()
@@ -817,7 +847,17 @@ class SearchIndex:
         rows_by_range: dict[int, tuple] = {}
         for rid, sub in pdf.groupby("range_id"):
             sub = sub.reset_index(drop=True)
-            rows_by_range[int(rid)] = (sub, {int(t): i for i, t in enumerate(sub["tid"])})
+            # tid -> ALL row positions: a range can legally hold several
+            # posting rows per term (a direct build_index append at a
+            # non-range-aligned offset passes the publish overlap guard
+            # and shares a range with its neighbor); a tid -> single-row
+            # map silently dropped all but the last, diverging warm_local
+            # from the cluster scorers which iterate every row (r5
+            # review)
+            tid_pos: dict[int, list] = {}
+            for i, t in enumerate(sub["tid"]):
+                tid_pos.setdefault(int(t), []).append(i)
+            rows_by_range[int(rid)] = (sub, tid_pos)
         dead_by_range = self._local_dead_by_range()
         stats_pdf = self.docstats().toPandas()
         self._local = {
@@ -966,7 +1006,7 @@ class SearchIndex:
         parts = []
         for rid in sorted(loc["rows"]):
             sub, tid_pos = loc["rows"][rid]
-            pos = [tid_pos[t] for t in tids if t in tid_pos]
+            pos = [i for t in tids if t in tid_pos for i in tid_pos[t]]
             if not pos:
                 continue
             qsub = sub.iloc[sorted(pos)]
@@ -1033,7 +1073,7 @@ class SearchIndex:
         frames = []
         for rid in sorted(loc["rows"]):
             sub, tid_pos = loc["rows"][rid]
-            pos = [tid_pos[t] for t in tids if t in tid_pos]
+            pos = [i for t in tids if t in tid_pos for i in tid_pos[t]]
             if not pos:
                 continue
             qsub = sub.iloc[sorted(pos)]
@@ -1056,7 +1096,11 @@ class SearchIndex:
                     k1, b, avgdl,
                 )
                 rows.append((float(ub_blocks.max()), int(r.tid), r, ub_blocks))
-            rows.sort(key=lambda x: (-x[0], x[1]))
+            rows.sort(key=lambda x: (
+                -x[0], x[1],
+                int(x[2].block_first[0]) if len(x[2].block_first) else -1,
+            ))  # first-docId tiebreak: total order even when a range
+            # holds two rows for one term (see _make_scorer, r5 review)
             frames.extend(_shared_taat_range(
                 rows, base, allowed, idfs, by_tid, k1, b, avgdl, k,
                 decode=loc["decoded"] or _decode_row,
@@ -1084,6 +1128,10 @@ class SearchIndex:
         if n > max_terms:
             raise ValueError(f"dictionary has {n} terms > max_terms={max_terms}")
         self._driver_dict = {r.tid: int(r.df) for r in d.collect()}
+        # refresh() replays this tier at the RECORDED cap — replaying
+        # the default would spuriously refuse a dictionary the caller's
+        # larger cap had accepted (r5 review)
+        self._dict_max_terms = max_terms
 
     def _tombstones(self) -> DataFrame | None:
         # resolve the tombstone GENERATION named by this reader's pinned
@@ -1723,6 +1771,57 @@ class SearchIndex:
         """FuzzyQuery analog: BM25 over terms within edit distance."""
         return self._search_expanded(self.expand_fuzzy(term, max_edits, limit), k)
 
+
+    def _live_range_count(self) -> int:
+        """Live docId-range count from segment id-spans — NOT
+        ``n_docs // range_size``: appends align each segment to a fresh
+        range boundary, so a 50-segment index can hold 50 live ranges
+        while the quotient says 1, mis-sizing the batch reduction's
+        small-bound heuristic by that factor (r2 found this for the
+        warm cache; r5 review found the batch paths still using the
+        quotient)."""
+        return max(
+            1,
+            sum(
+                (s["max_doc_id"] - s["doc_id_offset"]) // self.range_size + 1
+                for s in self.meta["segments"].values()
+                if s["max_doc_id"] >= s["doc_id_offset"]
+            ),
+        )
+
+    def _reduce_per_query(self, scored: DataFrame, n_queries: int,
+                          k: int) -> DataFrame:
+        """THE adaptive cross-range per-query reduction shared by
+        ``search_many`` / ``search_many_phrase`` / ``_search_many_gated``
+        (was copy-pasted three times — r5 review): the per-range cut
+        already bounds rows to <= k per (query, range-with-hits) and the
+        range count is driver-known, so when the bound is small ONE
+        SinglePartition task does sort+window+output-order in one
+        exchange, replacing two (hash for the window + range-sampling
+        for the global orderBy) — two fewer stages of fixed serving
+        latency (r4). At scale the hash-window shuffle shape returns
+        automatically."""
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        small = self._live_range_count() * n_queries * k <= 200_000
+        if small:
+            scored = scored.repartition(1)
+        ranked = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        if small:
+            return ranked.sortWithinPartitions(
+                "query_id", F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return ranked.orderBy(
+            "query_id", F.col("score").desc(), F.col("doc_id").asc()
+        )
+
     def search_many(self, queries: dict[str, str], k: int = 10,
                     mode: str = "wand",
                     prune_min_postings: int | None = None,
@@ -1940,7 +2039,11 @@ class SearchIndex:
                     k1, b, avgdl,
                 )
                 rows.append((float(ub_blocks.max()), r.tid, r, ub_blocks))
-            rows.sort(key=lambda x: (-x[0], x[1]))
+            rows.sort(key=lambda x: (
+                -x[0], x[1],
+                int(x[2].block_first[0]) if len(x[2].block_first) else -1,
+            ))  # first-docId tiebreak: total order even when a range
+            # holds two rows for one term (see _make_scorer, r5 review)
             # adaptive engage (r3 VERDICT #2/#3 — see docstring)
             if (prune and n_postings >= prune_min
                     and n_queries <= _BATCH_PRUNE_MAX_QUERIES):
@@ -1967,29 +2070,7 @@ class SearchIndex:
             scored = postings.groupBy("range_id").applyInPandas(
                 lambda key, pdf: score_impl(key, pdf, None), out_schema
             )
-        w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        # final cross-range reduction: the per-range cut already bounds
-        # rows to <= k per (query, range-with-hits), and n_ranges is
-        # driver-known — when the bound is small, one SinglePartition
-        # task does sort+window+output-order in ONE exchange, replacing
-        # two (hash for the window + range-sampling for the global
-        # orderBy): two fewer stages of fixed serving latency (r4). At
-        # scale (many ranges × many queries) the hash-window shuffle
-        # shape distributes the reduction.
-        n_ranges = self.n_docs // range_size + 1
-        small = n_ranges * n_queries * k <= 200_000
-        if small:
-            scored = scored.repartition(1)
-        ranked = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-        if small:
-            return ranked.sortWithinPartitions(
-                "query_id", F.col("score").desc(), F.col("doc_id").asc()
-            )
-        return ranked.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+        return self._reduce_per_query(scored, n_queries, k)
 
     def search_many_phrase(self, queries: dict[str, str], k: int = 10,
                            slop: int = 0, doc_filter=None,
@@ -2099,26 +2180,7 @@ class SearchIndex:
             scored = postings.groupBy("range_id").applyInPandas(
                 lambda key, pdf: score_impl(key, pdf, None), out_schema
             )
-        # same adaptive cross-range reduction as search_many
-        w = W.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
-        n_ranges = self.n_docs // range_size + 1
-        small = n_ranges * n_queries * k <= 200_000
-        if small:
-            scored = scored.repartition(1)
-        ranked = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-        if small:
-            return ranked.sortWithinPartitions(
-                "query_id", F.col("score").desc(), F.col("doc_id").asc()
-            )
-        return ranked.orderBy(
-            "query_id", F.col("score").desc(), F.col("doc_id").asc()
-        )
+        return self._reduce_per_query(scored, n_queries, k)
 
     def search_many_parsed(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Batched parsed serving: each query string is parsed and routed
@@ -2441,28 +2503,46 @@ class SearchIndex:
                     fmask_cache[key_] = m
                 return m
 
-            # shared decode: ids for gate terms, ids+tfn for scored terms,
-            # positional streams for phrase terms ((tid, range) rows are
-            # unique — ranges never straddle segments)
+            # shared decode: ids for gate terms, ids+tfn for scored
+            # terms, positional streams for phrase terms. A range can
+            # hold SEVERAL rows per term (a direct build_index append at
+            # a non-range-aligned offset shares a range) — plain
+            # ``idx_of[tid] = ...`` silently kept only the last row
+            # (r5 review); rows concatenate in first-docId order (spans
+            # are disjoint, so per-doc contributions never interleave).
+            rows_of: dict[int, list] = {}
+            for r in pdf.itertuples(index=False):
+                tid = int(r.tid)
+                if tid in decode_tids:
+                    rows_of.setdefault(tid, []).append(r)
             idx_of: dict[int, np.ndarray] = {}
             tfn_of: dict[int, np.ndarray] = {}
             ubmax_of: dict[int, float] = {}
-            for r in pdf.itertuples(index=False):
-                tid = int(r.tid)
-                if tid not in decode_tids:
-                    continue
-                d, tf, dl = decode(base, r, keep=None)
-                idx_of[tid] = (d - np.uint64(base)).astype(np.int64)
+            for tid, rs in rows_of.items():
+                if len(rs) > 1:
+                    rs.sort(key=lambda r: (int(r.block_first[0])
+                                           if len(r.block_first) else -1))
+                parts_i, parts_t, ub = [], [], 0.0
+                for r in rs:
+                    d, tf, dl = decode(base, r, keep=None)
+                    parts_i.append((d - np.uint64(base)).astype(np.int64))
+                    if tid in scoring_tids:
+                        tf = tf.astype(np.float64)
+                        dl = dl.astype(np.float64)
+                        parts_t.append(tf * (k1 + 1.0) / (
+                            tf + k1 * (1.0 - b + b * dl / avgdl)
+                        ))
+                        ub = max(ub, float(_tfnorm_bound(
+                            np.asarray(r.block_max_tf),
+                            np.asarray(r.block_min_dl),
+                            k1, b, avgdl,
+                        ).max()))
+                idx_of[tid] = (parts_i[0] if len(parts_i) == 1
+                               else np.concatenate(parts_i))
                 if tid in scoring_tids:
-                    tf = tf.astype(np.float64)
-                    dl = dl.astype(np.float64)
-                    tfn_of[tid] = tf * (k1 + 1.0) / (
-                        tf + k1 * (1.0 - b + b * dl / avgdl)
-                    )
-                    ubmax_of[tid] = float(_tfnorm_bound(
-                        np.asarray(r.block_max_tf), np.asarray(r.block_min_dl),
-                        k1, b, avgdl,
-                    ).max())
+                    tfn_of[tid] = (parts_t[0] if len(parts_t) == 1
+                                   else np.concatenate(parts_t))
+                    ubmax_of[tid] = ub
             per_tid_pos: dict = {}
             if pos_tids:
                 sub = pdf[pdf["tid"].isin(list(pos_tids))]
@@ -2612,7 +2692,8 @@ class SearchIndex:
             frames = []
             for rid in sorted(loc["rows"]):
                 sub, tid_pos = loc["rows"][rid]
-                pos = [tid_pos[t] for t in tid_set if t in tid_pos]
+                pos = [i for t in tid_set if t in tid_pos
+                       for i in tid_pos[t]]
                 if not pos:
                     continue
                 out = score_impl(
@@ -2661,26 +2742,7 @@ class SearchIndex:
             scored_df = postings.groupBy("range_id").applyInPandas(
                 lambda key, pdf: score_impl(key, pdf, None), out_schema
             )
-        # same adaptive cross-range reduction as search_many
-        w = W.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
-        n_ranges = self.n_docs // range_size + 1
-        small = n_ranges * n_queries * k <= 200_000
-        if small:
-            scored_df = scored_df.repartition(1)
-        ranked = (
-            scored_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-        if small:
-            return ranked.sortWithinPartitions(
-                "query_id", F.col("score").desc(), F.col("doc_id").asc()
-            )
-        return ranked.orderBy(
-            "query_id", F.col("score").desc(), F.col("doc_id").asc()
-        )
+        return self._reduce_per_query(scored_df, n_queries, k)
 
     def fetch(self, topk: DataFrame,
               sort_cols: list[tuple[str, bool]] | None = None) -> DataFrame:

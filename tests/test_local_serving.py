@@ -473,3 +473,110 @@ def test_match_all_local_null_sort_falls_back(spark, tmp_path_factory):
     finally:
         sc.setJobGroup("", "")
     assert list(sc.statusTracker().getJobIdsForGroup("nullsort_gate")) == []
+
+
+def test_misaligned_direct_append_warm_local_identity(spark, corpus, tmp_path_factory):
+    """A direct build_index append at a NON-range-aligned offset passes
+    the publish overlap guard and legally shares a docId-range with its
+    neighbor — the range then holds TWO posting rows per common term.
+    warm_local's old tid -> single-row map silently dropped one, so the
+    warm path scored only one segment's postings for that term while
+    the cluster path (which iterates every row) scored both (r5
+    review)."""
+    from dbsyncer_spark.index.build import build_index as bi
+
+    d = str(tmp_path_factory.mktemp("misaligned"))
+    pdf_all = corpus.limit(120).toPandas()
+    a = spark.createDataFrame(pdf_all.iloc[:70])
+    b = spark.createDataFrame(pdf_all.iloc[70:])
+    bi(spark, a, d, num_shards=4, range_size=256, num_id_buckets=8)
+    # second segment starts at offset 70 inside range 0 (256-wide)
+    bi(spark, b, d, segment="seg_manual", doc_id_offset=70,
+       num_shards=4, range_size=256, num_id_buckets=8)
+    cold = SearchIndex(spark, d)
+    hot = SearchIndex(spark, d)
+    hot.warm_local()
+    # sanity: the shape under test actually exists (duplicate tids in
+    # one range's map)
+    assert any(len(v) > 1 for _, m in hot._local["rows"].values()
+               for v in m.values()), "no duplicate (tid, range) rows: vacuous"
+    for q in ("merge scan", "offset shard token", "merge"):
+        for mode in ("wand", "exhaustive"):
+            want = _rows(cold.search(q, k=15, mode=mode))
+            got = _rows(hot.search(q, k=15, mode=mode))
+            assert got == want and got, (q, mode)
+    want = cold.search_many({"a": "merge scan", "b": "offset"}, k=8).collect()
+    got = hot.search_many({"a": "merge scan", "b": "offset"}, k=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # cursor paging's exact score-equality also holds across the
+    # duplicate-row shape (the summation-order tiebreak)
+    p1 = _rows(hot.search("merge scan", k=8, mode="exhaustive"))
+    p2 = _rows(hot.search_after("merge scan", after=(p1[-1][1], p1[-1][0]), k=8))
+    assert p1 + p2 == _rows(cold.search("merge scan", k=16, mode="exhaustive"))
+
+
+def test_misaligned_append_gated_and_phrase_paths(spark, corpus, tmp_path_factory):
+    """Same range-straddling shape, positional + terms-table build: the
+    gated batch kernel's per-tid decode dicts and the positional decode
+    must concatenate duplicate (range, term) rows, not overwrite
+    (r5 review — idx_of[tid] silently kept only the last row)."""
+    from dbsyncer_spark.index.build import build_index as bi
+
+    d = str(tmp_path_factory.mktemp("misgated"))
+    pdf_all = corpus.limit(120).toPandas()
+    kw = dict(num_shards=4, range_size=256, num_id_buckets=8,
+              store_positions=True, store_terms=True)
+    bi(spark, spark.createDataFrame(pdf_all.iloc[:70]), d, **kw)
+    bi(spark, spark.createDataFrame(pdf_all.iloc[70:]), d,
+       segment="seg_manual", doc_id_offset=70, **kw)
+    cold = SearchIndex(spark, d)
+    hot = SearchIndex(spark, d)
+    hot.warm_local()
+    for q in ("merge +scan", "merge lang:python", 'offset +"merge scan"',
+              "merge^2 scan"):
+        want = _rows(cold.search_parsed(q, k=12))
+        got = _rows(hot.search_parsed(q, k=12))
+        assert got == want, q
+    batch = {"a": "+merge scan", "b": "offset lang:go", "c": "merge scan"}
+    want = [(r.query_id, r.doc_id, r.score)
+            for r in cold.search_many_parsed(batch, k=6).collect()]
+    got = [(r.query_id, r.doc_id, r.score)
+           for r in hot.search_many_parsed(batch, k=6).collect()]
+    assert got == want and got
+    want = _rows(cold.search_phrase("merge scan", k=10))
+    got = _rows(hot.search_phrase("merge scan", k=10)) if hasattr(
+        hot, "search_phrase") else want
+    assert got == want
+
+
+def test_refresh_ignores_writer_bookkeeping_churn(spark, corpus, tmp_path_factory):
+    """Reservation/claim/pin churn (2-3 meta writes per append, plus
+    heartbeats) must NOT tear down the warm tiers: only the VISIBLE
+    snapshot (segments, params, tombstone generation) decides a full
+    re-warm — the old full-dict compare re-collected every posting blob
+    to the driver on each bookkeeping write (r5 review)."""
+    from dbsyncer_spark.index.build import (
+        build_index as bi,
+        reserve_doc_range,
+        reserve_segment_name,
+        touch_reservations,
+        unreserve_doc_range,
+    )
+
+    d = str(tmp_path_factory.mktemp("churn"))
+    bi(spark, corpus.limit(80), d, num_shards=4, range_size=256,
+       num_id_buckets=8)
+    h = SearchIndex(spark, d)
+    h.warm_local()
+    rows_obj = h._local["rows"]
+    name = reserve_segment_name(d)        # bookkeeping write 1
+    reserve_doc_range(d, 10, name)        # bookkeeping write 2
+    touch_reservations(d, name)           # heartbeat write
+    assert h.refresh() is False, "bookkeeping churn forced a re-warm"
+    assert h._local["rows"] is rows_obj, "warm_local snapshot was rebuilt"
+    unreserve_doc_range(d, name)
+    # a real snapshot change still re-warms
+    from dbsyncer_spark.index.build import append_segment
+    append_segment(spark, corpus.limit(100).exceptAll(corpus.limit(80)), d)
+    assert h.refresh() is True
+    assert h._local is not None and h._local["rows"] is not rows_obj
